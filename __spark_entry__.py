@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 as
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
+equivalent for the driver's differential check. Column names are aliased
+identically on both sides; double aggregates are rounded to 2 decimals on
+both sides (Spark and DuckDB accumulate floats in different orders, so raw
+bit-equality is not achievable — see carbondata_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -15,24 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    from carbondata_spark.queries import registry
+
+    return registry()["q01_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from carbondata_spark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from carbondata_spark.queries import registry
+
+    return {name: q.oracle for name, q in registry().items() if q.oracle is not None}

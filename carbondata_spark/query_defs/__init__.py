@@ -1,0 +1,7 @@
+"""Query definitions, grouped by operator family (SURVEY.md §2).
+
+Importing this package registers every query into
+``carbondata_spark.queries._REGISTRY``.
+"""
+
+import carbondata_spark.query_defs.olap  # noqa: F401

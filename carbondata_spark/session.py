@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Local test profile is ``local[N]`` (single JVM); the config choices are the
+ones that transfer to a 1000-executor cluster: AQE on (runtime coalesce +
+skew-join), Arrow on (fast pandas interchange for the Pandas-UDF operators),
+UTC session timezone (oracle comparability), shuffle partitions sized to the
+parallelism actually available rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "carbondata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Respects ``SPARK_GRAFT_CPUS`` for local parallelism so the bench driver
+    can pin core counts.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet write defaults: row groups ≈ reference "blocklets"
+        # (BLOCKLET_SIZE_DEFAULT_VAL=120k rows, CarbonCommonConstants.java:182);
+        # 128 MiB row groups give comparable scan granularity at our widths.
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # count(*)/min/max from parquet footers without reading data — the
+        # Spark-native equivalent of CarbonInputFormat.getRowCount
+        # (CarbonInputFormat.java:208-225).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark has no
+        # native type for — read as long and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

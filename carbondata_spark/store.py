@@ -1,0 +1,461 @@
+"""CarbonStore — the segment/manifest table lifecycle over Parquet.
+
+This is the rebuild of the reference's core non-query machinery
+(SURVEY.md §1.1, §2.10):
+
+- table ("cube") with a dimension/measure split and sort columns
+  (CREATE CUBE, CarbonSqlParser.scala:703-729)
+- segment = one incremental load, a folder of files + a status entry
+  (SegmentInfo, format/src/main/thrift/carbondata.thrift:31-34;
+  table_status.thrift)
+- SHOW LOADS / DELETE LOAD ids / DELETE ... BEFORE date (retention) /
+  CLEAN FILES / compaction (cubeSchema.scala:1678-2523,
+  CarbonMergerRDD.scala:31-234)
+- schema evolution: ALTER add/drop columns with defaults, reconciled at
+  read (schema.thrift:220-233 SchemaEvolutionEntry; RestructureUtil.java:128)
+
+Layout on disk (mirrors the reference's store layout shape):
+
+    <store>/<table>/
+        schema.json              # current schema + properties + evolution log
+        tablestatus.json         # manifest: [{segment_id, status, rows, ...}]
+        Fact/Part0/Segment_<id>/ # parquet files of one load
+
+Scale design: queries read only the manifest (driver-side, O(#segments))
+then hand Spark an explicit list of valid segment directories — Spark
+plans splits/locality from there exactly as for any parquet dataset, and
+row-group min/max pruning works because loads are sorted on
+``sort_columns`` within partitions (the Spark-native equivalent of the
+reference's MDKey clustering + blocklet B-tree, SURVEY §1.5). Manifest
+commits are lock + atomic-rename, safe for concurrent loaders.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from carbondata_spark.lock import file_lock
+
+SEGMENT_SUCCESS = "Success"
+SEGMENT_DELETED = "Marked for Delete"
+SEGMENT_COMPACTED = "Compacted"
+
+
+class TableNotFoundError(Exception):
+    pass
+
+
+@dataclass
+class SegmentEntry:
+    segment_id: int
+    status: str
+    rows: int
+    load_start_ts: float
+    load_end_ts: float
+    columns: list[str] = field(default_factory=list)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "segment_id": self.segment_id,
+            "status": self.status,
+            "rows": self.rows,
+            "load_start_ts": self.load_start_ts,
+            "load_end_ts": self.load_end_ts,
+            "columns": self.columns,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "SegmentEntry":
+        return SegmentEntry(
+            segment_id=d["segment_id"],
+            status=d["status"],
+            rows=d["rows"],
+            load_start_ts=d["load_start_ts"],
+            load_end_ts=d["load_end_ts"],
+            columns=d.get("columns", []),
+        )
+
+
+def _atomic_write_json(path: str, payload: Any) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class CarbonStore:
+    """Managed table store: create/load/read/segment lifecycle."""
+
+    def __init__(self, spark: SparkSession, store_path: str):
+        self.spark = spark
+        self.store_path = store_path
+        os.makedirs(store_path, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.store_path, table)
+
+    def _schema_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "schema.json")
+
+    def _status_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "tablestatus.json")
+
+    def _segment_dir(self, table: str, segment_id: int) -> str:
+        return os.path.join(self._table_dir(table), "Fact", "Part0", f"Segment_{segment_id}")
+
+    # -- metadata ---------------------------------------------------------
+
+    def _read_schema(self, table: str) -> dict[str, Any]:
+        try:
+            with open(self._schema_path(table)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise TableNotFoundError(table) from None
+
+    def _write_schema(self, table: str, meta: dict[str, Any]) -> None:
+        _atomic_write_json(self._schema_path(table), meta)
+
+    def _read_status(self, table: str) -> list[SegmentEntry]:
+        try:
+            with open(self._status_path(table)) as f:
+                return [SegmentEntry.from_json(d) for d in json.load(f)]
+        except FileNotFoundError:
+            return []
+
+    def _write_status(self, table: str, entries: list[SegmentEntry]) -> None:
+        _atomic_write_json(self._status_path(table), [e.to_json() for e in entries])
+
+    # -- DDL --------------------------------------------------------------
+
+    def create_table(
+        self,
+        table: str,
+        schema: T.StructType,
+        sort_columns: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> None:
+        """CREATE CUBE equivalent.
+
+        ``sort_columns`` defaults to the dimension columns (string /
+        timestamp typed), mirroring the reference's dims-are-sorted rule
+        (CarbonSqlParser.scala:532-546): data is clustered on them at load
+        so parquet row-group stats prune like the blocklet B-tree.
+        """
+        tdir = self._table_dir(table)
+        if os.path.exists(self._schema_path(table)):
+            if if_not_exists:
+                return
+            raise ValueError(f"table {table} already exists")
+        os.makedirs(tdir, exist_ok=True)
+        if sort_columns is None:
+            sort_columns = [
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, (T.StringType, T.TimestampType))
+            ]
+        meta = {
+            "name": table,
+            "schema": json.loads(schema.json()),
+            "sort_columns": sort_columns,
+            "properties": properties or {},
+            "evolution": [],  # SchemaEvolutionEntry log (schema.thrift:220-233)
+            "created_ts": time.time(),
+        }
+        self._write_schema(table, meta)
+        self._write_status(table, [])
+
+    def drop_table(self, table: str) -> None:
+        self._read_schema(table)  # raise if missing
+        shutil.rmtree(self._table_dir(table), ignore_errors=True)
+
+    def tables(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.store_path)):
+            if os.path.exists(self._schema_path(name)):
+                out.append(name)
+        return out
+
+    def describe(self, table: str) -> dict[str, Any]:
+        meta = self._read_schema(table)
+        segs = self._read_status(table)
+        return {
+            "name": table,
+            "schema": T.StructType.fromJson(meta["schema"]).simpleString(),
+            "sort_columns": meta["sort_columns"],
+            "properties": meta["properties"],
+            "segments": len([s for s in segs if s.status == SEGMENT_SUCCESS]),
+            "total_rows": sum(s.rows for s in segs if s.status == SEGMENT_SUCCESS),
+            "evolution_entries": len(meta["evolution"]),
+        }
+
+    def schema(self, table: str) -> T.StructType:
+        return T.StructType.fromJson(self._read_schema(table)["schema"])
+
+    # -- load (LOAD DATA) -------------------------------------------------
+
+    def load(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "append",
+        partitions: int | None = None,
+    ) -> int:
+        """One incremental load → one new segment (LoadCube,
+        cubeSchema.scala:1792-1968).
+
+        The data is repartitioned then sorted within partitions on the
+        table's sort columns before the parquet write — Spark's external
+        sort replaces the reference's Kettle sort + MDKey clustering
+        (SortDataRows.java, MDKeyGenStep.java) and produces row groups
+        whose min/max statistics enable scan pruning at read.
+
+        ``mode='overwrite'`` marks all prior segments deleted in the same
+        manifest commit that registers the new one.
+        """
+        meta = self._read_schema(table)
+        target = T.StructType.fromJson(meta["schema"])
+        df = self._conform(df, target)
+
+        sort_cols = [c for c in meta["sort_columns"] if c in df.columns]
+        start = time.time()
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            seg_id = max((e.segment_id for e in entries), default=-1) + 1
+        # Write data outside the lock (long-running), commit manifest after.
+        seg_dir = self._segment_dir(table, seg_id)
+        writer = df
+        if partitions:
+            if sort_cols:
+                writer = writer.repartitionByRange(partitions, *sort_cols)
+            else:
+                writer = writer.repartition(partitions)
+        if sort_cols:
+            writer = writer.sortWithinPartitions(*sort_cols)
+        writer.write.mode("overwrite").parquet(seg_dir)
+        rows = self.spark.read.parquet(seg_dir).count()  # footer-only count
+
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            if mode == "overwrite":
+                for e in entries:
+                    if e.status == SEGMENT_SUCCESS:
+                        e.status = SEGMENT_DELETED
+            entries.append(
+                SegmentEntry(
+                    segment_id=seg_id,
+                    status=SEGMENT_SUCCESS,
+                    rows=rows,
+                    load_start_ts=start,
+                    load_end_ts=time.time(),
+                    columns=[f.name for f in target.fields],
+                )
+            )
+            self._write_status(table, entries)
+        return seg_id
+
+    def _conform(self, df: DataFrame, target: T.StructType) -> DataFrame:
+        """Project/cast a DataFrame to the table schema (load-side of the
+        reference's RestructureUtil)."""
+        cols = []
+        for fld in target.fields:
+            if fld.name in df.columns:
+                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        return df.select(*cols)
+
+    # -- read -------------------------------------------------------------
+
+    def valid_segments(self, table: str) -> list[SegmentEntry]:
+        return [e for e in self._read_status(table) if e.status == SEGMENT_SUCCESS]
+
+    def table(self, table: str) -> DataFrame:
+        """DataFrame = union of valid segments, aligned to current schema.
+
+        Segments written before an ALTER carry their own column list; they
+        are aligned by name with defaults filled (RestructureUtil.java:128
+        / RestructureFilterExecuterImpl semantics) so old and new segments
+        union cleanly.
+        """
+        meta = self._read_schema(table)
+        target = T.StructType.fromJson(meta["schema"])
+        defaults: dict[str, Any] = {}
+        for ev in meta["evolution"]:
+            defaults.update(ev.get("defaults", {}))
+        segs = self.valid_segments(table)
+        if not segs:
+            return self.spark.createDataFrame([], target)
+
+        current_cols = [f.name for f in target.fields]
+        groups: dict[tuple[str, ...], list[int]] = {}
+        for e in segs:
+            key = tuple(e.columns or current_cols)
+            groups.setdefault(key, []).append(e.segment_id)
+
+        parts: list[DataFrame] = []
+        for cols, seg_ids in groups.items():
+            paths = [self._segment_dir(table, sid) for sid in seg_ids]
+            raw = self.spark.read.parquet(*paths)
+            sel = []
+            for fld in target.fields:
+                if fld.name in raw.columns:
+                    sel.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+                else:
+                    default = defaults.get(fld.name)
+                    sel.append(F.lit(default).cast(fld.dataType).alias(fld.name))
+            parts.append(raw.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def register_view(self, table: str, view_name: str | None = None) -> None:
+        self.table(table).createOrReplaceTempView(view_name or table)
+
+    # -- segment lifecycle ------------------------------------------------
+
+    def show_segments(self, table: str) -> list[dict[str, Any]]:
+        """SHOW LOADS (CarbonSqlParser.scala:1102-1124)."""
+        return [e.to_json() for e in self._read_status(table)]
+
+    def delete_segments(self, table: str, segment_ids: list[int]) -> int:
+        """DELETE LOAD id,... — metadata-only status flip
+        (cubeSchema.scala:1678-1736)."""
+        flipped = 0
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            for e in entries:
+                if e.segment_id in segment_ids and e.status == SEGMENT_SUCCESS:
+                    e.status = SEGMENT_DELETED
+                    flipped += 1
+            self._write_status(table, entries)
+        return flipped
+
+    def delete_segments_by_date(self, table: str, before_ts: float) -> int:
+        """Retention: DELETE FROM CUBE WHERE <date> BEFORE 'ts' — drops whole
+        segments loaded before the cutoff (CarbonDeleteLoadByDateRDD,
+        cubeSchema.scala:2400-2523)."""
+        flipped = 0
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            for e in entries:
+                if e.status == SEGMENT_SUCCESS and e.load_start_ts < before_ts:
+                    e.status = SEGMENT_DELETED
+                    flipped += 1
+            self._write_status(table, entries)
+        return flipped
+
+    def clean_files(self, table: str) -> list[int]:
+        """CLEAN FILES — physically remove deleted/compacted segment dirs
+        (cubeSchema.scala:2457)."""
+        removed = []
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            keep = []
+            for e in entries:
+                if e.status in (SEGMENT_DELETED, SEGMENT_COMPACTED):
+                    shutil.rmtree(self._segment_dir(table, e.segment_id), ignore_errors=True)
+                    removed.append(e.segment_id)
+                else:
+                    keep.append(e)
+            self._write_status(table, keep)
+        return removed
+
+    def compact(self, table: str, partitions: int | None = None) -> int | None:
+        """MERGE CUBE — merge all valid segments into one new sorted segment
+        (CarbonMergerRDD.scala:31-234). Old segments flip to 'Compacted' in
+        the same manifest commit; physical removal is deferred to
+        clean_files, so concurrent readers of the old manifest stay valid.
+        """
+        meta = self._read_schema(table)
+        segs = self.valid_segments(table)
+        if len(segs) <= 1:
+            return None
+        sort_cols = meta["sort_columns"]
+        merged = self.table(table)
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            new_id = max(e.segment_id for e in entries) + 1
+        seg_dir = self._segment_dir(table, new_id)
+        writer = merged
+        n_parts = partitions or max(1, sum(e.rows for e in segs) // 4_000_000)
+        if sort_cols:
+            # global range-sort across the merged data: restores clustering
+            # that interleaved loads destroyed
+            writer = writer.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
+        writer.write.mode("overwrite").parquet(seg_dir)
+        rows = self.spark.read.parquet(seg_dir).count()
+        old_ids = {e.segment_id for e in segs}
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            for e in entries:
+                if e.segment_id in old_ids and e.status == SEGMENT_SUCCESS:
+                    e.status = SEGMENT_COMPACTED
+            entries.append(
+                SegmentEntry(
+                    segment_id=new_id,
+                    status=SEGMENT_SUCCESS,
+                    rows=rows,
+                    load_start_ts=time.time(),
+                    load_end_ts=time.time(),
+                    columns=[f.name for f in T.StructType.fromJson(meta["schema"]).fields],
+                )
+            )
+            self._write_status(table, entries)
+        return new_id
+
+    # -- schema evolution (ALTER CUBE) ------------------------------------
+
+    def alter_add_columns(
+        self, table: str, new_fields: list[T.StructField], defaults: dict[str, Any] | None = None
+    ) -> None:
+        """ALTER CUBE ADD — new columns visible over old segments with the
+        given defaults (CarbonSqlParser.scala:731-776)."""
+        with file_lock(self._schema_path(table)):
+            meta = self._read_schema(table)
+            schema = T.StructType.fromJson(meta["schema"])
+            existing = {f.name for f in schema.fields}
+            for fld in new_fields:
+                if fld.name in existing:
+                    raise ValueError(f"column {fld.name} already exists")
+                schema = schema.add(fld)
+            meta["schema"] = json.loads(schema.json())
+            meta["evolution"].append(
+                {
+                    "ts": time.time(),
+                    "added": [f.name for f in new_fields],
+                    "removed": [],
+                    "defaults": defaults or {},
+                }
+            )
+            self._write_schema(table, meta)
+
+    def alter_drop_columns(self, table: str, names: list[str]) -> None:
+        """ALTER CUBE DROP — columns disappear from reads of all segments."""
+        with file_lock(self._schema_path(table)):
+            meta = self._read_schema(table)
+            schema = T.StructType.fromJson(meta["schema"])
+            missing = set(names) - {f.name for f in schema.fields}
+            if missing:
+                raise ValueError(f"no such columns: {sorted(missing)}")
+            kept = [f for f in schema.fields if f.name not in names]
+            meta["schema"] = json.loads(T.StructType(kept).json())
+            meta["sort_columns"] = [c for c in meta["sort_columns"] if c not in names]
+            meta["evolution"].append(
+                {"ts": time.time(), "added": [], "removed": list(names), "defaults": {}}
+            )
+            self._write_schema(table, meta)
