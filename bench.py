@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully executed (collect) but results are discarded; a warmup
+run of the first query initializes the JVM/session so timings measure the
+engine, not startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from carbondata_spark.queries import registry
+    from carbondata_spark.session import get_spark
+
+    spark = get_spark(app_name="carbondata_spark_bench")
+
+    names = [n for n, q in sorted(registry().items()) if q.headline]
+    reg = registry()
+
+    # warmup: touch every table once so OS page cache + session are hot
+    reg[names[0]].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        reg[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
