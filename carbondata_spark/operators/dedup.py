@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB (the point of each implementation choice):
+
+- Everything is expressed with JVM-side column expressions + shuffles on
+  well-distributed keys (shingle strings, band keys, hash prefixes) —
+  no Python in the hot path, no driver-side collection.
+- Exact dedup is a hash-aggregate on md5(normalized text): one shuffle,
+  map-side combine.
+- N-gram Jaccard builds an inverted index (shingle → docs) and joins it
+  with itself: the classic candidate-pair generation. At scale the
+  ``max_shingle_freq`` cap drops stop-shingles (a shingle in k docs makes
+  k² candidate pairs — frequency capping bounds the blowup; standard
+  practice, and a no-op at test scale when set high).
+- MinHash uses k=8 md5-based hash functions (portable: identical
+  results in any engine with md5), banded 4×2 for LSH bucketing; the
+  LSH join shuffles on (band, band_key), then candidates are verified
+  with true Jaccard. This is the sub-quadratic scale path.
+- SimHash packs a 16-bit signature (portable hex→int arithmetic);
+  near-dup candidates bucket on 4-bit bands and verify Hamming ≤ 3
+  via xor+bit_count.
+
+Reference parity: the reference engine has no dedup operators — these are
+the north-star extensions (BASELINE.json) built on the same DataFrame
+layer its queries delegate to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from carbondata_spark.functions import dround
+
+# ---------------------------------------------------------------------------
+# shared shingling expressions
+# ---------------------------------------------------------------------------
+
+
+def words_col(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per document."""
+    w = words_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.array_distinct(grams).alias("_sh"))
+        .select("doc_id", F.explode("_sh").alias("s"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id row per exact (whitespace-normalized, lowercased)
+    text; single hash-shuffle on the md5 key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    key = F.md5(norm)
+    keep = (
+        df.select(F.col(id_col).alias("doc_id"), key.alias("k"))
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    return df.join(
+        keep.select(F.col("keep_id").alias(id_col)), on=id_col, how="inner"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with n-gram-shingle Jaccard ≥ threshold.
+
+    Plan shape: shingle explode → (optional stop-shingle cap) →
+    self-equi-join on shingle (candidate generation; shuffle keyed on the
+    shingle string, high cardinality → even distribution) → count
+    intersections → join per-doc shingle counts → filter. All JVM-side.
+    """
+    sh = shingles_df(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_ok = sh.groupBy("s").count().filter(F.col("count") <= max_shingle_freq).select("s")
+        sh = sh.join(freq_ok, "s")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    jac = F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", dround(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 8  # 8 hash functions, 4 bands × 2 rows (portable md5-based)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, h0..h7): per-doc minimum of md5('<k>:'||shingle) per seed k.
+
+    One groupBy over the shingle explode computes all k minima map-side —
+    no per-seed pass. md5 hex compares lexicographically == numerically,
+    so min(hex) is a valid minhash.
+    """
+    sh = shingles_df(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")
+        for k in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified with true Jaccard.
+
+    Candidates = pairs agreeing on ≥1 of 4 bands (2 minhashes per band);
+    with k=8, P(candidate) ≈ 1-(1-j²)⁴ — j=0.5 → 68%, j=0.8 → 99%.
+    Verification joins back to the shingle index, so reported pairs carry
+    exact Jaccard and respect the threshold exactly (LSH affects recall
+    only). Scale path: the band-key shuffle replaces the quadratic
+    shingle self-join of ``ngram_jaccard_pairs``.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(",", f"h{2 * bi}", f"h{2 * bi + 1}").alias("bkey"),
+            )
+            for bi in range(MINHASH_K // 2)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sh = shingles_df(df, id_col, text_col, n)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s"))
+    inter = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "s"]).groupBy("id_a", "id_b").agg(
+            F.count("*").alias("inter")
+        )
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    jac = F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", dround(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, portable)
+# ---------------------------------------------------------------------------
+
+
+def _hex4_to_int(hex4: Column) -> Column:
+    """First-4-hex-chars → int, via conv (portable to the oracle's manual
+    position() arithmetic)."""
+    return F.conv(hex4, 16, 10).cast("long")
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash over distinct words.
+
+    Per word: v = int(md5(word)[:4], 16). For each bit j: +1 if set else
+    -1; signature bit j = 1 iff the sum over words > 0. All array
+    expressions — one aggregate, no UDF, no shuffle beyond the final
+    groupBy.
+    """
+    w = F.array_distinct(words_col(text_col))
+    hv = F.transform(w, lambda x: _hex4_to_int(F.substring(F.md5(x), 1, 4)))
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: F.aggregate(
+            hv,
+            F.lit(0),
+            lambda acc, v: acc
+            + F.when(F.floor(v / F.pow(F.lit(2.0), j).cast("long")) % 2 == 1, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda s, j: F.when(s > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidates
+    bucketed on 4-bit bands (pigeonhole: distance ≤3 over 4 bands ⇒ at
+    least one band equal — exact, not probabilistic)."""
+    sig = simhash16(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                (F.floor(F.col("simhash") / F.lit(16**bi)) % 16).alias("bkey"),
+            )
+            for bi in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

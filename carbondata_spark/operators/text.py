@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built from JVM-side ``pyspark.sql.functions``
+expressions (whole-stage codegen; no Python UDFs), so each operator scales
+linearly with the cluster: they are per-row map expressions with no
+shuffle at all.
+
+Operators:
+- ``with_token_stats``  — whitespace + BPE-ish token counts, char counts
+- ``with_quality_score``— heuristic quality from length/punctuation/
+                          stopword ratios (Gopher/C4-style rule scoring)
+- ``with_lang_id``      — marker-word n-gram heuristic language ID
+- ``with_fingerprint``  — md5 content fingerprint of the normalized text
+                          + a polynomial rolling hash over words
+
+Each has a registered query + DuckDB oracle (query_defs/pipeline.py), so
+semantics are pinned by differential testing, not just unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from carbondata_spark.functions import dround
+
+# Marker stopwords per language for the heuristic language ID. Real
+# pipelines use fastText-style models; the heuristic keeps the operator
+# dependency-free and SQL-expressible (the model hook is
+# ``with_lang_id(df, scorer=...)``).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish subword estimate.
+
+    ``n_tokens_ws``  — whitespace-separated tokens;
+    ``n_tokens_bpe`` — alnum runs + individual punctuation marks (GPT-2-ish
+    pre-tokenization), via regexp_extract_all (RE2-safe: no lookarounds,
+    so the expression ports to the DuckDB oracle verbatim).
+    """
+    words = _words(F.col(text_col))
+    bpe_ish = F.regexp_extract_all(F.col(text_col), F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)
+    return (
+        df.withColumn("n_chars_obs", F.length(text_col))
+        .withColumn("n_tokens_ws", F.size(words))
+        .withColumn("n_tokens_bpe", F.size(bpe_ish))
+        .withColumn("avg_word_len", dround(F.length(F.col(text_col)) / F.size(words), 2))
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring (C4/Gopher-style rule mix, SQL-expressible).
+
+    score = 0.4 * length_ok + 0.3 * stopword_ratio_capped + 0.3 * (1 - punct_ratio)
+    """
+    n_chars = F.length(text_col)
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ratio = F.least(F.lit(1.0), n_stop * F.lit(5.0) / n_words)
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("stopword_frac", dround(n_stop / n_words, 4))
+        .withColumn("punct_frac", dround(punct_ratio, 4))
+        .withColumn(
+            "quality_score",
+            dround(0.4 * length_ok + 0.3 * stop_ratio + 0.3 * (1 - punct_ratio), 4),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count per-language marker hits among the
+    first 64 words; argmax wins, ties broken by language code order;
+    no hit at all → 'und' (undetermined)."""
+    words = F.slice(_words(F.lower(F.col(text_col))), 1, 64)
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+        scores.append((lang, score))
+    # argmax via greatest + chained whens (deterministic tie-break: code order)
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, score in reversed(scores):
+        pred = F.when((best > 0) & (score == best), F.lit(lang)).otherwise(pred)
+    out = df
+    for lang, score in scores:
+        out = out.withColumn(f"score_{lang}", score)
+    return out.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting.
+
+    ``fp_md5``  — md5 of whitespace-normalized lowercase text (exact-dup key);
+    ``fp_roll`` — polynomial rolling hash over words: sum(len(word_i) *
+    31^(i mod 8)) mod 2^31, order-sensitive but word-local — cheap shift-
+    tolerant fingerprint, fully expressible in SQL (aggregate over the
+    word array, no UDF).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = _words(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    terms = F.zip_with(words, idx, lambda w, i: F.length(w) * F.pow(F.lit(31.0), i % 4))
+    roll = (
+        F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x).cast("double") % F.lit(2147483647.0)
+    )
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_roll", roll.cast("long"))

@@ -69,5 +69,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def r2(col):
-    """round-to-2 the standard double normalization (see module doc)."""
-    return F.round(col, 2)
+    """round-to-2 — the standard double normalization (see module doc).
+
+    DuckDB-compatible rounding (see functions.dround): F.round would
+    diverge from the oracle on exact .xx5 scaled values.
+    """
+    from carbondata_spark.functions import dround
+
+    return dround(col, 2)

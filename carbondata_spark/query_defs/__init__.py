@@ -5,3 +5,4 @@ Importing this package registers every query into
 """
 
 import carbondata_spark.query_defs.olap  # noqa: F401
+import carbondata_spark.query_defs.pipeline  # noqa: F401

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from carbondata_spark.queries import r2, register, t
 
+from carbondata_spark.functions import dround
+
 # ---------------------------------------------------------------------------
 # Aggregation family (reference: CarbonAggregate / MeasureAggregator,
 # SURVEY §2.4 — rebuilt as groupBy().agg() → HashAggregateExec)
@@ -638,7 +640,7 @@ def q_window_lag(spark, sf_dir):
     return ev.select(
         "user_id",
         "event_id",
-        F.coalesce(F.round(gap, 1), F.lit(-1.0)).alias("gap_s"),
+        F.coalesce(dround(gap, 1), F.lit(-1.0)).alias("gap_s"),
     )
 
 

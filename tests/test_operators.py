@@ -1,0 +1,139 @@
+"""Operator-level tests for the non-SQL-expressible paths: IVF recall vs
+brute force, MinHash-LSH recall vs the exact jaccard join, dedup on
+synthesized duplicates, multimodal plumbing shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from carbondata_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from carbondata_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_dedup_exact_removes_planted_dups(spark, docs):
+    from carbondata_spark.operators.dedup import dedup_exact
+
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dups = docs.unionByName(dup)
+    out = dedup_exact(with_dups)
+    assert out.count() == docs.count()
+    # kept ids are the original (lower) ones
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_dedup_exact_normalization(spark, docs):
+    from carbondata_spark.operators.dedup import dedup_exact
+
+    # whitespace + case variants must collapse too
+    variant = docs.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", r" ", "   ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = dedup_exact(docs.unionByName(variant))
+    assert out.count() == docs.count()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    from carbondata_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    assert lsh <= exact, "LSH must not produce false positives after verification"
+    # P(candidate | j >= 0.8) ≈ 99% with 4 bands × 2 rows; the planted
+    # pairs sit at j ≈ 0.85-0.99, so near-total recall is expected
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_dup_invariance(spark, docs):
+    from carbondata_spark.operators.dedup import simhash16
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    # word-permutation invariance: simhash over distinct words ignores order
+    shuffled = docs.select(
+        "doc_id",
+        F.array_join(F.reverse(F.split(F.trim("text"), r"\s+")), " ").alias("text"),
+    )
+    sig2 = {r["doc_id"]: r["simhash"] for r in simhash16(shuffled).collect()}
+    assert sig == sig2
+    assert all(0 <= v < 65536 for v in sig.values())
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from carbondata_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # random-ish embeddings are a worst case for IVF; nprobe=8/16 must
+    # still recover the bulk of the exact top-10
+    assert mean_recall >= 0.5, f"IVF mean recall@10 {mean_recall}"
+
+
+def test_multimodal_plumbing(spark, docs):
+    from carbondata_spark.operators.multimodal import (
+        decode_media,
+        documents_as_media,
+        resize_media,
+        sample_frames,
+    )
+
+    media = documents_as_media(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    decoded = decode_media(media)
+    assert decoded.count() == docs.count()
+    row = decoded.orderBy("doc_id").first()
+    assert 1 <= row["width"] <= 256 and 1 <= row["height"] <= 256
+    assert len(row["checksum"]) == 32
+
+    resized = resize_media(media, max_dim=64)
+    mx = resized.agg(F.max(F.greatest("width", "height"))).collect()[0][0]
+    assert mx <= 64
+    # aspect-ish preserved: no zero dims
+    assert resized.filter((F.col("width") < 1) | (F.col("height") < 1)).count() == 0
+
+    frames = sample_frames(media, every_n_bytes=100)
+    # 1→N explode: more frames than docs, deterministic count
+    n_frames = frames.count()
+    expected = docs.select(
+        F.sum(F.greatest(F.floor(F.octet_length("text") / 100), F.lit(1)))
+    ).collect()[0][0]
+    assert n_frames == expected
+    # partition-preserving stage: mapInPandas must not force a shuffle
+    assert frames.rdd.getNumPartitions() == media.rdd.getNumPartitions()
+
+
+def test_text_quality_range(spark, docs):
+    from carbondata_spark.operators.text import with_quality_score
+
+    out = with_quality_score(docs)
+    bad = out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count()
+    assert bad == 0

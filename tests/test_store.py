@@ -1,0 +1,131 @@
+"""CarbonStore lifecycle tests — mirrors the reference's segment-management
+test surface (SHOW LOADS / DELETE LOAD / retention / compaction / CLEAN
+FILES / ALTER, SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from carbondata_spark.store import CarbonStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CarbonStore(spark, str(tmp_path / "store"))
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+    ]
+)
+
+
+def make_df(spark, n=100, offset=0):
+    return spark.createDataFrame(
+        [(i + offset, ["shenzhen", "paris", "wuhan"][i % 3], 20 + i % 50) for i in range(n)],
+        SCHEMA,
+    )
+
+
+def test_create_load_query(store, spark):
+    store.create_table("t", SCHEMA, sort_columns=["city"])
+    store.load("t", make_df(spark))
+    store.load("t", make_df(spark, offset=100))
+    assert store.table("t").count() == 200
+    segs = store.show_segments("t")
+    assert [s["segment_id"] for s in segs] == [0, 1]
+    assert all(s["status"] == "Success" for s in segs)
+    # group query over the segment union
+    out = {
+        r["city"]: r["n"]
+        for r in store.table("t").groupBy("city").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(out.values()) == 200
+
+
+def test_create_existing_raises(store, spark):
+    store.create_table("t", SCHEMA)
+    with pytest.raises(ValueError):
+        store.create_table("t", SCHEMA)
+    store.create_table("t", SCHEMA, if_not_exists=True)  # no raise
+
+
+def test_overwrite_mode(store, spark):
+    store.create_table("t", SCHEMA)
+    store.load("t", make_df(spark))
+    store.load("t", make_df(spark, n=7), mode="overwrite")
+    assert store.table("t").count() == 7
+    statuses = [s["status"] for s in store.show_segments("t")]
+    assert statuses == ["Marked for Delete", "Success"]
+
+
+def test_delete_segments_and_clean(store, spark):
+    store.create_table("t", SCHEMA)
+    s0 = store.load("t", make_df(spark))
+    store.load("t", make_df(spark, offset=100))
+    assert store.delete_segments("t", [s0]) == 1
+    assert store.table("t").count() == 100
+    removed = store.clean_files("t")
+    assert removed == [s0]
+    assert store.table("t").count() == 100
+
+
+def test_retention_by_date(store, spark):
+    store.create_table("t", SCHEMA)
+    store.load("t", make_df(spark))
+    cutoff = time.time()
+    store.load("t", make_df(spark, offset=100))
+    assert store.delete_segments_by_date("t", cutoff) == 1
+    assert store.table("t").count() == 100
+
+
+def test_compact(store, spark):
+    store.create_table("t", SCHEMA, sort_columns=["city"])
+    for i in range(3):
+        store.load("t", make_df(spark, offset=i * 100))
+    new_id = store.compact("t")
+    assert new_id == 3
+    assert store.table("t").count() == 300
+    statuses = {s["segment_id"]: s["status"] for s in store.show_segments("t")}
+    assert statuses == {0: "Compacted", 1: "Compacted", 2: "Compacted", 3: "Success"}
+    store.clean_files("t")
+    assert store.table("t").count() == 300
+
+
+def test_schema_evolution(store, spark):
+    store.create_table("t", SCHEMA)
+    store.load("t", make_df(spark))
+    store.alter_add_columns("t", [T.StructField("country", T.StringType())], defaults={"country": "cn"})
+    # old segment shows the default
+    assert store.table("t").filter(F.col("country") == "cn").count() == 100
+    # new load carries real values
+    df2 = make_df(spark, offset=100).withColumn("country", F.lit("fr"))
+    store.load("t", df2)
+    by_country = {
+        r["country"]: r["n"]
+        for r in store.table("t").groupBy("country").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_country == {"cn": 100, "fr": 100}
+    # drop a column: disappears everywhere
+    store.alter_drop_columns("t", ["age"])
+    assert "age" not in store.table("t").columns
+    with pytest.raises(ValueError):
+        store.alter_drop_columns("t", ["nope"])
+
+
+def test_segment_pruning_reads_only_valid_dirs(store, spark):
+    """Deleted segments must not be scanned at all (manifest-level pruning,
+    the rebuild's CarbonInputFormat.getSplits segment filter)."""
+    store.create_table("t", SCHEMA)
+    s0 = store.load("t", make_df(spark))
+    store.load("t", make_df(spark, offset=100))
+    store.delete_segments("t", [s0])
+    plan = store.table("t")._jdf.queryExecution().executedPlan().toString()
+    assert f"Segment_{s0}" not in plan
