@@ -4,5 +4,6 @@ Importing this package registers every query into
 ``carbondata_spark.queries._REGISTRY``.
 """
 
+import carbondata_spark.query_defs.events_q  # noqa: F401
 import carbondata_spark.query_defs.olap  # noqa: F401
 import carbondata_spark.query_defs.pipeline  # noqa: F401

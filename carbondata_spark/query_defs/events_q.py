@@ -1,0 +1,76 @@
+"""Event-stream queries (batch form of the streaming operators).
+
+``windowed_agg`` runs identically on a stream (with watermark) and a
+batch frame; registering the batch form gives the streaming operator a
+DuckDB oracle (time_bucket). Sessionization is the lag-gap-cumsum
+pattern — the batch equivalent of ``session_window``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from carbondata_spark.functions import dround
+from carbondata_spark.queries import register, t
+
+
+@register(
+    "q_stream_window",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="Tumbling 1-hour event-time window aggregation (batch form of the "
+    "streaming windowed_agg; F.window == time_bucket).",
+)
+def q_stream_window(spark, sf_dir):
+    from carbondata_spark.streaming.ingest import windowed_agg
+
+    out = windowed_agg(t(spark, sf_dir, "events"), window="1 hour", group_cols=["event_type"])
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        dround(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE user_id < 200),
+    gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Sessionization: 30-min inactivity gap → session count per user "
+    "(lag + flag-sum; batch equivalent of session_window).",
+)
+def q_sessionize(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Structured Streaming ingestion into the CarbonStore segment protocol.
+
+The reference has no streaming layer (SURVEY.md §2.9) — its
+"near-real-time" story is minute-granularity incremental segment loads
+(README.md:17-18). This module is the green-field Spark-native upgrade
+that preserves that contract: every micro-batch commits exactly one
+segment through the same lock + atomic-manifest path as a batch load, so
+batch readers, retention, and compaction work unchanged on streaming
+tables, and a crashed stream leaves either a committed segment or
+nothing.
+
+At scale: use ``trigger(processingTime=...)`` sized so segments land in
+the parquet-friendly 100 MB–1 GB range, and run ``compact`` periodically
+to fold micro-batch segments (the classic small-files remedy; the
+reference's MERGE serves the same purpose for its minute-loads).
+
+Also provided: event-time windowed aggregation with watermarks — the
+streaming counterpart of the OLAP group-bys (and its batch equivalent for
+oracle checking, since F.window works identically in batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from carbondata_spark.store import CarbonStore
+
+
+def stream_load(
+    store: CarbonStore,
+    table: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """writeStream → one store segment per micro-batch (foreachBatch).
+
+    The foreachBatch epoch id is recorded nowhere because the segment
+    commit itself is idempotent-enough for availableNow replays: a batch
+    that dies before the manifest commit leaves an orphan directory that
+    ``clean_files`` removes (the manifest, not the filesystem, defines
+    table contents).
+    """
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.load(table, batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def windowed_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling/sliding window aggregation with late-data
+    handling; works identically on a stream (with watermark state
+    eviction) and on a batch DataFrame (for the DuckDB oracle check —
+    see q_stream_window in query_defs)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    keys = [win] + [F.col(c) for c in (group_cols or [])]
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )

@@ -1,0 +1,158 @@
+"""Tests: SQL management front-end, CSV load parity, aggregate tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from carbondata_spark.sql import CarbonSession
+from carbondata_spark.store import CarbonStore
+
+
+@pytest.fixture()
+def cs(spark, tmp_path):
+    return CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+
+
+def test_sql_lifecycle(cs, spark):
+    cs.sql("CREATE TABLE emp (id bigint, city string, salary double) SORTED BY (city)")
+    assert cs.sql("SHOW TABLES").collect()[0]["table_name"] == "emp"
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], 100.0 * i) for i in range(10)], "id long, city string, salary double"
+    )
+    cs.store.load("emp", df)
+    cs.store.load("emp", df)
+    segs = cs.sql("SHOW SEGMENTS FOR TABLE emp").collect()
+    assert [s["segment_id"] for s in segs] == [0, 1]
+    out = cs.sql("SELECT city, count(*) AS n FROM emp GROUP BY city ORDER BY city").collect()
+    assert [(r["city"], r["n"]) for r in out] == [("a", 10), ("b", 10)]
+    assert cs.sql("DELETE SEGMENTS 0 FROM TABLE emp").collect()[0]["deleted"] == 1
+    assert cs.sql("SELECT count(*) AS n FROM emp").collect()[0]["n"] == 10
+    cs.sql("ALTER TABLE emp COMPACT")
+    cleaned = cs.sql("CLEAN FILES FOR TABLE emp").collect()
+    assert len(cleaned) >= 1
+    desc = {r["property"]: r["value"] for r in cs.sql("DESCRIBE emp").collect()}
+    assert desc["name"] == "emp"
+    cs.sql("DROP TABLE emp")
+    assert cs.sql("SHOW TABLES").count() == 0
+
+
+def test_sql_create_complex_types(cs):
+    cs.sql("CREATE TABLE c (id int, tags array<string>, amount decimal(10,2))")
+    schema = cs.store.schema("c")
+    assert isinstance(schema["tags"].dataType, T.ArrayType)
+    assert schema["amount"].dataType == T.DecimalType(10, 2)
+
+
+def test_csv_roundtrip_with_complex(spark, tmp_path):
+    from carbondata_spark.sources.csv import read_csv, split_bad_records, with_complex_columns
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id|name|tags|device\n"
+        '1|alice|red$green|mac1:10\n'
+        "2|bob|blue|mac2:20\n"
+        "3|carol,oops,extra,bad,row,x|z|bad\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("tags", T.StringType()),
+            T.StructField("device", T.StringType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema, delimiter="|")
+    good, bad = split_bad_records(df)
+    assert good.count() == 3  # row 3 parses (comma inside field ok with | delim)
+    typed = with_complex_columns(
+        good,
+        {
+            "tags": T.ArrayType(T.StringType()),
+            "device": T.StructType(
+                [T.StructField("mac", T.StringType()), T.StructField("val", T.IntegerType())]
+            ),
+        },
+    )
+    row = typed.filter(F.col("id") == 1).collect()[0]
+    assert row["tags"] == ["red", "green"]
+    assert row["device"]["mac"] == "mac1" and row["device"]["val"] == 10
+
+
+def test_csv_bad_records(spark, tmp_path):
+    from carbondata_spark.sources.csv import read_csv, split_bad_records
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,age\n1,10\n2,notanum\n3,30\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("age", T.IntegerType())]
+    )
+    good, bad = split_bad_records(read_csv(spark, str(p), schema=schema))
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "notanum" in bad.collect()[0]["raw_line"]
+
+
+def test_csv_fileheader_no_header(spark, tmp_path):
+    from carbondata_spark.sources.csv import read_csv
+
+    p = tmp_path / "nohdr.csv"
+    p.write_text("1,x\n2,y\n")
+    df = read_csv(spark, str(p), fileheader=["id", "tag"])
+    assert df.columns == ["id", "tag"]
+    assert df.count() == 2
+
+
+def test_aggregate_table_rewrite_matches_fact(cs, spark):
+    from carbondata_spark.plans import agg_table as at
+
+    store = cs.store
+    cs.sql("CREATE TABLE sales (region string, product string, amount double, qty bigint)")
+    df = spark.createDataFrame(
+        [
+            (["east", "west"][i % 2], f"p{i % 5}", float(i), i % 7)
+            for i in range(1000)
+        ],
+        "region string, product string, amount double, qty long",
+    )
+    store.load("sales", df)
+    at.create_aggregate_table(
+        store, "sales", "by_rp", ["region", "product"],
+        {"amount": ["sum", "min", "max", "count"], "qty": ["sum", "count"]},
+    )
+    assert at.list_aggregate_tables(store, "sales") == ["by_rp"]
+
+    # rollup-answered aggregate must equal fact-computed aggregate
+    rewritten = at.rewrite_aggregate(
+        store, "sales", ["region"], {"amount": ["sum", "avg"], "qty": ["count"]}
+    )
+    direct = (
+        store.table("sales")
+        .groupBy("region")
+        .agg(
+            F.sum("amount").alias("sum_amount"),
+            F.avg("amount").alias("avg_amount"),
+            F.count("qty").alias("count_qty"),
+        )
+    )
+    got = {r["region"]: (r["sum_amount"], r["avg_amount"], r["count_qty"]) for r in rewritten.collect()}
+    want = {r["region"]: (r["sum_amount"], r["avg_amount"], r["count_qty"]) for r in direct.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-6
+
+    # the rewrite must scan the summary table, not the fact table: the
+    # scan schema carries the rollup's sum_/count_ columns, not raw ones
+    plan = rewritten._jdf.queryExecution().executedPlan().toString()
+    assert "sum_amount" in plan and "ReadSchema" in plan
+
+    # incremental load + refresh keeps the rollup consistent
+    store.load("sales", df)
+    at.refresh_aggregate_table(at.AggregateTable(store, "sales", "by_rp"))
+    total = at.rewrite_aggregate(store, "sales", [], {"amount": ["sum"]})
+    assert abs(total.collect()[0]["sum_amount"] - 2 * sum(range(1000))) < 1e-6
+
+    at.drop_aggregate_table(store, "sales", "by_rp")
+    assert at.list_aggregate_tables(store, "sales") == []

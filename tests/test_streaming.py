@@ -1,0 +1,73 @@
+"""Streaming ingestion tests: micro-batches → segments, windowed aggs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbondata_spark.store import CarbonStore
+from carbondata_spark.streaming.ingest import stream_load, windowed_agg
+
+
+def test_stream_load_commits_segments(spark, tmp_path, sf_dir):
+    from carbondata_spark.catalog import load_table
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    sample = load_table(spark, sf_dir, "orders").limit(500)
+    # two source files → at least one micro-batch (availableNow may fuse)
+    sample.filter(F.col("o_orderkey") % 2 == 0).write.parquet(str(src_dir / "f0"))
+    sample.filter(F.col("o_orderkey") % 2 == 1).write.parquet(str(src_dir / "f1"))
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    store.create_table("orders_live", sample.schema, sort_columns=["o_orderdate"])
+
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    q = stream_load(store, "orders_live", stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    segs = store.show_segments("orders_live")
+    assert len(segs) >= 1
+    assert store.table("orders_live").count() == 500
+    # streamed table is a first-class store table: lifecycle ops apply
+    if len(segs) > 1:
+        store.compact("orders_live")
+        assert store.table("orders_live").count() == 500
+
+
+def test_windowed_agg_streaming_matches_batch(spark, tmp_path, sf_dir):
+    from carbondata_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(2000).cache()
+    src = tmp_path / "ev"
+    ev.write.parquet(str(src))
+
+    batch = windowed_agg(ev, window="1 hour", group_cols=["event_type"])
+    batch_rows = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    agg = windowed_agg(stream, window="1 hour", group_cols=["event_type"])
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert batch_rows.keys() == stream_rows.keys()
+    for k, (n_b, s_b) in batch_rows.items():
+        n_s, s_s = stream_rows[k]
+        assert n_b == n_s
+        assert abs(s_b - s_s) < 1e-9
