@@ -25,11 +25,15 @@ def main() -> None:
 
     spark = get_spark(app_name="carbondata_spark_bench")
 
-    names = [n for n, q in sorted(registry().items()) if q.headline]
     reg = registry()
+    names = [n for n, q in sorted(reg.items()) if q.headline]
 
-    # warmup: touch every table once so OS page cache + session are hot
-    reg[names[0]].fn(spark, sf_dir).collect()
+    # warmup pass: JVM/codegen/JIT + OS page cache. The steady-state pass
+    # below measures engine throughput, not first-query JIT (the reference
+    # perf harness does the same: first-run time reported separately from
+    # the avg of later runs, PerfTest.scala:274-287).
+    for name in names:
+        reg[name].fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in names:

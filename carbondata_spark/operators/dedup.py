@@ -48,12 +48,17 @@ def shingles_df(
     n: int = 3,
 ) -> DataFrame:
     """(id, shingle) pairs — distinct word n-grams per document."""
+    from carbondata_spark.functions import ensure_parallelism
+
+    df = ensure_parallelism(df)
     w = words_col(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    # dedup at DataFrame level (hash aggregate, codegen) — array_distinct
+    # inside the row is O(len²) interpreted string comparisons
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.array_distinct(grams).alias("_sh"))
-        .select("doc_id", F.explode("_sh").alias("s"))
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("s"))
+        .distinct()
     )
 
 
@@ -132,17 +137,21 @@ MINHASH_K = 8  # 8 hash functions, 4 bands × 2 rows (portable md5-based)
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, h0..h7): per-doc minimum of md5('<k>:'||shingle) per seed k.
+    """(doc_id, h0..h7): 8 minhash values per doc from 2 md5 calls.
 
-    One groupBy over the shingle explode computes all k minima map-side —
-    no per-seed pass. md5 hex compares lexicographically == numerically,
-    so min(hex) is a valid minhash.
+    Each md5 hex (128 bits) is sliced into four 8-hex-char (32-bit)
+    independent hash values; two salted md5s give the 8 functions with a
+    quarter of the hashing cost. Fixed-width hex compares
+    lexicographically == numerically, so min(substr) is a valid minhash.
+    One groupBy computes all 8 minima map-side.
     """
     sh = shingles_df(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")
-        for k in range(MINHASH_K)
-    ]
+    ha = F.md5(F.concat(F.lit("a:"), F.col("s")))
+    hb = F.md5(F.concat(F.lit("b:"), F.col("s")))
+    aggs = []
+    for k in range(MINHASH_K):
+        src = ha if k < 4 else hb
+        aggs.append(F.min(F.substring(src, 1 + 8 * (k % 4), 8)).alias(f"h{k}"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -223,31 +232,33 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """(doc_id, simhash): 16-bit SimHash over distinct words.
 
     Per word: v = int(md5(word)[:4], 16). For each bit j: +1 if set else
-    -1; signature bit j = 1 iff the sum over words > 0. All array
-    expressions — one aggregate, no UDF, no shuffle beyond the final
-    groupBy.
+    -1; signature bit j = 1 iff the sum over words > 0.
+
+    Shape: explode distinct words → 16 codegen'd CASE sums in ONE hash
+    aggregate → pack bits. (A per-row higher-order-function formulation
+    is ~10× slower: Spark interprets lambda expressions element by
+    element, while exploded CASE aggregates stay in whole-stage codegen.)
     """
-    w = F.array_distinct(words_col(text_col))
-    hv = F.transform(w, lambda x: _hex4_to_int(F.substring(F.md5(x), 1, 4)))
-    bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda j: F.aggregate(
-            hv,
-            F.lit(0),
-            lambda acc, v: acc
-            + F.when(F.floor(v / F.pow(F.lit(2.0), j).cast("long")) % 2 == 1, 1).otherwise(-1),
-        ),
+    from carbondata_spark.functions import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words_col(text_col)).alias("wd"))
+        .distinct()
     )
-    sig = F.aggregate(
-        F.zip_with(
-            bit_sums,
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda s, j: F.when(s > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+    v = _hex4_to_int(F.substring(F.md5("wd"), 1, 4))
+    bit_aggs = [
+        F.sum(F.when(F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{j}"
+        )
+        for j in range(16)
+    ]
+    sums = words.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(

@@ -60,7 +60,11 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    from carbondata_spark.functions import ensure_parallelism
+
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -84,6 +88,9 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold (embedding near-dup)."""
+    from carbondata_spark.functions import ensure_parallelism
+
+    df = ensure_parallelism(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = cosine(F.col("va"), F.col("vb"))
@@ -139,6 +146,9 @@ def train_centroids(
 
 
 def _assign(data: DataFrame, cents: DataFrame) -> DataFrame:
+    from carbondata_spark.functions import ensure_parallelism
+
+    data = ensure_parallelism(data)
     scored = data.join(F.broadcast(cents)).select(
         "vid", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("cos")
     )

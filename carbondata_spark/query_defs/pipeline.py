@@ -87,6 +87,7 @@ def p_text_token_stats(spark, sf_dir):
                + 0.3 * (1 - punct::DOUBLE / greatest(n_chars, 1)), 4) AS quality_score
     FROM s
     """,
+    headline=True,
     doc="Heuristic quality scoring: length window, stopword ratio, punctuation ratio.",
 )
 def p_text_quality(spark, sf_dir):
@@ -175,6 +176,7 @@ def p_text_fingerprint(spark, sf_dir):
       FROM documents
     ) WHERE rn = 1
     """,
+    headline=True,
     doc="Exact dedup (keep lowest doc_id per normalized-text md5 key).",
 )
 def p_dedup_exact(spark, sf_dir):
@@ -208,7 +210,10 @@ def p_dedup_ngram_jaccard(spark, sf_dir):
 
 _MINHASH_MH_CTE = (
     "mh AS (SELECT doc_id, "
-    + ", ".join(f"min(md5('{k}:' || s)) AS h{k}" for k in range(8))
+    + ", ".join(
+        f"min(substr(md5('{'a' if k < 4 else 'b'}:' || s), {1 + 8 * (k % 4)}, 8)) AS h{k}"
+        for k in range(8)
+    )
     + " FROM sh GROUP BY doc_id)"
 )
 
@@ -243,6 +248,7 @@ _MINHASH_BANDS_CTE = (
     JOIN counts cb ON cb.doc_id = id_b
     WHERE inter::DOUBLE / (ca.c + cb.c - inter) >= 0.5
     """,
+    headline=True,
     doc="MinHash(k=8, md5-based) + LSH(4 bands × 2) candidates, exact-Jaccard verified.",
 )
 def p_dedup_minhash_lsh(spark, sf_dir):
@@ -312,6 +318,7 @@ def p_dedup_simhash_pairs(spark, sf_dir):
       FROM scored
     ) WHERE rank <= 10
     """,
+    headline=True,
     doc="Brute-force cosine top-10 for 5 query vectors (exact ANN baseline).",
 )
 def p_sim_topk_bruteforce(spark, sf_dir):
