@@ -6,4 +6,5 @@ Importing this package registers every query into
 
 import carbondata_spark.query_defs.events_q  # noqa: F401
 import carbondata_spark.query_defs.olap  # noqa: F401
+import carbondata_spark.query_defs.olap2  # noqa: F401
 import carbondata_spark.query_defs.pipeline  # noqa: F401
