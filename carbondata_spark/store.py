@@ -48,6 +48,7 @@ from carbondata_spark.lock import file_lock
 SEGMENT_SUCCESS = "Success"
 SEGMENT_DELETED = "Marked for Delete"
 SEGMENT_COMPACTED = "Compacted"
+SEGMENT_IN_PROGRESS = "Load In Progress"
 
 
 class TableNotFoundError(Exception):
@@ -232,9 +233,23 @@ class CarbonStore:
 
         sort_cols = [c for c in meta["sort_columns"] if c in df.columns]
         start = time.time()
+        # Reserve the segment id with an in-progress entry so concurrent
+        # loaders never collide on a directory (the reference's
+        # "Load In Progress" table_status state). Readers ignore it.
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
             seg_id = max((e.segment_id for e in entries), default=-1) + 1
+            entries.append(
+                SegmentEntry(
+                    segment_id=seg_id,
+                    status=SEGMENT_IN_PROGRESS,
+                    rows=0,
+                    load_start_ts=start,
+                    load_end_ts=0.0,
+                    columns=[f.name for f in target.fields],
+                )
+            )
+            self._write_status(table, entries)
         # Write data outside the lock (long-running), commit manifest after.
         seg_dir = self._segment_dir(table, seg_id)
         writer = df
@@ -254,16 +269,11 @@ class CarbonStore:
                 for e in entries:
                     if e.status == SEGMENT_SUCCESS:
                         e.status = SEGMENT_DELETED
-            entries.append(
-                SegmentEntry(
-                    segment_id=seg_id,
-                    status=SEGMENT_SUCCESS,
-                    rows=rows,
-                    load_start_ts=start,
-                    load_end_ts=time.time(),
-                    columns=[f.name for f in target.fields],
-                )
-            )
+            for e in entries:
+                if e.segment_id == seg_id:
+                    e.status = SEGMENT_SUCCESS
+                    e.rows = rows
+                    e.load_end_ts = time.time()
             self._write_status(table, entries)
         return seg_id
 
@@ -359,15 +369,23 @@ class CarbonStore:
             self._write_status(table, entries)
         return flipped
 
-    def clean_files(self, table: str) -> list[int]:
+    def clean_files(self, table: str, stale_in_progress_s: float = 86400.0) -> list[int]:
         """CLEAN FILES — physically remove deleted/compacted segment dirs
-        (cubeSchema.scala:2457)."""
+        (cubeSchema.scala:2457). Also GCs 'Load In Progress' entries older
+        than ``stale_in_progress_s`` (crashed loads — the manifest, not
+        the filesystem, defines table contents, so orphan dirs are safe to
+        drop)."""
         removed = []
+        now = time.time()
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
             keep = []
             for e in entries:
-                if e.status in (SEGMENT_DELETED, SEGMENT_COMPACTED):
+                stale = (
+                    e.status == SEGMENT_IN_PROGRESS
+                    and now - e.load_start_ts > stale_in_progress_s
+                )
+                if e.status in (SEGMENT_DELETED, SEGMENT_COMPACTED) or stale:
                     shutil.rmtree(self._segment_dir(table, e.segment_id), ignore_errors=True)
                     removed.append(e.segment_id)
                 else:
@@ -390,6 +408,17 @@ class CarbonStore:
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
             new_id = max(e.segment_id for e in entries) + 1
+            entries.append(
+                SegmentEntry(
+                    segment_id=new_id,
+                    status=SEGMENT_IN_PROGRESS,
+                    rows=0,
+                    load_start_ts=time.time(),
+                    load_end_ts=0.0,
+                    columns=[f.name for f in T.StructType.fromJson(meta["schema"]).fields],
+                )
+            )
+            self._write_status(table, entries)
         seg_dir = self._segment_dir(table, new_id)
         writer = merged
         n_parts = partitions or max(1, sum(e.rows for e in segs) // 4_000_000)
@@ -405,16 +434,10 @@ class CarbonStore:
             for e in entries:
                 if e.segment_id in old_ids and e.status == SEGMENT_SUCCESS:
                     e.status = SEGMENT_COMPACTED
-            entries.append(
-                SegmentEntry(
-                    segment_id=new_id,
-                    status=SEGMENT_SUCCESS,
-                    rows=rows,
-                    load_start_ts=time.time(),
-                    load_end_ts=time.time(),
-                    columns=[f.name for f in T.StructType.fromJson(meta["schema"]).fields],
-                )
-            )
+                if e.segment_id == new_id:
+                    e.status = SEGMENT_SUCCESS
+                    e.rows = rows
+                    e.load_end_ts = time.time()
             self._write_status(table, entries)
         return new_id
 

@@ -1,0 +1,105 @@
+"""Physical-plan assertions: the plan shapes that matter at 100 TB.
+
+These mirror the reference's pushdown guarantees (SURVEY.md §4): filters
+and projection reach the parquet scan, small dimensions broadcast,
+aggregation is partial+final, top-k avoids a global sort. A correctness-
+passing query with the wrong plan would still fail at scale — these tests
+pin the plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from carbondata_spark.queries import registry
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = registry()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q06_revenue_forecast")
+    assert "PushedFilters" in plan
+    # shipdate range must reach the parquet reader (plan string truncates
+    # long filter lists, so match the prefix)
+    assert "GreaterThanOrEqual(l_shipda" in plan
+
+
+def test_q06_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q06_revenue_forecast")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    # only the 4 referenced columns are read, not all 11
+    schema_line = read[0]
+    assert "l_returnflag" not in schema_line
+    assert "l_extendedprice" in schema_line
+
+
+def test_q05_broadcasts_all_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_q01_partial_final_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_topk_orders")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT n
+
+
+def test_count_star_uses_footer_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_count_star")
+    # count(*) reads ZERO columns — the scan is row-group metadata only
+    # (the V1 parquet reader serves counts from footers; V2
+    # PushedAggregation would print explicitly)
+    assert "ReadSchema: struct<>" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    for name in ["q01_pricing_summary", "q03_shipping_priority", "q_having"]:
+        df = registry()[name].fn(spark, sf_dir)
+        df.collect()  # AQE finalizes the plan on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # '*(n)' prefixes mark whole-stage-codegen spans in the tree form
+        assert "*(" in plan, name
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_semi")
+    assert "LeftSemi" in plan
+
+
+def test_store_load_clusters_on_sort_columns(spark, tmp_path, sf_dir):
+    """Loads must produce parquet row groups clustered on sort columns so
+    min/max stats prune like the reference's blocklet B-tree."""
+    import pyarrow.parquet as pq
+    import glob
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    li = load_table(spark, sf_dir, "lineitem").limit(50000)
+    store.create_table("li", li.schema, sort_columns=["l_shipdate"])
+    store.load("li", li, partitions=8)
+    files = glob.glob(str(tmp_path / "store/li/Fact/Part0/Segment_0/*.parquet"))
+    assert len(files) >= 8
+    # range-partitioned + sorted: per-file [min,max] shipdate windows are
+    # near-disjoint -> a date-range filter prunes most files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        st = md.row_group(0).column(idx["l_shipdate"]).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
+    )
+    assert overlaps <= len(ranges) // 2, f"files not range-clustered: {ranges}"
