@@ -1,9 +1,35 @@
-"""Shared column-expression helpers."""
+"""Shared column-expression helpers and scale utilities."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, replicate the other.
+
+    A hot key that would land one reducer with most of the data is spread
+    over ``n_salts`` buckets: the skewed side gets a random salt column,
+    the small side is exploded across all salt values (n_salts× blowup —
+    keep that side the smaller one), and the join keys become
+    (keys..., salt). AQE's skew-join split handles moderate skew
+    automatically; this is the explicit remedy for pathological keys
+    (or engines/configs without AQE).
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    left = skewed.withColumn("_salt", salt)
+    right = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = left.join(right, on + ["_salt"], how)
+    return out.drop("_salt")
 
 
 def ensure_parallelism(df, min_partitions: int | None = None):

@@ -35,6 +35,7 @@ def read_csv(
     escapechar: str = "\\",
     fileheader: list[str] | None = None,
     multiline: bool = False,
+    timestamp_format: str | None = None,  # carbon.timestamp.format parity
     bad_records_action: str = "capture",  # capture | drop | fail | permissive
 ) -> DataFrame:
     """Read a CSV with the reference's option surface.
@@ -57,6 +58,8 @@ def read_csv(
         .option("multiLine", multiline)
         .option("mode", mode)
     )
+    if timestamp_format is not None:
+        reader = reader.option("timestampFormat", timestamp_format)
     if schema is not None:
         if bad_records_action == "capture" and CORRUPT_COL not in schema.fieldNames():
             schema = schema.add(T.StructField(CORRUPT_COL, T.StringType()))

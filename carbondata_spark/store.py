@@ -146,6 +146,7 @@ class CarbonStore:
         table: str,
         schema: T.StructType,
         sort_columns: list[str] | None = None,
+        partition_columns: list[str] | None = None,
         properties: dict[str, str] | None = None,
         if_not_exists: bool = False,
     ) -> None:
@@ -155,6 +156,11 @@ class CarbonStore:
         timestamp typed), mirroring the reference's dims-are-sorted rule
         (CarbonSqlParser.scala:532-546): data is clustered on them at load
         so parquet row-group stats prune like the blocklet B-tree.
+
+        ``partition_columns`` become hive-style directory partitions inside
+        every segment (the reference's PARTITIONER clause,
+        CarbonSqlParser.scala:983-991) — Catalyst partition pruning then
+        skips whole directories before any footer is read.
         """
         tdir = self._table_dir(table)
         if os.path.exists(self._schema_path(table)):
@@ -168,10 +174,14 @@ class CarbonStore:
                 for f in schema.fields
                 if isinstance(f.dataType, (T.StringType, T.TimestampType))
             ]
+        for pc in partition_columns or []:
+            if pc not in schema.fieldNames():
+                raise ValueError(f"partition column {pc} not in schema")
         meta = {
             "name": table,
             "schema": json.loads(schema.json()),
             "sort_columns": sort_columns,
+            "partition_columns": partition_columns or [],
             "properties": properties or {},
             "evolution": [],  # SchemaEvolutionEntry log (schema.thrift:220-233)
             "created_ts": time.time(),
@@ -232,6 +242,8 @@ class CarbonStore:
         df = self._conform(df, target)
 
         sort_cols = [c for c in meta["sort_columns"] if c in df.columns]
+        part_cols = meta.get("partition_columns", [])
+        sort_cols = [c for c in sort_cols if c not in part_cols]
         start = time.time()
         # Reserve the segment id with an in-progress entry so concurrent
         # loaders never collide on a directory (the reference's
@@ -260,7 +272,10 @@ class CarbonStore:
                 writer = writer.repartition(partitions)
         if sort_cols:
             writer = writer.sortWithinPartitions(*sort_cols)
-        writer.write.mode("overwrite").parquet(seg_dir)
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(seg_dir)
         rows = self.spark.read.parquet(seg_dir).count()  # footer-only count
 
         with file_lock(self._status_path(table)):
@@ -316,10 +331,20 @@ class CarbonStore:
             key = tuple(e.columns or current_cols)
             groups.setdefault(key, []).append(e.segment_id)
 
+        part_cols = meta.get("partition_columns", [])
         parts: list[DataFrame] = []
         for cols, seg_ids in groups.items():
             paths = [self._segment_dir(table, sid) for sid in seg_ids]
-            raw = self.spark.read.parquet(*paths)
+            if part_cols:
+                # hive-style partition discovery is rooted per segment dir:
+                # read each segment separately and union (filters still
+                # push into every scan, so pruning is unaffected)
+                raws = [self.spark.read.parquet(p) for p in paths]
+                raw = raws[0]
+                for r in raws[1:]:
+                    raw = raw.unionByName(r)
+            else:
+                raw = self.spark.read.parquet(*paths)
             sel = []
             for fld in target.fields:
                 if fld.name in raw.columns:
@@ -420,13 +445,18 @@ class CarbonStore:
             )
             self._write_status(table, entries)
         seg_dir = self._segment_dir(table, new_id)
+        part_cols = meta.get("partition_columns", [])
+        sort_cols = [c for c in sort_cols if c not in part_cols]
         writer = merged
         n_parts = partitions or max(1, sum(e.rows for e in segs) // 4_000_000)
         if sort_cols:
             # global range-sort across the merged data: restores clustering
             # that interleaved loads destroyed
             writer = writer.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
-        writer.write.mode("overwrite").parquet(seg_dir)
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(seg_dir)
         rows = self.spark.read.parquet(seg_dir).count()
         old_ids = {e.segment_id for e in segs}
         with file_lock(self._status_path(table)):
