@@ -113,6 +113,22 @@ class CarbonSession:
             n = self.store.delete_segments_by_date(m.group(1), ts)
             return self._rows([{"deleted": n}], "deleted long")
 
+        m = re.fullmatch(r"show aggregate tables for table (\w+)", low)
+        if m:
+            from carbondata_spark.plans.agg_table import list_aggregate_tables
+
+            return self._rows(
+                [{"aggregate_table": n} for n in list_aggregate_tables(self.store, m.group(1))],
+                "aggregate_table string",
+            )
+
+        m = re.fullmatch(r"drop aggregate table (\w+) on table (\w+)", low)
+        if m:
+            from carbondata_spark.plans.agg_table import drop_aggregate_table
+
+            drop_aggregate_table(self.store, m.group(2), m.group(1))
+            return self._rows([{"dropped": m.group(1)}], "dropped string")
+
         m = re.fullmatch(r"clean files for table (\w+)", low)
         if m:
             removed = self.store.clean_files(m.group(1))

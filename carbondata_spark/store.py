@@ -168,11 +168,19 @@ class CarbonStore:
                 return
             raise ValueError(f"table {table} already exists")
         os.makedirs(tdir, exist_ok=True)
+        properties = properties or {}
+        schema = self.apply_reference_coercions(schema, properties)
         if sort_columns is None:
+            # dims are sorted by default; DICTIONARY_INCLUDE promotes
+            # numeric columns to dimensions (CarbonSqlParser.scala:541-546)
+            dict_include = [
+                c.strip() for c in properties.get("dictionary_include", "").split(",") if c.strip()
+            ]
             sort_columns = [
                 f.name
                 for f in schema.fields
                 if isinstance(f.dataType, (T.StringType, T.TimestampType))
+                or f.name in dict_include
             ]
         for pc in partition_columns or []:
             if pc not in schema.fieldNames():
@@ -302,6 +310,33 @@ class CarbonStore:
             else:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
         return df.select(*cols)
+
+    @staticmethod
+    def apply_reference_coercions(schema: T.StructType, properties: dict[str, str]) -> T.StructType:
+        """Optional reference semantic quirk: integer MEASURES surface as
+        double (`CarbonDatasourceRelation.scala:194-208`, the
+        `case "int" => "double"` coercion). Off by default — modern Spark
+        users expect exact integer types — but available for drop-in
+        parity via table property ``int_measures_as_double=true``.
+        Measures = numeric columns not listed in ``dictionary_include``
+        (CarbonSqlParser.scala:541-546).
+        """
+        if properties.get("int_measures_as_double", "false").lower() != "true":
+            return schema
+        dims = {
+            c.strip()
+            for c in properties.get("dictionary_include", "").split(",")
+            if c.strip()
+        }
+        fields = []
+        for fld in schema.fields:
+            if fld.name not in dims and isinstance(
+                fld.dataType, (T.IntegerType, T.LongType, T.ShortType)
+            ):
+                fields.append(T.StructField(fld.name, T.DoubleType(), fld.nullable))
+            else:
+                fields.append(fld)
+        return T.StructType(fields)
 
     # -- read -------------------------------------------------------------
 
