@@ -61,6 +61,37 @@ def stream_load(
     return writer.start()
 
 
+def running_user_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals across
+    micro-batches via applyInPandasWithState (the Spark-native custom-
+    stateful-operator hook; reference has no streaming, SURVEY §2.9 —
+    green-field design).
+
+    State: (n_events, sum_value) per user_id, carried across batches.
+    Emits one updated row per user per batch. State is partitioned by
+    user_id — the shuffle key — so at scale state shards across
+    executors and each batch touches only the groups it contains.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def windowed_agg(
     events: DataFrame,
     ts_col: str = "ts",

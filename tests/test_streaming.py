@@ -71,3 +71,50 @@ def test_windowed_agg_streaming_matches_batch(spark, tmp_path, sf_dir):
         n_s, s_s = stream_rows[k]
         assert n_b == n_s
         assert abs(s_b - s_s) < 1e-9
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path, sf_dir):
+    """applyInPandasWithState must carry state across micro-batches: with
+    one file per trigger, the final per-user totals equal the batch
+    aggregate over all files."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.streaming.ingest import running_user_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20).cache()
+    src = tmp_path / "ev_state"
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(str(src / "f0"))
+    half2.write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted row per user = final running total
+    final = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM state_out) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == want
