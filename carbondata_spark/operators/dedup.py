@@ -145,7 +145,10 @@ def minhash_signatures(
     lexicographically == numerically, so min(substr) is a valid minhash.
     One groupBy computes all 8 minima map-side.
     """
-    sh = shingles_df(df, id_col, text_col, n)
+    return _minhash_from_shingles(shingles_df(df, id_col, text_col, n))
+
+
+def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
     ha = F.md5(F.concat(F.lit("a:"), F.col("s")))
     hb = F.md5(F.concat(F.lit("b:"), F.col("s")))
     aggs = []
@@ -171,7 +174,15 @@ def minhash_lsh_pairs(
     only). Scale path: the band-key shuffle replaces the quadratic
     shingle self-join of ``ngram_jaccard_pairs``.
     """
-    sig = minhash_signatures(df, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    # The shingle index feeds signature generation AND candidate
+    # verification — persist it so the explode/distinct runs once, not
+    # three times (~6x wall-clock at bench scale). At 100 TB, materialize
+    # the shingle index as a store table instead (same lifecycle as the
+    # IVF assignment table).
+    sh = shingles_df(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _minhash_from_shingles(sh)
     bands = F.array(
         *[
             F.struct(
@@ -196,8 +207,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard
-    sh = shingles_df(df, id_col, text_col, n)
+    # verify candidates with exact jaccard over the SAME persisted index
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s"))

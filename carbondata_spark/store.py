@@ -232,6 +232,7 @@ class CarbonStore:
         df: DataFrame,
         mode: str = "append",
         partitions: int | None = None,
+        refresh_aggregates: bool = True,
     ) -> int:
         """One incremental load → one new segment (LoadCube,
         cubeSchema.scala:1792-1968).
@@ -244,6 +245,10 @@ class CarbonStore:
 
         ``mode='overwrite'`` marks all prior segments deleted in the same
         manifest commit that registers the new one.
+
+        ``refresh_aggregates`` reloads this table's aggregate (rollup)
+        tables after the commit, mirroring the reference's per-load agg
+        reload (CarbonDataLoadRDD.scala:306-345).
         """
         meta = self._read_schema(table)
         target = T.StructType.fromJson(meta["schema"])
@@ -298,6 +303,16 @@ class CarbonStore:
                     e.rows = rows
                     e.load_end_ts = time.time()
             self._write_status(table, entries)
+
+        if refresh_aggregates:
+            from carbondata_spark.plans.agg_table import (
+                AggregateTable,
+                list_aggregate_tables,
+                refresh_aggregate_table,
+            )
+
+            for name in list_aggregate_tables(self, table):
+                refresh_aggregate_table(AggregateTable(self, table, name))
         return seg_id
 
     def _conform(self, df: DataFrame, target: T.StructType) -> DataFrame:
