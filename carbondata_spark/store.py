@@ -358,8 +358,9 @@ class CarbonStore:
     def valid_segments(self, table: str) -> list[SegmentEntry]:
         return [e for e in self._read_status(table) if e.status == SEGMENT_SUCCESS]
 
-    def table(self, table: str) -> DataFrame:
-        """DataFrame = union of valid segments, aligned to current schema.
+    def table(self, table: str, segment_ids: list[int] | None = None) -> DataFrame:
+        """DataFrame = union of valid segments (optionally a subset),
+        aligned to current schema.
 
         Segments written before an ALTER carry their own column list; they
         are aligned by name with defaults filled (RestructureUtil.java:128
@@ -372,6 +373,8 @@ class CarbonStore:
         for ev in meta["evolution"]:
             defaults.update(ev.get("defaults", {}))
         segs = self.valid_segments(table)
+        if segment_ids is not None:
+            segs = [e for e in segs if e.segment_id in segment_ids]
         if not segs:
             return self.spark.createDataFrame([], target)
 
@@ -468,18 +471,43 @@ class CarbonStore:
             self._write_status(table, keep)
         return removed
 
-    def compact(self, table: str, partitions: int | None = None) -> int | None:
-        """MERGE CUBE — merge all valid segments into one new sorted segment
-        (CarbonMergerRDD.scala:31-234). Old segments flip to 'Compacted' in
-        the same manifest commit; physical removal is deferred to
-        clean_files, so concurrent readers of the old manifest stay valid.
+    def auto_compact(
+        self,
+        table: str,
+        minor_threshold: int = 4,
+        major_size_rows: int = 10_000_000,
+    ) -> int | None:
+        """Compaction policy (reference minor/major merge semantics):
+        compact when ≥ ``minor_threshold`` small valid segments exist
+        ('minor'); segments already larger than ``major_size_rows`` are
+        left alone — they are re-merged only by an explicit ``compact``
+        ('major'). Call after streaming ingest or frequent small loads.
+        """
+        segs = [e for e in self.valid_segments(table) if e.rows < major_size_rows]
+        if len(segs) < minor_threshold:
+            return None
+        return self.compact(table, segment_ids=[e.segment_id for e in segs])
+
+    def compact(
+        self,
+        table: str,
+        partitions: int | None = None,
+        segment_ids: list[int] | None = None,
+    ) -> int | None:
+        """MERGE CUBE — merge valid segments (all, or the given subset)
+        into one new sorted segment (CarbonMergerRDD.scala:31-234). Old
+        segments flip to 'Compacted' in the same manifest commit; physical
+        removal is deferred to clean_files, so concurrent readers of the
+        old manifest stay valid.
         """
         meta = self._read_schema(table)
         segs = self.valid_segments(table)
+        if segment_ids is not None:
+            segs = [e for e in segs if e.segment_id in segment_ids]
         if len(segs) <= 1:
             return None
         sort_cols = meta["sort_columns"]
-        merged = self.table(table)
+        merged = self.table(table, segment_ids=[e.segment_id for e in segs])
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
             new_id = max(e.segment_id for e in entries) + 1

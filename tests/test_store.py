@@ -129,3 +129,22 @@ def test_segment_pruning_reads_only_valid_dirs(store, spark):
     store.delete_segments("t", [s0])
     plan = store.table("t")._jdf.queryExecution().executedPlan().toString()
     assert f"Segment_{s0}" not in plan
+
+
+def test_auto_compact_minor_policy(store, spark):
+    """auto_compact merges only when enough small segments accumulate, and
+    leaves big segments alone (minor/major distinction)."""
+    store.create_table("t", SCHEMA, sort_columns=["city"])
+    for i in range(3):
+        store.load("t", make_df(spark, offset=i * 100))
+    assert store.auto_compact("t", minor_threshold=4) is None  # below threshold
+    store.load("t", make_df(spark, offset=300))
+    # one "big" segment that must NOT be merged
+    big_id = store.load("t", make_df(spark, n=500, offset=1000))
+    new_id = store.auto_compact("t", minor_threshold=4, major_size_rows=300)
+    assert new_id is not None
+    statuses = {e["segment_id"]: e["status"] for e in store.show_segments("t")}
+    assert statuses[big_id] == "Success"          # untouched major segment
+    assert statuses[new_id] == "Success"          # merged minor segments
+    assert sum(1 for s in statuses.values() if s == "Compacted") == 4
+    assert store.table("t").count() == 900
