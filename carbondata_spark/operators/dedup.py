@@ -228,6 +228,73 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup groups (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, group_id): transitive closure of near-dup pairs.
+
+    Near-dup similarity is not transitive (A~B, B~C does not imply A~C),
+    but dedup policy usually is: a chain of near-dups is one content
+    cluster, keep one representative. This computes connected components
+    by iterative min-label propagation over the (small) pair graph:
+    label(v) ← min(label(v), min over neighbors(label(u))), iterate to
+    fixpoint. group_id = min doc_id of the component.
+
+    Scale notes: iterations are groupBy-shuffles keyed on doc_id; the
+    edge set is the LSH output (orders of magnitude smaller than the
+    corpus), and each iteration halves the longest chain (min-label
+    gossip), so convergence is ~log(diameter) rounds. The per-iteration
+    convergence check is one count() on the changed-label frame.
+    """
+    nodes = docs.select(F.col(id_col).alias("v")).distinct()
+    edges = (
+        pairs.select(F.col("id_a").alias("v"), F.col("id_b").alias("u"))
+        .union(pairs.select(F.col("id_b").alias("v"), F.col("id_a").alias("u")))
+        .distinct()
+    )
+    labels = nodes.select("v", F.col("v").alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.u == labels.v)
+            .groupBy(edges.v.alias("nv"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == F.col("nv"), "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+        ).cache()
+        changed = new_labels.filter(F.col("new_label") != F.col("old_label")).count()
+        labels = new_labels.select("v", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("group_id"))
+
+
+def dedup_near(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (lowest id) per near-dup group."""
+    groups = near_dup_groups(docs, pairs, id_col)
+    keep = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
+    return docs.join(keep, id_col, "inner")
+
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit, portable)
 # ---------------------------------------------------------------------------
 

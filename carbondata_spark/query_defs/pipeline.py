@@ -257,6 +257,47 @@ def p_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "p_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_MINHASH_MH_CTE},
+    {_MINHASH_BANDS_CTE},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+              GROUP BY 1, 2),
+    p AS (SELECT id_a, id_b FROM inter
+          JOIN counts ca ON ca.doc_id = id_a
+          JOIN counts cb ON cb.doc_id = id_b
+          WHERE inter::DOUBLE / (ca.c + cb.c - inter) >= 0.5),
+    e AS (SELECT id_a AS v, id_b AS u FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT v, u FROM e
+      UNION
+      SELECT r.v, e.u FROM reach r JOIN e ON r.u = e.v
+    )
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(r.u), d.doc_id)) AS BIGINT) AS group_id
+    FROM documents d LEFT JOIN reach r ON r.v = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="Near-dup GROUPS: MinHash-LSH pairs closed transitively into "
+    "components (iterative min-label propagation; oracle = recursive CTE "
+    "reachability), group_id = min doc_id of the cluster.",
+)
+def p_dedup_groups(spark, sf_dir):
+    from carbondata_spark.operators.dedup import minhash_lsh_pairs, near_dup_groups
+
+    docs = t(spark, sf_dir, "documents")
+    return near_dup_groups(docs, minhash_lsh_pairs(docs, threshold=0.5))
+
+
 _SIMHASH_SIG_CTE = f"""
 dwords AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS wd
            FROM documents),

@@ -137,3 +137,35 @@ def test_text_quality_range(spark, docs):
     out = with_quality_score(docs)
     bad = out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count()
     assert bad == 0
+
+
+def test_near_dup_groups_transitive_closure(spark, docs):
+    from carbondata_spark.operators.dedup import dedup_near, near_dup_groups
+
+    # synthetic chain: 1~2, 2~3 and isolated pair 10~11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    groups = {r["doc_id"]: r["group_id"] for r in near_dup_groups(docs, pairs).collect()}
+    assert groups[1] == groups[2] == groups[3] == 1  # chain collapses transitively
+    assert groups[10] == groups[11] == 10
+    assert groups[5] == 5  # untouched nodes are their own group
+
+    kept = dedup_near(docs, pairs)
+    n = docs.count()
+    assert kept.count() == n - 3  # drop 2, 3, 11
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert {2, 3, 11}.isdisjoint(kept_ids) and {1, 10}.issubset(kept_ids)
+
+
+def test_near_dup_groups_on_real_lsh_pairs(spark, docs):
+    from carbondata_spark.operators.dedup import minhash_lsh_pairs, near_dup_groups
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    groups = near_dup_groups(docs, pairs)
+    # every pair must land in one group
+    joined = (
+        pairs.join(groups.withColumnRenamed("doc_id", "id_a").withColumnRenamed("group_id", "ga"), "id_a")
+        .join(groups.withColumnRenamed("doc_id", "id_b").withColumnRenamed("group_id", "gb"), "id_b")
+    )
+    assert joined.filter("ga != gb").count() == 0
