@@ -107,6 +107,42 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf * ln(N/df), natural log, rank ties broken by term).
+
+    Plan: word explode → (doc, word) tf aggregate → word df aggregate →
+    broadcast of scalar N → join on word → per-doc window top-k. Both
+    shuffles key on high-cardinality values (doc×word, word); nothing is
+    collected to the driver, so the operator scales with the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from carbondata_spark.functions import dround, ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = df.count()
+    scored = tf.join(dfreq, "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        dround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting.
 

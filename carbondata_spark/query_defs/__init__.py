@@ -7,5 +7,6 @@ Importing this package registers every query into
 import carbondata_spark.query_defs.events_q  # noqa: F401
 import carbondata_spark.query_defs.olap  # noqa: F401
 import carbondata_spark.query_defs.olap2  # noqa: F401
+import carbondata_spark.query_defs.olap3  # noqa: F401
 import carbondata_spark.query_defs.pipeline  # noqa: F401
 import carbondata_spark.query_defs.scalars  # noqa: F401

@@ -155,16 +155,25 @@ class CarbonSession:
             return self._rows([{"dropped": m.group(1)}], "dropped string")
 
         m = re.fullmatch(
-            r"create table (\w+) \((.+?)\)(?: sorted by \(([\w\s,]+)\))?", low
+            r"create table (\w+) \((.+?)\)"
+            r"(?: sorted by \(([\w\s,]+)\))?"
+            r"(?: partitioned by \(([\w\s,]+)\))?",
+            low,
         )
         if m:
-            name, cols_s, sort_s = m.group(1), m.group(2), m.group(3)
+            name, cols_s, sort_s, part_s = m.group(1), m.group(2), m.group(3), m.group(4)
             fields = []
             for part in _split_cols(cols_s):
                 cname, ctype = part.strip().split(None, 1)
                 fields.append(T.StructField(cname, _parse_type(ctype)))
             sort_cols = [c.strip() for c in sort_s.split(",")] if sort_s else None
-            self.store.create_table(name, T.StructType(fields), sort_columns=sort_cols)
+            part_cols = [c.strip() for c in part_s.split(",")] if part_s else None
+            self.store.create_table(
+                name,
+                T.StructType(fields),
+                sort_columns=sort_cols,
+                partition_columns=part_cols,
+            )
             return self._rows([{"created": name}], "created string")
 
         # passthrough: register store tables as views, run Spark SQL

@@ -156,3 +156,19 @@ def test_aggregate_table_rewrite_matches_fact(cs, spark):
 
     at.drop_aggregate_table(store, "sales", "by_rp")
     assert at.list_aggregate_tables(store, "sales") == []
+
+
+def test_sql_create_partitioned(cs, spark):
+    cs.sql(
+        "CREATE TABLE pt (id bigint, seg string, v double) "
+        "SORTED BY (seg) PARTITIONED BY (seg)"
+    )
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(20)], "id long, seg string, v double"
+    )
+    cs.store.load("pt", df)
+    import glob, os
+
+    seg0 = os.path.join(cs.store._segment_dir("pt", 0))
+    assert sorted(p.rsplit("=", 1)[1] for p in glob.glob(seg0 + "/seg=*")) == ["a", "b"]
+    assert cs.sql("SELECT count(*) AS n FROM pt WHERE seg = 'a'").collect()[0]["n"] == 10
