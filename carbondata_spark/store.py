@@ -63,6 +63,11 @@ class SegmentEntry:
     load_start_ts: float
     load_end_ts: float
     columns: list[str] = field(default_factory=list)
+    # per-sort-column {col: [min, max]} (JSON-encoded values) — the
+    # manifest-level zone map used for segment pruning (the rebuild of the
+    # reference's driver-side B-tree block pruning,
+    # CarbonInputFormat.java:177-201)
+    stats: dict[str, list] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -72,6 +77,7 @@ class SegmentEntry:
             "load_start_ts": self.load_start_ts,
             "load_end_ts": self.load_end_ts,
             "columns": self.columns,
+            "stats": self.stats,
         }
 
     @staticmethod
@@ -83,6 +89,7 @@ class SegmentEntry:
             load_start_ts=d["load_start_ts"],
             load_end_ts=d["load_end_ts"],
             columns=d.get("columns", []),
+            stats=d.get("stats", {}),
         )
 
 
@@ -290,6 +297,7 @@ class CarbonStore:
             w = w.partitionBy(*part_cols)
         w.parquet(seg_dir)
         rows = self.spark.read.parquet(seg_dir).count()  # footer-only count
+        stats = self._collect_segment_stats(seg_dir, sort_cols)
 
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
@@ -302,6 +310,7 @@ class CarbonStore:
                     e.status = SEGMENT_SUCCESS
                     e.rows = rows
                     e.load_end_ts = time.time()
+                    e.stats = stats
             self._write_status(table, entries)
 
         if refresh_aggregates:
@@ -314,6 +323,96 @@ class CarbonStore:
             for name in list_aggregate_tables(self, table):
                 refresh_aggregate_table(AggregateTable(self, table, name))
         return seg_id
+
+    def _collect_segment_stats(self, seg_dir: str, cols: list[str]) -> dict[str, list]:
+        """Per-segment [min, max] for the sort columns, from parquet row-
+        group footers (metadata only, no data read) — the manifest zone map
+        that lets ``scan`` prune whole segments the way the reference's
+        driver B-tree prunes blocks (CarbonInputFormat.java:177-201).
+
+        Timestamps/dates normalize to '%Y-%m-%d %H:%M:%S'-style strings so
+        bound comparisons are plain lexicographic; numbers stay numeric.
+        JSON-unfriendly or statless columns are skipped (never pruned on).
+        """
+        import datetime
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        if not cols:
+            return {}
+
+        def norm(v):
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.strftime("%Y-%m-%d %H:%M:%S")
+            if isinstance(v, bytes):
+                v = v.decode("utf-8", "replace")
+            if isinstance(v, (int, float, str)):
+                return v
+            return None
+
+        acc: dict[str, list] = {}
+        unknown: set[str] = set()
+        for f in _glob.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in cols:
+                if c not in idx or c in unknown:
+                    continue
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    mn = norm(st.min) if st is not None and st.has_min_max else None
+                    mx = norm(st.max) if st is not None and st.has_min_max else None
+                    if mn is None or mx is None:
+                        unknown.add(c)  # never prune on a col with gaps
+                        break
+                    if c not in acc:
+                        acc[c] = [mn, mx]
+                    else:
+                        acc[c] = [min(acc[c][0], mn), max(acc[c][1], mx)]
+        return {c: v for c, v in acc.items() if c not in unknown}
+
+    def scan(
+        self,
+        table: str,
+        column: str | None = None,
+        ge: Any = None,
+        le: Any = None,
+    ) -> DataFrame:
+        """Segment-pruned scan: skip whole segments whose manifest
+        [min,max] for ``column`` cannot intersect [ge, le], then apply the
+        residual filter. Equivalent results to ``table().filter(...)``;
+        at scale the pruned segments are never even listed.
+        """
+        if column is None:
+            return self.table(table)
+
+        def norm_bound(v):
+            import datetime
+
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.strftime("%Y-%m-%d %H:%M:%S")
+            return v
+
+        ge_n, le_n = norm_bound(ge), norm_bound(le)
+        keep: list[int] = []
+        for e in self.valid_segments(table):
+            rng = e.stats.get(column)
+            if rng is None:
+                keep.append(e.segment_id)  # unknown stats: cannot prune
+                continue
+            mn, mx = rng
+            if ge_n is not None and mx < ge_n:
+                continue
+            if le_n is not None and mn > le_n:
+                continue
+            keep.append(e.segment_id)
+        df = self.table(table, segment_ids=keep)
+        if ge is not None:
+            df = df.filter(F.col(column) >= F.lit(ge))
+        if le is not None:
+            df = df.filter(F.col(column) <= F.lit(le))
+        return df
 
     def _conform(self, df: DataFrame, target: T.StructType) -> DataFrame:
         """Project/cast a DataFrame to the table schema (load-side of the

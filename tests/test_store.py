@@ -148,3 +148,29 @@ def test_auto_compact_minor_policy(store, spark):
     assert statuses[new_id] == "Success"          # merged minor segments
     assert sum(1 for s in statuses.values() if s == "Compacted") == 4
     assert store.table("t").count() == 900
+
+
+def test_scan_prunes_segments_by_manifest_stats(store, spark, sf_dir):
+    """Segments with disjoint sort-key ranges: a bounded scan must read
+    only matching segment dirs (manifest zone-map pruning)."""
+    from carbondata_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    store.create_table("o", orders.schema, sort_columns=["o_orderdate"])
+    store.load("o", orders.filter(F.col("o_orderdate") < "1998-01-01"))
+    store.load("o", orders.filter(F.col("o_orderdate") >= "1998-01-01"))
+
+    segs = {e["segment_id"]: e["stats"] for e in store.show_segments("o")}
+    assert "o_orderdate" in segs[0] and "o_orderdate" in segs[1]
+    assert segs[0]["o_orderdate"][1] < "1998-01-01"
+
+    pruned = store.scan("o", "o_orderdate", ge="1999-06-01")
+    files = pruned.inputFiles()
+    assert files and all("Segment_1" in f for f in files)
+
+    # result equivalence with the unpruned filter
+    full = store.table("o").filter(F.col("o_orderdate") >= "1999-06-01")
+    assert pruned.count() == full.count() > 0
+
+    # unknown column / no bounds: everything still readable
+    assert store.scan("o").count() == orders.count()
