@@ -11,7 +11,15 @@ bit-equality is not achievable — see carbondata_spark/queries.py).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Self-locating import: the driver may exec this file from any cwd
+# without the repo on sys.path.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession
 
