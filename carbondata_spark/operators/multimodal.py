@@ -98,6 +98,40 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+FEATURE_DIM = 16
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """STUB feature extractor: binary payload → unit-norm float vector
+    (a real build would run a vision/audio encoder per Arrow batch; the
+    fake derives a deterministic vector from the md5 digest bytes).
+
+    Output (doc_id, embedding array<float>) plugs directly into the
+    similarity operators (cosine_topk / ivf_index) — the multimodal →
+    embedding → ANN pipeline with real Spark plumbing end-to-end.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import math as _math
+
+        def embed(content: bytes) -> list[float]:
+            raw = _hashlib.md5(content).digest()
+            vals = [raw[i % 16] / 255.0 - 0.5 for i in range(dim)]
+            norm = _math.sqrt(sum(v * v for v in vals)) or 1.0
+            return [v / norm for v in vals]
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "embedding": [embed(c) for c in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(batches, schema="doc_id long, embedding array<float>")
+
+
 def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
     """STUB resize: rescales the fake (width, height) preserving aspect
     ratio; a real build would transform pixel buffers. Demonstrates a

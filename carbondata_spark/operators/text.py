@@ -128,7 +128,9 @@ def tfidf_top_terms(
         F.explode(_words(F.lower(F.col(text_col)))).alias("w"),
     )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # vocabulary is orders of magnitude smaller than the corpus —
+    # broadcast the df side instead of shuffling tf on the word key
+    dfreq = F.broadcast(words.groupBy("w").agg(F.countDistinct("doc_id").alias("df")))
     n_docs = df.count()
     scored = tf.join(dfreq, "w").select(
         "doc_id",

@@ -58,6 +58,7 @@ def q_stream_window(spark, sf_dir):
            count(*) AS n_events
     FROM gaps GROUP BY user_id
     """,
+    headline=True,
     doc="Sessionization: 30-min inactivity gap → session count per user "
     "(lag + flag-sum; batch equivalent of session_window).",
 )

@@ -519,6 +519,7 @@ def q_topk_orders(spark, sf_dir):
       FROM customer
     ) WHERE rn <= 3
     """,
+    headline=True,
     doc="Top-k per group via window row_number (reference legacy TopCount, "
     "TopCount.java — rebuilt as Window).",
 )

@@ -157,6 +157,7 @@ def q_custom_agg_mad(spark, sf_dir):
       FROM scored
     ) WHERE rk <= 3
     """,
+    headline=True,
     doc="TF-IDF top-3 terms per document (tf * ln(N/df); shuffle keys: "
     "(doc,word) then word — both high-cardinality).",
 )

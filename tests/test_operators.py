@@ -169,3 +169,29 @@ def test_near_dup_groups_on_real_lsh_pairs(spark, docs):
         .join(groups.withColumnRenamed("doc_id", "id_b").withColumnRenamed("group_id", "gb"), "id_b")
     )
     assert joined.filter("ga != gb").count() == 0
+
+
+def test_multimodal_to_similarity_pipeline(spark, docs):
+    """End-to-end multimodal pipeline: binary media -> feature extraction
+    (mapInPandas) -> cosine top-k over the derived embeddings."""
+    from carbondata_spark.operators.multimodal import documents_as_media, extract_features
+    from carbondata_spark.operators.similarity import cosine_topk
+
+    feats = extract_features(documents_as_media(docs))
+    assert dict(feats.dtypes)["embedding"] == "array<float>"
+    row = feats.first()
+    import math
+
+    norm = math.sqrt(sum(v * v for v in row["embedding"]))
+    assert abs(norm - 1.0) < 1e-5  # unit vectors
+
+    queries = feats.filter(F.col("doc_id") < 3)
+    topk = cosine_topk(feats, queries, k=5, id_col="doc_id")
+    rows = topk.collect()
+    assert len(rows) == 15
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for q, cosines in per_q.items():
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
