@@ -83,7 +83,7 @@ class CarbonSession:
                 [{"table_name": t} for t in self.store.tables()], "table_name string"
             )
 
-        m = re.fullmatch(r"show segments for table (\w+)", low)
+        m = re.fullmatch(r"show (?:segments|loads) for table (\w+)", low)
         if m:
             segs = self.store.show_segments(m.group(1))
             rows = [
@@ -133,6 +133,31 @@ class CarbonSession:
         if m:
             removed = self.store.clean_files(m.group(1))
             return self._rows([{"removed_segment": r} for r in removed], "removed_segment long")
+
+        m = re.fullmatch(
+            r"alter table (\w+) add columns \((.+?)\)(?: defaults \((.+?)\))?", low
+        )
+        if m:
+            name, cols_s, defs_s = m.group(1), m.group(2), m.group(3)
+            fields = []
+            for part in _split_cols(cols_s):
+                cname, ctype = part.strip().split(None, 1)
+                fields.append(T.StructField(cname, _parse_type(ctype)))
+            defaults = {}
+            if defs_s:
+                for pair in _split_cols(defs_s):
+                    k, v = pair.split("=", 1)
+                    defaults[k.strip()] = v.strip().strip("'\"")
+            self.store.alter_add_columns(name, fields, defaults=defaults)
+            return self._rows(
+                [{"added": f.name} for f in fields], "added string"
+            )
+
+        m = re.fullmatch(r"alter table (\w+) drop columns \(([\w\s,]+)\)", low)
+        if m:
+            cols = [c.strip() for c in m.group(2).split(",")]
+            self.store.alter_drop_columns(m.group(1), cols)
+            return self._rows([{"dropped": c} for c in cols], "dropped string")
 
         m = re.fullmatch(r"alter table (\w+) compact", low)
         if m:

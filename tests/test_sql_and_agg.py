@@ -172,3 +172,19 @@ def test_sql_create_partitioned(cs, spark):
     seg0 = os.path.join(cs.store._segment_dir("pt", 0))
     assert sorted(p.rsplit("=", 1)[1] for p in glob.glob(seg0 + "/seg=*")) == ["a", "b"]
     assert cs.sql("SELECT count(*) AS n FROM pt WHERE seg = 'a'").collect()[0]["n"] == 10
+
+
+def test_sql_alter_columns_and_show_loads(cs, spark):
+    cs.sql("CREATE TABLE a (id bigint, v double)")
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    cs.store.load("a", df)
+    # SHOW LOADS alias (reference keyword)
+    assert cs.sql("SHOW LOADS FOR TABLE a").count() == 1
+    # ALTER ADD with default visible over the old segment
+    cs.sql("ALTER TABLE a ADD COLUMNS (tag string, bonus double) DEFAULTS (tag='x')")
+    out = cs.sql("SELECT tag, count(*) AS n FROM a GROUP BY tag").collect()
+    assert [(r["tag"], r["n"]) for r in out] == [("x", 10)]
+    # bonus has no default -> NULL over old segments
+    assert cs.sql("SELECT count(*) AS n FROM a WHERE bonus IS NULL").collect()[0]["n"] == 10
+    cs.sql("ALTER TABLE a DROP COLUMNS (v)")
+    assert "v" not in cs.store.table("a").columns
