@@ -43,6 +43,45 @@ def q_stream_window(spark, sf_dir):
 
 
 @register(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click' AND user_id < 100
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           coalesce(round(epoch(c.ts - p.ts), 1), -1.0) AS since_purchase_s
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join (custom operator Spark lacks): each click matched to "
+    "the user's most recent prior purchase via the union-window pattern; "
+    "oracle = DuckDB's native ASOF LEFT JOIN.",
+)
+def q_asof_join(spark, sf_dir):
+    from carbondata_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 100)).select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("p_ts")
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["p_ts"])
+    gap = F.col("ts").cast("double") - F.col("p_ts_asof").cast("double")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce(dround(gap, 1), F.lit(-1.0)).alias("since_purchase_s"),
+    )
+
+
+@register(
     "q_sessionize",
     oracle="""
     WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
