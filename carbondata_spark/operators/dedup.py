@@ -95,18 +95,40 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with n-gram-shingle Jaccard ≥ threshold.
 
-    Plan shape: shingle explode → (optional stop-shingle cap) →
-    self-equi-join on shingle (candidate generation; shuffle keyed on the
-    shingle string, high cardinality → even distribution) → count
-    intersections → join per-doc shingle counts → filter. All JVM-side.
+    Plan shape: shingle explode → stop-shingle cap → self-equi-join on
+    shingle (candidate generation; shuffle keyed on the shingle string,
+    high cardinality → even distribution) → count intersections → join
+    per-doc shingle counts → filter. All JVM-side.
+
+    ``max_shingle_freq`` (default 1000) drops shingles appearing in more
+    documents than the cap BEFORE the self-join: a shingle shared by k
+    docs produces k² candidate pairs, so one stop-shingle ("in the of")
+    in a 100-TB corpus would otherwise dominate the join. Capping changes
+    the result (capped shingles no longer count toward intersections or
+    per-doc sizes), so any oracle must apply the same cap — the
+    registered query's DuckDB SQL does. Dropped shingles are logged
+    (``log_dropped``), never silently truncated; pass ``None`` to
+    disable capping (test-scale oracle comparisons of the uncapped form).
     """
     sh = shingles_df(df, id_col, text_col, n)
     if max_shingle_freq is not None:
-        freq_ok = sh.groupBy("s").count().filter(F.col("count") <= max_shingle_freq).select("s")
+        freq = sh.groupBy("s").count()
+        if log_dropped:
+            n_dropped = freq.filter(F.col("count") > max_shingle_freq).count()
+            if n_dropped:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: dropping %d stop-shingles with doc-frequency > %d",
+                    n_dropped,
+                    max_shingle_freq,
+                )
+        freq_ok = freq.filter(F.col("count") <= max_shingle_freq).select("s")
         sh = sh.join(freq_ok, "s")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
     a = sh.alias("a")
@@ -251,7 +273,11 @@ def near_dup_groups(
     edge set is the LSH output (orders of magnitude smaller than the
     corpus), and each iteration halves the longest chain (min-label
     gossip), so convergence is ~log(diameter) rounds. The per-iteration
-    convergence check is one count() on the changed-label frame.
+    convergence check is one count() on the changed-label frame. Each
+    iteration ``localCheckpoint``s the label frame: lineage is truncated
+    (no exponential plan growth over rounds) and the previous iteration's
+    blocks are released, so memory stays O(|labels|) however many rounds
+    run.
     """
     nodes = docs.select(F.col(id_col).alias("v")).distinct()
     edges = (
@@ -266,6 +292,9 @@ def near_dup_groups(
             .groupBy(edges.v.alias("nv"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # localCheckpoint (eager): materializes this round's labels,
+        # truncates the lineage so round N's plan does not embed rounds
+        # 1..N-1, and lets the previous round's shuffle blocks be dropped.
         new_labels = (
             labels.join(neighbor_min, labels.v == F.col("nv"), "left")
             .select(
@@ -275,7 +304,7 @@ def near_dup_groups(
                 ),
                 F.col("label").alias("old_label"),
             )
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("new_label") != F.col("old_label")).count()
         labels = new_labels.select("v", F.col("new_label").alias("label"))
         if changed == 0:

