@@ -77,8 +77,10 @@ def create_aggregate_table(
     return agg
 
 
-def _summary_df(store: CarbonStore, meta: dict[str, Any]) -> DataFrame:
-    df = store.table(meta["fact"])
+def _summary_df(
+    store: CarbonStore, meta: dict[str, Any], segment_ids: list[int] | None = None
+) -> DataFrame:
+    df = store.table(meta["fact"], segment_ids=segment_ids)
     aggs = [F.count("*").alias("count_all")]
     for col, fns in meta["measures"].items():
         for fn in fns:
@@ -87,14 +89,54 @@ def _summary_df(store: CarbonStore, meta: dict[str, Any]) -> DataFrame:
 
 
 def refresh_aggregate_table(agg: AggregateTable) -> None:
-    """Recompute the rollup from the fact table's valid segments (the
-    reference reloads agg tables per fact load)."""
+    """Incremental rollup maintenance (runs inside every fact load).
+
+    The summary table holds PARTIAL aggregates: each summary segment is
+    the groupBy of one batch of fact segments, tagged with
+    ``origin['fact_segments']``. A refresh aggregates ONLY fact segments
+    not yet covered and appends them as a new summary segment — per-load
+    cost is O(new segment), independent of table history (the 100-TB
+    requirement). Readers (``rewrite_aggregate``) re-combine partials
+    with the standard rollup algebra (sum of sums, min of mins, ...), so
+    partial rows per group are invisible to queries.
+
+    If a covered fact segment is no longer valid (overwrite / DELETE
+    LOAD / compaction), incremental state is unsound — fall back to a
+    full rebuild (mode='overwrite').
+    """
     store, meta = agg.store, agg.read_meta()
-    summary = _summary_df(store, meta)
     target = f"{meta['fact']}_agg_{meta['name']}"
-    if target not in store.tables():
-        store.create_table(target, summary.schema, sort_columns=list(meta["group_cols"]))
-    store.load(target, summary, mode="overwrite")
+    current = sorted(e.segment_id for e in store.valid_segments(meta["fact"]))
+
+    covered: set[int] = set()
+    if target in store.tables():
+        for e in store.valid_segments(target):
+            covered.update(e.origin.get("fact_segments", []))
+    else:
+        summary0 = _summary_df(store, meta, segment_ids=current)
+        store.create_table(target, summary0.schema, sort_columns=list(meta["group_cols"]))
+        store.load(
+            target, summary0, refresh_aggregates=False, origin={"fact_segments": current}
+        )
+        return
+
+    if covered <= set(current):
+        new = [s for s in current if s not in covered]
+        if not new:
+            return
+        partial = _summary_df(store, meta, segment_ids=new)
+        store.load(
+            target, partial, refresh_aggregates=False, origin={"fact_segments": new}
+        )
+    else:
+        full = _summary_df(store, meta, segment_ids=current)
+        store.load(
+            target,
+            full,
+            mode="overwrite",
+            refresh_aggregates=False,
+            origin={"fact_segments": current},
+        )
 
 
 def list_aggregate_tables(store: CarbonStore, fact: str) -> list[str]:
@@ -115,19 +157,16 @@ def drop_aggregate_table(store: CarbonStore, fact: str, name: str) -> None:
         store.drop_table(target)
 
 
-def rewrite_aggregate(
+def choose_rollup(
     store: CarbonStore,
     fact: str,
     group_cols: list[str],
     measures: dict[str, list[str]],
-) -> DataFrame:
-    """Answer groupBy(group_cols).agg(measures) from the best matching
-    rollup, else from the fact table.
-
-    The Catalyst-rule equivalent (SURVEY §7 M4): PySpark cannot register
-    logical rules, so the rewrite is an API/planner-helper — a query
-    router would call this instead of building the aggregate by hand.
-    """
+) -> str | None:
+    """The narrowest aggregate table that can answer
+    groupBy(group_cols).agg(measures), or None. Shared by
+    ``rewrite_aggregate`` and the SQL passthrough router
+    (CarbonSession._try_rollup_route)."""
     chosen = None
     chosen_meta = None
     for name in list_aggregate_tables(store, fact):
@@ -141,6 +180,24 @@ def rewrite_aggregate(
         )
         if ok and (chosen is None or len(meta["group_cols"]) < len(chosen_meta["group_cols"])):
             chosen, chosen_meta = name, meta
+    return chosen
+
+
+def rewrite_aggregate(
+    store: CarbonStore,
+    fact: str,
+    group_cols: list[str],
+    measures: dict[str, list[str]],
+) -> DataFrame:
+    """Answer groupBy(group_cols).agg(measures) from the best matching
+    rollup, else from the fact table.
+
+    The Catalyst-rule equivalent (SURVEY §7 M4): PySpark cannot register
+    logical rules, so the rewrite is an API/planner-helper — the SQL
+    passthrough router calls ``choose_rollup`` and this algebra for
+    simple GROUP BY statements over store tables.
+    """
+    chosen = choose_rollup(store, fact, group_cols, measures)
 
     if chosen is None:
         df = store.table(fact)

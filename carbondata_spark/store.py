@@ -68,6 +68,10 @@ class SegmentEntry:
     # reference's driver-side B-tree block pruning,
     # CarbonInputFormat.java:177-201)
     stats: dict[str, list] = field(default_factory=dict)
+    # provenance tag, e.g. {"stream": query_name, "epoch": epoch_id} —
+    # lets streaming replays detect an already-committed micro-batch
+    # (exactly-once table contents across foreachBatch retries)
+    origin: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -78,6 +82,7 @@ class SegmentEntry:
             "load_end_ts": self.load_end_ts,
             "columns": self.columns,
             "stats": self.stats,
+            "origin": self.origin,
         }
 
     @staticmethod
@@ -90,6 +95,7 @@ class SegmentEntry:
             load_end_ts=d["load_end_ts"],
             columns=d.get("columns", []),
             stats=d.get("stats", {}),
+            origin=d.get("origin", {}),
         )
 
 
@@ -240,6 +246,7 @@ class CarbonStore:
         mode: str = "append",
         partitions: int | None = None,
         refresh_aggregates: bool = True,
+        origin: dict[str, Any] | None = None,
     ) -> int:
         """One incremental load → one new segment (LoadCube,
         cubeSchema.scala:1792-1968).
@@ -279,6 +286,7 @@ class CarbonStore:
                     load_start_ts=start,
                     load_end_ts=0.0,
                     columns=[f.name for f in target.fields],
+                    origin=origin or {},
                 )
             )
             self._write_status(table, entries)
@@ -456,6 +464,14 @@ class CarbonStore:
 
     def valid_segments(self, table: str) -> list[SegmentEntry]:
         return [e for e in self._read_status(table) if e.status == SEGMENT_SUCCESS]
+
+    def has_committed_origin(self, table: str, origin: dict[str, Any]) -> bool:
+        """True if a Success segment with this provenance tag exists —
+        the streaming replay-detection probe (see SegmentEntry.origin)."""
+        return any(
+            e.origin == origin and e.status == SEGMENT_SUCCESS
+            for e in self._read_status(table)
+        )
 
     def table(self, table: str, segment_ids: list[int] | None = None) -> DataFrame:
         """DataFrame = union of valid segments (optionally a subset),
@@ -638,6 +654,18 @@ class CarbonStore:
         old_ids = {e.segment_id for e in segs}
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
+            # Abort if any source segment changed state while we merged
+            # (concurrent overwrite/DELETE LOAD flipped it to 'Marked for
+            # Delete'): promoting the merged segment would resurrect rows
+            # the concurrent operation removed. The merged dir becomes an
+            # orphan that clean_files GCs.
+            live = {e.segment_id for e in entries if e.status == SEGMENT_SUCCESS}
+            if not old_ids <= live:
+                for e in entries:
+                    if e.segment_id == new_id:
+                        e.status = SEGMENT_DELETED
+                self._write_status(table, entries)
+                return None
             for e in entries:
                 if e.segment_id in old_ids and e.status == SEGMENT_SUCCESS:
                     e.status = SEGMENT_COMPACTED

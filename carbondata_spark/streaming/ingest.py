@@ -38,17 +38,24 @@ def stream_load(
 ) -> StreamingQuery:
     """writeStream → one store segment per micro-batch (foreachBatch).
 
-    The foreachBatch epoch id is recorded nowhere because the segment
-    commit itself is idempotent-enough for availableNow replays: a batch
-    that dies before the manifest commit leaves an orphan directory that
-    ``clean_files`` removes (the manifest, not the filesystem, defines
-    table contents).
+    Exactly-once table contents: each micro-batch commit stamps the
+    segment with an ``origin`` tag (stream name + epoch id). When the
+    stream dies AFTER the manifest commit but BEFORE the checkpoint
+    advances, Structured Streaming replays the epoch — the replay sees an
+    already-committed segment with the same origin and skips, so the rows
+    appear once. A batch that dies BEFORE the commit leaves only an
+    orphan directory that ``clean_files`` removes (the manifest, not the
+    filesystem, defines table contents).
     """
+    stream_id = query_name or checkpoint_dir
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.load(table, batch_df)
+        origin = {"stream": stream_id, "epoch": epoch_id}
+        if store.has_committed_origin(table, origin):
+            return  # replayed epoch: segment already committed
+        store.load(table, batch_df, origin=origin)
 
     writer = (
         stream_df.writeStream.foreachBatch(commit_batch)
