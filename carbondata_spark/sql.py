@@ -8,7 +8,12 @@ go straight to ``spark.sql`` after registering the store's tables as
 views — so the full Spark SQL surface is the query language, exactly as
 the reference delegates to HiveContext.
 
-Supported statements (case-insensitive):
+Matching is case-insensitive over the ORIGINAL statement text and all
+identifiers/literals are extracted from the original (never a lowered
+copy), so mixed-case table/column names and quoted default values
+round-trip exactly; only keywords are case-folded.
+
+Supported statements (case-insensitive keywords):
 
     CREATE TABLE <t> (<col> <type>, ...) [SORTED BY (c1, c2)]
     DROP TABLE <t>
@@ -18,8 +23,19 @@ Supported statements (case-insensitive):
     DELETE SEGMENTS FROM TABLE <t> WHERE STARTTIME BEFORE '<ts>'
     CLEAN FILES FOR TABLE <t>
     ALTER TABLE <t> COMPACT                -- MERGE
+    ALTER TABLE <t> ADD|DROP COLUMNS (...)
+    LOAD DATA INPATH '<path>' INTO TABLE <t> [OPTIONS('k'='v', ...)]
+                    -- CarbonSqlParser.scala:779-834 option surface
+    CREATE AGGREGATETABLE <name> FROM TABLE <fact>
+        GROUP BY (d1, ...) AGGREGATES (sum(m1), ...)
+                    -- CarbonSqlParser.scala:182-224
+    SHOW AGGREGATE TABLES FOR TABLE <t> / DROP AGGREGATE TABLE ...
     DESCRIBE [FORMATTED] <t>
-    <anything else>                        -- spark.sql passthrough
+    <anything else>                        -- spark.sql passthrough; a
+        simple ``SELECT dims, aggs FROM fact GROUP BY dims`` over a store
+        table is transparently answered from a matching aggregate
+        (rollup) table when one can derive every requested aggregate
+        (SURVEY §7 M4 — the rewrite the reference's live planner lacked).
 """
 
 from __future__ import annotations
@@ -28,6 +44,7 @@ import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from carbondata_spark.store import CarbonStore
@@ -47,6 +64,8 @@ _TYPES = {
     "binary": T.BinaryType(),
 }
 
+_I = re.IGNORECASE
+
 
 def _parse_type(s: str) -> T.DataType:
     s = s.strip().lower()
@@ -59,6 +78,16 @@ def _parse_type(s: str) -> T.DataType:
     if s in _TYPES:
         return _TYPES[s]
     raise ValueError(f"unsupported type: {s}")
+
+
+def _parse_options(opts_s: str | None) -> dict[str, str]:
+    """OPTIONS('k'='v', 'k2'='v2') → {k_lower: v} (values keep case)."""
+    if not opts_s:
+        return {}
+    return {
+        k.lower(): v
+        for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts_s)
+    }
 
 
 class CarbonSession:
@@ -75,15 +104,13 @@ class CarbonSession:
 
     def sql(self, text: str) -> DataFrame:
         s = " ".join(text.strip().rstrip(";").split())
-        low = s.lower()
 
-        m = re.fullmatch(r"show tables", low)
-        if m:
+        if re.fullmatch(r"show tables", s, _I):
             return self._rows(
                 [{"table_name": t} for t in self.store.tables()], "table_name string"
             )
 
-        m = re.fullmatch(r"show (?:segments|loads) for table (\w+)", low)
+        m = re.fullmatch(r"show (?:segments|loads) for table (\w+)", s, _I)
         if m:
             segs = self.store.show_segments(m.group(1))
             rows = [
@@ -99,21 +126,21 @@ class CarbonSession:
             ]
             return self._rows(rows, "segment_id long, status string, rows long, load_start string")
 
-        m = re.fullmatch(r"delete segments ([\d,\s]+) from table (\w+)", low)
+        m = re.fullmatch(r"delete segments ([\d,\s]+) from table (\w+)", s, _I)
         if m:
             ids = [int(x) for x in m.group(1).replace(" ", "").split(",") if x]
             n = self.store.delete_segments(m.group(2), ids)
             return self._rows([{"deleted": n}], "deleted long")
 
         m = re.fullmatch(
-            r"delete segments from table (\w+) where starttime before '([^']+)'", low
+            r"delete segments from table (\w+) where starttime before '([^']+)'", s, _I
         )
         if m:
             ts = datetime.fromisoformat(m.group(2)).replace(tzinfo=timezone.utc).timestamp()
             n = self.store.delete_segments_by_date(m.group(1), ts)
             return self._rows([{"deleted": n}], "deleted long")
 
-        m = re.fullmatch(r"show aggregate tables for table (\w+)", low)
+        m = re.fullmatch(r"show aggregate tables for table (\w+)", s, _I)
         if m:
             from carbondata_spark.plans.agg_table import list_aggregate_tables
 
@@ -122,20 +149,47 @@ class CarbonSession:
                 "aggregate_table string",
             )
 
-        m = re.fullmatch(r"drop aggregate table (\w+) on table (\w+)", low)
+        m = re.fullmatch(r"drop aggregate table (\w+) on table (\w+)", s, _I)
         if m:
             from carbondata_spark.plans.agg_table import drop_aggregate_table
 
             drop_aggregate_table(self.store, m.group(2), m.group(1))
             return self._rows([{"dropped": m.group(1)}], "dropped string")
 
-        m = re.fullmatch(r"clean files for table (\w+)", low)
+        m = re.fullmatch(
+            r"create aggregatetable (\w+) from table (\w+)"
+            r" group by \(([\w\s,]+)\) aggregates \((.+)\)",
+            s,
+            _I,
+        )
+        if m:
+            from carbondata_spark.plans.agg_table import create_aggregate_table
+
+            name, fact = m.group(1), m.group(2)
+            group_cols = [c.strip() for c in m.group(3).split(",")]
+            measures: dict[str, list[str]] = {}
+            for fn, col in re.findall(r"(\w+)\s*\(\s*(\w+)\s*\)", m.group(4)):
+                measures.setdefault(col, []).append(fn.lower())
+            create_aggregate_table(self.store, fact, name, group_cols, measures)
+            return self._rows([{"created": name}], "created string")
+
+        m = re.fullmatch(
+            r"load data (?:local )?inpath '([^']+)' into table (\w+)"
+            r"(?: options\s*\((.+)\))?",
+            s,
+            _I,
+        )
+        if m:
+            seg_id = self._load_data(m.group(1), m.group(2), _parse_options(m.group(3)))
+            return self._rows([{"segment_id": seg_id}], "segment_id long")
+
+        m = re.fullmatch(r"clean files for table (\w+)", s, _I)
         if m:
             removed = self.store.clean_files(m.group(1))
             return self._rows([{"removed_segment": r} for r in removed], "removed_segment long")
 
         m = re.fullmatch(
-            r"alter table (\w+) add columns \((.+?)\)(?: defaults \((.+?)\))?", low
+            r"alter table (\w+) add columns \((.+?)\)(?: defaults \((.+?)\))?", s, _I
         )
         if m:
             name, cols_s, defs_s = m.group(1), m.group(2), m.group(3)
@@ -153,20 +207,20 @@ class CarbonSession:
                 [{"added": f.name} for f in fields], "added string"
             )
 
-        m = re.fullmatch(r"alter table (\w+) drop columns \(([\w\s,]+)\)", low)
+        m = re.fullmatch(r"alter table (\w+) drop columns \(([\w\s,]+)\)", s, _I)
         if m:
             cols = [c.strip() for c in m.group(2).split(",")]
             self.store.alter_drop_columns(m.group(1), cols)
             return self._rows([{"dropped": c} for c in cols], "dropped string")
 
-        m = re.fullmatch(r"alter table (\w+) compact", low)
+        m = re.fullmatch(r"alter table (\w+) compact", s, _I)
         if m:
             new_id = self.store.compact(m.group(1))
             return self._rows(
                 [{"new_segment": new_id if new_id is not None else -1}], "new_segment long"
             )
 
-        m = re.fullmatch(r"describe (?:formatted )?(\w+)", low)
+        m = re.fullmatch(r"describe (?:formatted )?(\w+)", s, _I)
         if m:
             d = self.store.describe(m.group(1))
             return self._rows(
@@ -174,7 +228,7 @@ class CarbonSession:
                 "property string, value string",
             )
 
-        m = re.fullmatch(r"drop table (\w+)", low)
+        m = re.fullmatch(r"drop table (\w+)", s, _I)
         if m:
             self.store.drop_table(m.group(1))
             return self._rows([{"dropped": m.group(1)}], "dropped string")
@@ -183,7 +237,8 @@ class CarbonSession:
             r"create table (\w+) \((.+?)\)"
             r"(?: sorted by \(([\w\s,]+)\))?"
             r"(?: partitioned by \(([\w\s,]+)\))?",
-            low,
+            s,
+            _I,
         )
         if m:
             name, cols_s, sort_s, part_s = m.group(1), m.group(2), m.group(3), m.group(4)
@@ -201,10 +256,114 @@ class CarbonSession:
             )
             return self._rows([{"created": name}], "created string")
 
+        # Rollup routing: a simple GROUP BY over a store fact table is
+        # answered from a matching aggregate table when derivable.
+        routed = self._try_rollup_route(s)
+        if routed is not None:
+            return routed
+
         # passthrough: register store tables as views, run Spark SQL
         for tname in self.store.tables():
             self.store.register_view(tname)
         return self.spark.sql(s)
+
+    # -- LOAD DATA ---------------------------------------------------------
+
+    def _load_data(self, path: str, table: str, opts: dict[str, str]) -> int:
+        """LOAD DATA INPATH → one segment. Options (reference surface):
+        DELIMITER, QUOTECHAR, ESCAPECHAR, FILEHEADER, MULTILINE,
+        BAD_RECORDS_ACTION (fail|drop|capture), FORMAT (csv|parquet|json|orc),
+        TIMESTAMP_FORMAT."""
+        fmt = opts.get("format", "csv").lower()
+        if fmt == "parquet":
+            df = self.spark.read.parquet(path)
+        elif fmt == "json":
+            from carbondata_spark.sources.formats import read_json
+
+            df = read_json(self.spark, path, schema=self.store.schema(table))
+        elif fmt == "orc":
+            from carbondata_spark.sources.formats import read_orc
+
+            df = read_orc(self.spark, path)
+        else:
+            from carbondata_spark.sources.csv import read_csv, split_bad_records
+
+            fileheader = None
+            if "fileheader" in opts:
+                fileheader = [c.strip() for c in opts["fileheader"].split(",")]
+            df = read_csv(
+                self.spark,
+                path,
+                schema=self.store.schema(table),
+                delimiter=opts.get("delimiter", ","),
+                quotechar=opts.get("quotechar", '"'),
+                escapechar=opts.get("escapechar", "\\"),
+                fileheader=fileheader,
+                multiline=opts.get("multiline", "false").lower() == "true",
+                timestamp_format=opts.get("timestamp_format"),
+                bad_records_action=opts.get("bad_records_action", "drop"),
+            )
+            df, _bad = split_bad_records(df)
+        return self.store.load(table, df)
+
+    # -- rollup routing ----------------------------------------------------
+
+    def _try_rollup_route(self, s: str) -> DataFrame | None:
+        """Answer ``SELECT <dims|aggs> FROM <fact> GROUP BY <dims>`` from a
+        matching aggregate table (plans/agg_table.rewrite_aggregate
+        algebra). Returns None when the statement is not that shape, the
+        table has no rollups, or an aggregate is not derivable — the
+        caller then falls through to the normal Spark SQL passthrough, so
+        routing is always semantics-preserving."""
+        m = re.fullmatch(r"select (.+) from (\w+) group by ([\w\s,]+)", s, _I)
+        if not m:
+            return None
+        fact = m.group(2)
+        if fact not in self.store.tables():
+            return None
+        from carbondata_spark.plans.agg_table import choose_rollup
+
+        group_cols = [c.strip() for c in m.group(3).split(",")]
+        items = [i.strip() for i in _split_cols(m.group(1))]
+        measures: dict[str, list[str]] = {}
+        out_cols: list[tuple[str, str | None, str]] = []  # (fn|dim|count_star, col, alias)
+        for it in items:
+            mm = re.fullmatch(r"(\w+)\s*\(\s*(\*|\w+)\s*\)(?:\s+as\s+(\w+))?", it, _I)
+            if mm:
+                fn, col, alias = mm.group(1).lower(), mm.group(2), mm.group(3)
+                if fn == "count" and col == "*":
+                    out_cols.append(("count_star", None, alias or "count_star"))
+                    continue
+                if fn not in ("sum", "count", "min", "max", "avg"):
+                    return None
+                measures.setdefault(col, []).append(fn)
+                out_cols.append((fn, col, alias or f"{fn}_{col}"))
+            elif re.fullmatch(r"\w+", it) and it in group_cols:
+                out_cols.append(("dim", it, it))
+            else:
+                return None
+        chosen = choose_rollup(self.store, fact, group_cols, measures)
+        if chosen is None:
+            return None
+        summary = self.store.table(f"{fact}_agg_{chosen}")
+        aggs = []
+        for kind, col, alias in out_cols:
+            if kind == "dim":
+                continue
+            if kind == "count_star":
+                aggs.append(F.sum("count_all").alias(alias))
+            elif kind == "sum":
+                aggs.append(F.sum(f"sum_{col}").alias(alias))
+            elif kind == "count":
+                aggs.append(F.sum(f"count_{col}").alias(alias))
+            elif kind == "min":
+                aggs.append(F.min(f"min_{col}").alias(alias))
+            elif kind == "max":
+                aggs.append(F.max(f"max_{col}").alias(alias))
+            elif kind == "avg":
+                aggs.append((F.sum(f"sum_{col}") / F.sum(f"count_{col}")).alias(alias))
+        res = summary.groupBy(*group_cols).agg(*aggs)
+        return res.select(*[F.col(alias) for _, _, alias in out_cols])
 
 
 def _split_cols(s: str) -> list[str]:
