@@ -513,10 +513,18 @@ class CarbonStore:
                     raw = raw.unionByName(r)
             else:
                 raw = self.spark.read.parquet(*paths)
+            raw_types = {f.name: f.dataType for f in raw.schema.fields}
             sel = []
             for fld in target.fields:
                 if fld.name in raw.columns:
-                    sel.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+                    # cast only on a real type change: casting a nested
+                    # type to itself with different nullability flags is
+                    # rejected by Spark (DATATYPE_MISMATCH), and
+                    # no-op casts would defeat parquet column pruning
+                    if raw_types[fld.name].simpleString() == fld.dataType.simpleString():
+                        sel.append(F.col(fld.name))
+                    else:
+                        sel.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
                 else:
                     default = defaults.get(fld.name)
                     sel.append(F.lit(default).cast(fld.dataType).alias(fld.name))
