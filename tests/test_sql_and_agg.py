@@ -188,3 +188,80 @@ def test_sql_alter_columns_and_show_loads(cs, spark):
     assert cs.sql("SELECT count(*) AS n FROM a WHERE bonus IS NULL").collect()[0]["n"] == 10
     cs.sql("ALTER TABLE a DROP COLUMNS (v)")
     assert "v" not in cs.store.table("a").columns
+
+
+def test_sql_load_data_inpath(cs, spark, tmp_path):
+    cs.sql("CREATE TABLE ld (id bigint, city string, amt double)")
+    p = tmp_path / "in.csv"
+    p.write_text("id,city,amt\n1,rome,10.5\n2,oslo,3.25\n3,rome,1.0\n")
+    r = cs.sql(
+        f"LOAD DATA INPATH '{p}' INTO TABLE ld "
+        "OPTIONS('DELIMITER'=',', 'FILEHEADER'='id,city,amt')"
+    ).collect()
+    assert r[0]["segment_id"] == 0
+    # second load without options (header inferred), appends a segment
+    r = cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE ld").collect()
+    assert r[0]["segment_id"] == 1
+    assert cs.store.table("ld").count() == 6
+    out = cs.sql("SELECT city, count(*) AS n FROM ld GROUP BY city ORDER BY city").collect()
+    assert [(r["city"], r["n"]) for r in out] == [("oslo", 2), ("rome", 4)]
+
+
+def test_sql_load_data_parquet_format(cs, spark, tmp_path):
+    cs.sql("CREATE TABLE lp (id bigint, v double)")
+    src = spark.createDataFrame([(i, float(i)) for i in range(7)], "id long, v double")
+    src.write.parquet(str(tmp_path / "pq"))
+    cs.sql(f"LOAD DATA INPATH '{tmp_path}/pq' INTO TABLE lp OPTIONS('FORMAT'='parquet')")
+    assert cs.store.table("lp").count() == 7
+
+
+def test_sql_create_aggregatetable_and_transparent_routing(cs, spark):
+    cs.sql("CREATE TABLE fact (region string, product string, amount double, qty bigint)")
+    df = spark.createDataFrame(
+        [(["east", "west"][i % 2], f"p{i % 3}", float(i), i % 5) for i in range(600)],
+        "region string, product string, amount double, qty long",
+    )
+    cs.store.load("fact", df)
+    cs.sql(
+        "CREATE AGGREGATETABLE byrp FROM TABLE fact "
+        "GROUP BY (region, product) AGGREGATES (sum(amount), count(amount), sum(qty), count(qty), max(qty))"
+    )
+    shown = cs.sql("SHOW AGGREGATE TABLES FOR TABLE fact").collect()
+    assert [r["aggregate_table"] for r in shown] == ["byrp"]
+
+    routed = cs.sql(
+        "SELECT region, sum(amount) AS s, avg(qty) AS aq, count(*) AS n FROM fact GROUP BY region"
+    )
+    # the routed plan must scan the SUMMARY table's parquet, not the fact's
+    assert any("_agg_byrp" in f for f in routed.inputFiles())
+    direct = (
+        cs.store.table("fact")
+        .groupBy("region")
+        .agg(F.sum("amount").alias("s"), F.avg("qty").alias("aq"), F.count("*").alias("n"))
+    )
+    got = {r["region"]: (r["s"], r["aq"], r["n"]) for r in routed.collect()}
+    want = {r["region"]: (r["s"], r["aq"], r["n"]) for r in direct.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-6
+
+    # non-derivable aggregate (min not in the rollup) falls through to the fact scan
+    fallthrough = cs.sql("SELECT region, min(amount) AS m FROM fact GROUP BY region")
+    assert not any("_agg_byrp" in f for f in fallthrough.inputFiles())
+    assert {r["region"]: r["m"] for r in fallthrough.collect()} == {"east": 0.0, "west": 1.0}
+
+
+def test_sql_mixed_case_identifiers_and_literals(cs, spark):
+    cs.sql("CREATE TABLE MixedCase (Id bigint, CityName string)")
+    assert "MixedCase" in cs.store.tables()
+    schema = cs.store.schema("MixedCase")
+    assert [f.name for f in schema.fields] == ["Id", "CityName"]
+    df = spark.createDataFrame([(1, "Rome"), (2, "Oslo")], "Id long, CityName string")
+    cs.store.load("MixedCase", df)
+    # ALTER default literal must keep its case (was lowercased before)
+    cs.sql("ALTER TABLE MixedCase ADD COLUMNS (Chan string) DEFAULTS (Chan='Web')")
+    vals = {r["Chan"] for r in cs.store.table("MixedCase").select("Chan").collect()}
+    assert vals == {"Web"}
+    # passthrough SQL sees the same mixed-case table name
+    assert cs.sql("SELECT count(*) AS n FROM MixedCase").collect()[0]["n"] == 2

@@ -174,3 +174,47 @@ def test_scan_prunes_segments_by_manifest_stats(store, spark, sf_dir):
 
     # unknown column / no bounds: everything still readable
     assert store.scan("o").count() == orders.count()
+
+
+def test_incremental_rollup_refresh_appends_partial_segments(spark, tmp_path):
+    """refresh_aggregate_table is O(new segment): each fact load adds one
+    PARTIAL summary segment tagged with the fact segments it covers;
+    invalidating a covered fact segment forces a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.plans import agg_table as at
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    schema = T.StructType(
+        [
+            T.StructField("region", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    store.create_table("f", schema)
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    store.load("f", mk([("e", 1.0), ("w", 2.0)]))
+    at.create_aggregate_table(store, "f", "byr", ["region"], {"amt": ["sum", "count"]})
+
+    store.load("f", mk([("e", 10.0)]))
+    store.load("f", mk([("w", 5.0), ("w", 5.0)]))
+
+    summary = "f_agg_byr"
+    segs = store.show_segments(summary)
+    covered = [tuple(e["origin"].get("fact_segments", [])) for e in segs if e["status"] == "Success"]
+    # one partial summary segment per fact load, each covering exactly its batch
+    assert sorted(covered) == [(0,), (1,), (2,)]
+
+    out = {r["region"]: (r["sum_amt"], r["count_amt"]) for r in
+           at.rewrite_aggregate(store, "f", ["region"], {"amt": ["sum", "count"]}).collect()}
+    assert out == {"e": (11.0, 2), "w": (12.0, 3)}
+
+    # invalidate a covered fact segment -> refresh falls back to full rebuild
+    store.delete_segments("f", [0])
+    at.refresh_aggregate_table(at.AggregateTable(store, "f", "byr"))
+    segs2 = [e for e in store.show_segments(summary) if e["status"] == "Success"]
+    assert len(segs2) == 1  # overwrite collapsed the partials
+    assert sorted(segs2[0]["origin"]["fact_segments"]) == [1, 2]
+    out2 = {r["region"]: r["sum_amt"] for r in
+            at.rewrite_aggregate(store, "f", ["region"], {"amt": ["sum"]}).collect()}
+    assert out2 == {"e": 10.0, "w": 10.0}

@@ -118,3 +118,32 @@ def test_stateful_running_stats_across_batches(spark, tmp_path, sf_dir):
         .collect()
     }
     assert final == want
+
+
+def test_stream_replay_does_not_duplicate_segments(spark, tmp_path, sf_dir):
+    """Exactly-once table contents: re-running the same stream from a
+    FRESH checkpoint (the worst-case replay — every epoch re-fires)
+    commits nothing new, because each epoch's (stream, epoch) origin tag
+    is already in the manifest."""
+    from carbondata_spark.catalog import load_table
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    sample = load_table(spark, sf_dir, "orders").limit(300)
+    sample.write.parquet(str(src_dir / "f0"))
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    store.create_table("orders_eo", sample.schema, sort_columns=["o_orderdate"])
+
+    def run(ckpt: str):
+        stream = spark.readStream.schema(sample.schema).parquet(str(src_dir) + "/*")
+        q = stream_load(store, "orders_eo", stream, str(tmp_path / ckpt), query_name="eo_stream")
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    n_segs = len(store.show_segments("orders_eo"))
+    assert store.table("orders_eo").count() == 300
+
+    run("ckpt2")  # fresh checkpoint -> same epoch ids replayed
+    assert len(store.show_segments("orders_eo")) == n_segs
+    assert store.table("orders_eo").count() == 300
