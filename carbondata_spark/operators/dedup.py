@@ -111,7 +111,10 @@ def ngram_jaccard_pairs(
     in a 100-TB corpus would otherwise dominate the join. Capping changes
     the result (capped shingles no longer count toward intersections or
     per-doc sizes), so any oracle must apply the same cap — the
-    registered query's DuckDB SQL does. Dropped shingles are logged
+    registered query's DuckDB SQL applies the identical
+    ``HAVING count(*) <= 1000`` filter before candidate generation and
+    per-doc counts (see query_defs/pipeline.py and the cap-binding unit
+    test in tests/test_operators.py). Dropped shingles are logged
     (``log_dropped``), never silently truncated; pass ``None`` to
     disable capping (test-scale oracle comparisons of the uncapped form).
     """
@@ -324,26 +327,38 @@ def dedup_near(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, portable)
+# SimHash (64-bit, 4 × 16-bit bands, portable)
 # ---------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4  # 4 bands × 16 bits = 64-bit signature
 
 
 def _hex4_to_int(hex4: Column) -> Column:
-    """First-4-hex-chars → int, via conv (portable to the oracle's manual
+    """4-hex-chars → int, via conv (portable to the oracle's manual
     position() arithmetic)."""
     return F.conv(hex4, 16, 10).cast("long")
 
 
-def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): 16-bit SimHash over distinct words.
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sim0..sim3, simhash): 64-bit SimHash over distinct words,
+    carried as four 16-bit band integers plus the packed 16-hex-char
+    string (band 0 = most-significant 16 bits).
 
-    Per word: v = int(md5(word)[:4], 16). For each bit j: +1 if set else
-    -1; signature bit j = 1 iff the sum over words > 0.
+    Per word: the first 16 hex chars of md5(word) are the 64-bit word
+    hash; band b takes hex chars [4b+1, 4b+4]. For each of the 64 bits:
+    +1 if set else -1; signature bit = 1 iff the sum over words > 0.
 
-    Shape: explode distinct words → 16 codegen'd CASE sums in ONE hash
-    aggregate → pack bits. (A per-row higher-order-function formulation
-    is ~10× slower: Spark interprets lambda expressions element by
-    element, while exploded CASE aggregates stay in whole-stage codegen.)
+    Why bands instead of one 64-bit long: the four 16-bit ints sidestep
+    signed-overflow at bit 63 in BOTH engines (Spark long and DuckDB
+    BIGINT), ARE the LSH band keys ``simhash_pairs`` needs, and make
+    Hamming distance a sum of four bit_counts. The packed hex string is
+    the engine-portable display form.
+
+    Shape: explode distinct words → 64 codegen'd CASE sums in ONE hash
+    aggregate → pack bits per band. (A per-row higher-order-function
+    formulation is ~10× slower: Spark interprets lambda expressions
+    element by element, while exploded CASE aggregates stay in
+    whole-stage codegen.)
     """
     from carbondata_spark.functions import ensure_parallelism
 
@@ -352,19 +367,29 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         df.select(F.col(id_col).alias("doc_id"), F.explode(words_col(text_col)).alias("wd"))
         .distinct()
     )
-    v = _hex4_to_int(F.substring(F.md5("wd"), 1, 4))
-    bit_aggs = [
-        F.sum(F.when(F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{j}"
-        )
-        for j in range(16)
-    ]
+    h = F.md5("wd")
+    bit_aggs = []
+    for b in range(SIMHASH_BANDS):
+        v = _hex4_to_int(F.substring(h, 1 + 4 * b, 4))
+        for j in range(16):
+            bit_aggs.append(
+                F.sum(
+                    F.when(F.shiftright(v, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                ).alias(f"b{b}_{j}")
+            )
     sums = words.groupBy("doc_id").agg(*bit_aggs)
-    sig = None
-    for j in range(16):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+    band_cols = []
+    for b in range(SIMHASH_BANDS):
+        k = None
+        for j in range(16):
+            term = F.when(F.col(f"b{b}_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            k = term if k is None else k + term
+        band_cols.append(k.cast("long").alias(f"sim{b}"))
+    out = sums.select("doc_id", *band_cols)
+    hexstr = F.concat(
+        *[F.format_string("%04x", F.col(f"sim{b}")) for b in range(SIMHASH_BANDS)]
+    )
+    return out.withColumn("simhash", hexstr)
 
 
 def simhash_pairs(
@@ -373,25 +398,35 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, candidates
-    bucketed on 4-bit bands (pigeonhole: distance ≤3 over 4 bands ⇒ at
-    least one band equal — exact, not probabilistic)."""
-    sig = simhash16(df, id_col, text_col)
+    """Near-dup pairs with Hamming(simhash64) ≤ max_hamming, candidates
+    bucketed on 16-bit bands (pigeonhole: distance ≤ 3 over 4 bands ⇒ at
+    least one band identical — exact, not probabilistic).
+
+    Scale shape: the shuffle key is (band, 16-bit band value) — 4 × 65536
+    bucket keys, and the band VALUES spread with the corpus (md5-derived),
+    so no bucket holds more than the docs agreeing on 16 signature bits.
+    The previous 16-bit signature had 4-bit bands = 64 total buckets,
+    n/16 docs per bucket, quadratic per-bucket self-join at corpus scale —
+    widening the signature is what makes banded SimHash usable at 100 TB.
+    """
+    assert max_hamming <= SIMHASH_BANDS - 1, "pigeonhole needs max_hamming < #bands"
+    sig = simhash64(df, id_col, text_col)
     bands = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                (F.floor(F.col("simhash") / F.lit(16**bi)) % 16).alias("bkey"),
-            )
-            for bi in range(4)
+            F.struct(F.lit(b).alias("band"), F.col(f"sim{b}").alias("bkey"))
+            for b in range(SIMHASH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
-        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    sim_cols = [f"sim{b}" for b in range(SIMHASH_BANDS)]
+    banded = sig.select("doc_id", *sim_cols, F.explode(bands).alias("b")).select(
+        "doc_id", *sim_cols, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = None
+    for bi in range(SIMHASH_BANDS):
+        term = F.bit_count(F.col(f"a.sim{bi}").bitwiseXOR(F.col(f"b.sim{bi}")))
+        ham = term if ham is None else ham + term
     return (
         a.join(
             b,
@@ -402,7 +437,7 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            ham.alias("hamming"),
+            ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -219,7 +219,17 @@ def train_centroids(
 def _assign(data: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vid, v, cid, ccos) — ``ccos`` is the
     cosine to the assigned centroid (callers needing the angular radius of
-    each bucket reuse it instead of re-scoring)."""
+    each bucket reuse it instead of re-scoring).
+
+    Argmax is a ``max_by`` hash aggregate, not a row_number window: the
+    aggregate combines map-side (each task reduces its corpus×k scored
+    rows to one candidate per vid before the shuffle) and needs no sort —
+    at corpus scale that halves the shuffle volume vs. the window
+    formulation, which must shuffle ALL k scored rows per vid and sort
+    each partition. Ties (equal cosine) break toward the lowest cid via
+    the (cos, -cid) ordering struct, matching the old window's
+    ``orderBy(desc(cos), asc(cid))`` exactly.
+    """
     from carbondata_spark.functions import ensure_parallelism
 
     data = ensure_parallelism(data)
@@ -231,9 +241,12 @@ def _assign(data: DataFrame, cents: DataFrame) -> DataFrame:
         .join(F.broadcast(cents.withColumn("_one", F.lit(1))), "_one")
         .select("vid", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("cos"))
     )
-    w = W.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-        "vid", "v", "cid", F.col("cos").alias("ccos")
+    best = F.max_by(
+        F.struct(F.col("cid"), F.col("cos"), F.col("v")),
+        F.struct(F.col("cos").alias("o1"), (-F.col("cid")).alias("o2")),
+    )
+    return scored.groupBy("vid").agg(best.alias("b")).select(
+        "vid", F.col("b.v").alias("v"), F.col("b.cid").alias("cid"), F.col("b.cos").alias("ccos")
     )
 
 

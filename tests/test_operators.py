@@ -64,17 +64,93 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
 
 
 def test_simhash_dup_invariance(spark, docs):
-    from carbondata_spark.operators.dedup import simhash16
+    from carbondata_spark.operators.dedup import simhash64
 
-    sig = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    rows = simhash64(docs).collect()
+    sig = {r["doc_id"]: r["simhash"] for r in rows}
     # word-permutation invariance: simhash over distinct words ignores order
     shuffled = docs.select(
         "doc_id",
         F.array_join(F.reverse(F.split(F.trim("text"), r"\s+")), " ").alias("text"),
     )
-    sig2 = {r["doc_id"]: r["simhash"] for r in simhash16(shuffled).collect()}
+    sig2 = {r["doc_id"]: r["simhash"] for r in simhash64(shuffled).collect()}
     assert sig == sig2
-    assert all(0 <= v < 65536 for v in sig.values())
+    # 64-bit signature: 16 lowercase hex chars, band ints are 16-bit, and
+    # the hex string is the big-endian packing of the band ints
+    import re
+
+    for r in rows:
+        assert re.fullmatch(r"[0-9a-f]{16}", r["simhash"])
+        for b in range(4):
+            assert 0 <= r[f"sim{b}"] < 65536
+        packed = "".join(f"{r[f'sim{b}']:04x}" for b in range(4))
+        assert packed == r["simhash"]
+    # a 500-doc corpus must not collapse into a handful of signatures
+    # (the old 16-bit signature had only 65536 possible values; 64 bits
+    # makes ACCIDENTAL collisions negligible — the corpus's planted
+    # exact/near duplicates legitimately share signatures, hence 0.8)
+    assert len(set(sig.values())) > len(sig) * 0.8
+
+
+def test_simhash_pairs_equal_bruteforce(spark, docs):
+    """Pigeonhole exactness: the banded 16-bit-bucket join must return
+    EXACTLY the pairs a brute-force all-pairs Hamming scan returns (the
+    bucketing is a lossless optimization for max_hamming < #bands, not a
+    probabilistic filter). Corpus includes the fixture's planted
+    exact/near duplicates, so the result set is non-trivial."""
+    from carbondata_spark.operators.dedup import simhash64, simhash_pairs
+
+    sub = docs.filter(F.col("doc_id") < 200)
+    out = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(sub, max_hamming=3).collect()
+    }
+    sig = simhash64(sub).select("doc_id", "sim0", "sim1", "sim2", "sim3")
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.sim{i}").bitwiseXOR(F.col(f"b.sim{i}"))) for i in range(4)
+    )
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert out == brute
+    assert len(brute) > 0, "fixture's planted duplicates should yield pairs"
+
+
+def test_ngram_jaccard_cap_binds(spark):
+    """max_shingle_freq semantics at a scale where the cap BINDS: a
+    stop-shingle present in more docs than the cap is excluded from both
+    intersections and per-doc sizes (the registered oracle applies the
+    identical HAVING filter)."""
+    from carbondata_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 4 docs sharing the stop shingle "a b c"; docs 1/2 additionally share
+    # "x y z" and "y z w" (their only non-stop shingles).
+    rows = [
+        (1, "a b c x y z w"),
+        (2, "a b c x y z w"),
+        (3, "a b c p q r s"),
+        (4, "a b c t u v h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=3: shingles in >3 docs ("a b c") are dropped. Docs 1/2 keep
+    # identical 4-shingle sets -> jaccard 1.0; docs 3/4 share nothing.
+    out = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    assert out[0]["jaccard"] == 1.0
+    # uncapped: "a b c" counts, so 1-2 still 1.0 but 3-4 now share 1 of 7
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_freq=None).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped}
+    assert pairs[(1, 2)] == 1.0
+    assert (3, 4) in pairs and 0 < pairs[(3, 4)] < 0.5
 
 
 def test_ivf_recall_vs_bruteforce(spark, emb):
