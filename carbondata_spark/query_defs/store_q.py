@@ -193,6 +193,82 @@ def q_complex_nested(spark, sf_dir):
 
 
 @register(
+    "q_complex_sql_load",
+    oracle="""
+    WITH legs AS (
+      SELECT o_orderstatus, 1 AS leg, o_totalprice AS dist
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderstatus, 2 AS leg, o_totalprice * 0.5 AS dist
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_legs,
+           CAST(max(leg) AS INT) AS max_leg,
+           round(sum(dist), 2) AS total_dist
+    FROM legs GROUP BY o_orderstatus
+    """,
+    doc="Complex types through the SQL front-end end-to-end: orders are "
+    "re-encoded as a '$'/':'-delimited CSV (complexdata.csv shape, "
+    "CarbonSqlParser.scala:95-96), the table is CREATEd via SQL with an "
+    "array<struct<leg:int,dist:double>> column, LOAD DATA INPATH parses "
+    "the two-level delimiters into typed nested columns "
+    "(COMPLEX_DELIMITER_LEVEL_1/2 options), and the query explodes the "
+    "array and aggregates struct fields. The oracle rebuilds the same "
+    "legs from raw parquet — a wrong delimiter split, cast, or field "
+    "order breaks the hash.",
+)
+def q_complex_sql_load(spark, sf_dir):
+    import os
+
+    from carbondata_spark.sql import CarbonSession
+    from carbondata_spark.store import CarbonStore
+
+    key = (sf_dir, spark.sparkContext.applicationId, "complex_sql")
+    if key not in _BUILT:
+        base = tempfile.mkdtemp(prefix="carbondata_complexsql_")
+        csv_dir = os.path.join(base, "csv")
+        orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+        # route = "1:<price>$2:<price*0.5>" — double→string→double
+        # round-trips exactly (Java Double.toString), so the oracle's
+        # arithmetic over the raw parquet doubles matches bit-for-bit.
+        enc = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.concat(
+                F.lit("1:"),
+                F.col("o_totalprice").cast("string"),
+                F.lit("$2:"),
+                (F.col("o_totalprice") * 0.5).cast("string"),
+            ).alias("route"),
+        )
+        enc.write.option("delimiter", "|").option("header", False).mode("overwrite").csv(csv_dir)
+        cs = CarbonSession(spark, CarbonStore(spark, os.path.join(base, "store")))
+        cs.sql(
+            "CREATE TABLE complex_orders (o_orderkey bigint, o_orderstatus string,"
+            " route array<struct<leg:int,dist:double>>)"
+        )
+        cs.sql(
+            f"LOAD DATA INPATH '{csv_dir}' INTO TABLE complex_orders"
+            " OPTIONS('delimiter'='|',"
+            " 'fileheader'='o_orderkey,o_orderstatus,route',"
+            " 'complex_delimiter_level_1'='$', 'complex_delimiter_level_2'=':')"
+        )
+        _BUILT[key] = os.path.join(base, "store")
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, _BUILT[key])
+    legs = store.table("complex_orders").select(
+        "o_orderstatus", F.explode("route").alias("r")
+    )
+    return legs.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_legs"),
+        F.max("r.leg").alias("max_leg"),
+        dround(F.sum("r.dist"), 2).alias("total_dist"),
+    )
+
+
+@register(
     "q_store_pruned",
     oracle="""
     SELECT o_orderpriority,

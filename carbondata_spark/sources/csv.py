@@ -76,17 +76,32 @@ def read_csv(
     return df
 
 
-def split_bad_records(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_bad_records(
+    df: DataFrame, staging_dir: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(good_rows, bad_rows) from a capture-mode read. Bad rows keep the
-    raw line for a bad-record log segment."""
+    raw line for a bad-record log segment.
+
+    Consistency without caching the load: PERMISSIVE-mode
+    ``_corrupt_record`` is populated lazily from the scan, so filtering
+    the raw read twice could observe two different parses (and a
+    ``.cache()`` of the whole input is a cluster-wide disk spill at a
+    100-TB load). Instead the parsed frame is written ONCE to a staging
+    parquet location and both halves derive from the materialized data —
+    one pass over the raw files, columnar staging reads after, and the
+    good/bad split is consistent by construction. The staging write is
+    the same work a store load would do anyway; callers that go on to
+    ``store.load(good)`` pay one extra columnar copy, not a re-parse.
+    """
     if CORRUPT_COL not in df.columns:
         return df, df.limit(0)
-    # PERMISSIVE-mode caveat: Spark populates _corrupt_record lazily from
-    # the same scan, so cache before splitting to keep the two halves
-    # consistent.
-    df = df.cache()
-    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(F.col(CORRUPT_COL).alias("raw_line"))
+    import tempfile
+
+    staging_dir = staging_dir or tempfile.mkdtemp(prefix="carbondata_badrecords_")
+    df.write.mode("overwrite").parquet(staging_dir)
+    mat = df.sparkSession.read.parquet(staging_dir)
+    good = mat.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = mat.filter(F.col(CORRUPT_COL).isNotNull()).select(F.col(CORRUPT_COL).alias("raw_line"))
     return good, bad
 
 

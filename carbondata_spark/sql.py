@@ -68,15 +68,26 @@ _I = re.IGNORECASE
 
 
 def _parse_type(s: str) -> T.DataType:
-    s = s.strip().lower()
-    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    """DDL type string → Spark type; keywords case-insensitive, struct
+    field names case-preserving. Handles nesting: array<struct<...>>,
+    struct<a:int, b:array<double>> (CarbonSqlParser.scala:905-933
+    accepts the same surface)."""
+    s = s.strip()
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s, _I)
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
-    m = re.fullmatch(r"array\s*<(.+)>", s)
+    m = re.fullmatch(r"array\s*<(.+)>", s, _I)
     if m:
         return T.ArrayType(_parse_type(m.group(1)))
-    if s in _TYPES:
-        return _TYPES[s]
+    m = re.fullmatch(r"struct\s*<(.+)>", s, _I)
+    if m:
+        fields = []
+        for part in _split_cols(m.group(1)):
+            fname, ftype = part.split(":", 1)
+            fields.append(T.StructField(fname.strip(), _parse_type(ftype)))
+        return T.StructType(fields)
+    if s.lower() in _TYPES:
+        return _TYPES[s.lower()]
     raise ValueError(f"unsupported type: {s}")
 
 
@@ -262,9 +273,17 @@ class CarbonSession:
         if routed is not None:
             return routed
 
-        # passthrough: register store tables as views, run Spark SQL
+        # passthrough: register ONLY the store tables the statement
+        # references as views, then run Spark SQL. Building a view is
+        # O(#segments) driver work (manifest read + per-segment scan
+        # union), so registering every table on every sql() call would be
+        # O(#tables × #segments) per statement; token matching keeps it
+        # proportional to the statement. False positives (a table name in
+        # a string literal) cost one extra view build, never correctness.
+        tokens = {tok.lower() for tok in re.findall(r"[A-Za-z_]\w*", s)}
         for tname in self.store.tables():
-            self.store.register_view(tname)
+            if tname.lower() in tokens:
+                self.store.register_view(tname)
         return self.spark.sql(s)
 
     # -- LOAD DATA ---------------------------------------------------------
@@ -272,8 +291,16 @@ class CarbonSession:
     def _load_data(self, path: str, table: str, opts: dict[str, str]) -> int:
         """LOAD DATA INPATH → one segment. Options (reference surface):
         DELIMITER, QUOTECHAR, ESCAPECHAR, FILEHEADER, MULTILINE,
-        BAD_RECORDS_ACTION (fail|drop|capture), FORMAT (csv|parquet|json|orc),
-        TIMESTAMP_FORMAT."""
+        COMPLEX_DELIMITER_LEVEL_1/2, BAD_RECORDS_ACTION
+        (fail|drop|capture), FORMAT (csv|parquet|json|orc),
+        TIMESTAMP_FORMAT.
+
+        Complex-typed columns (array/struct in the table schema) arrive in
+        the CSV as two-level delimited strings ('$' between elements, ':'
+        between struct fields — CarbonSqlParser.scala:95-96,
+        complexdata.csv): the CSV reader cannot parse nested types, so
+        those columns are read as strings and rebuilt with
+        ``with_complex_columns`` (codegen split/cast, no Python)."""
         fmt = opts.get("format", "csv").lower()
         if fmt == "parquet":
             df = self.spark.read.parquet(path)
@@ -286,15 +313,32 @@ class CarbonSession:
 
             df = read_orc(self.spark, path)
         else:
-            from carbondata_spark.sources.csv import read_csv, split_bad_records
+            from carbondata_spark.sources.csv import (
+                read_csv,
+                split_bad_records,
+                with_complex_columns,
+            )
 
             fileheader = None
             if "fileheader" in opts:
                 fileheader = [c.strip() for c in opts["fileheader"].split(",")]
+            schema = self.store.schema(table)
+            complex_cols = {
+                f.name: f.dataType
+                for f in schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.StructType))
+            }
+            if complex_cols:
+                schema = T.StructType(
+                    [
+                        T.StructField(f.name, T.StringType() if f.name in complex_cols else f.dataType)
+                        for f in schema.fields
+                    ]
+                )
             df = read_csv(
                 self.spark,
                 path,
-                schema=self.store.schema(table),
+                schema=schema,
                 delimiter=opts.get("delimiter", ","),
                 quotechar=opts.get("quotechar", '"'),
                 escapechar=opts.get("escapechar", "\\"),
@@ -304,6 +348,13 @@ class CarbonSession:
                 bad_records_action=opts.get("bad_records_action", "drop"),
             )
             df, _bad = split_bad_records(df)
+            if complex_cols:
+                df = with_complex_columns(
+                    df,
+                    complex_cols,
+                    delim1=opts.get("complex_delimiter_level_1", "$"),
+                    delim2=opts.get("complex_delimiter_level_2", ":"),
+                )
         return self.store.load(table, df)
 
     # -- rollup routing ----------------------------------------------------

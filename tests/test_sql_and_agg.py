@@ -45,6 +45,77 @@ def test_sql_create_complex_types(cs):
     assert schema["amount"].dataType == T.DecimalType(10, 2)
 
 
+def test_sql_create_struct_types(cs):
+    """struct<...> in DDL, incl. nesting and case-preserved field names
+    (CarbonSqlParser.scala:905-933 accepts the same surface)."""
+    cs.sql(
+        "CREATE TABLE s (id int, device struct<macId:string, locked:boolean>,"
+        " route array<struct<leg:int, dist:double>>)"
+    )
+    schema = cs.store.schema("s")
+    dev = schema["device"].dataType
+    assert isinstance(dev, T.StructType)
+    assert [f.name for f in dev.fields] == ["macId", "locked"]
+    assert dev["locked"].dataType == T.BooleanType()
+    route = schema["route"].dataType
+    assert isinstance(route, T.ArrayType) and isinstance(route.elementType, T.StructType)
+    assert route.elementType["dist"].dataType == T.DoubleType()
+
+
+def test_sql_load_complexdata_csv(cs, tmp_path):
+    """LOAD DATA with COMPLEX_DELIMITER_LEVEL_1/2 over a complexdata.csv-
+    shaped file: '$' between array elements, ':' inside structs
+    (reference: integration/spark/src/test/resources/complexdata.csv)."""
+    p = tmp_path / "complex.csv"
+    p.write_text(
+        "1,alice,mac1:10$mac2:20,7:true\n"
+        "2,bob,mac9:90,8:false\n"
+    )
+    cs.sql(
+        "CREATE TABLE cx (id int, name string,"
+        " macs array<struct<mac:string, val:int>>,"
+        " dev struct<ver:int, ison:boolean>)"
+    )
+    cs.sql(
+        f"LOAD DATA INPATH '{p}' INTO TABLE cx"
+        " OPTIONS('fileheader'='id,name,macs,dev',"
+        " 'complex_delimiter_level_1'='$', 'complex_delimiter_level_2'=':')"
+    )
+    rows = {r["id"]: r for r in cs.sql("SELECT * FROM cx").collect()}
+    assert rows[1]["macs"] == [("mac1", 10), ("mac2", 20)]
+    assert rows[2]["macs"] == [("mac9", 90)]
+    assert rows[1]["dev"] == (7, True)
+    assert rows[2]["dev"] == (8, False)
+    # nested fields queryable through the SQL passthrough
+    out = cs.sql(
+        "SELECT id, dev.ver AS ver, size(macs) AS n FROM cx ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["ver"], r["n"]) for r in out] == [(1, 7, 2), (2, 8, 1)]
+
+
+def test_sql_passthrough_registers_only_referenced_views(cs, spark):
+    """One sql() statement must not rebuild every table's segment-union
+    view (O(#tables × #segments) driver work per statement) — only the
+    tables the statement references."""
+    for name in ("ta", "tb", "tc"):
+        cs.sql(f"CREATE TABLE {name} (id bigint)")
+        cs.store.load(name, spark.range(5).select(F.col("id")))
+    calls: list[str] = []
+    orig = cs.store.register_view
+
+    def tracking(tname, view_name=None):
+        calls.append(tname)
+        return orig(tname, view_name)
+
+    cs.store.register_view = tracking
+    try:
+        n = cs.sql("SELECT count(*) AS n FROM ta").collect()[0]["n"]
+    finally:
+        cs.store.register_view = orig
+    assert n == 5
+    assert calls == ["ta"], f"registered {calls}, expected only the referenced table"
+
+
 def test_csv_roundtrip_with_complex(spark, tmp_path):
     from carbondata_spark.sources.csv import read_csv, split_bad_records, with_complex_columns
 
