@@ -113,13 +113,17 @@ def tfidf_top_terms(
     """Top-k characteristic terms per document by TF-IDF
     (tf * ln(N/df), natural log, rank ties broken by term).
 
-    Plan: word explode → (doc, word) tf aggregate → word df aggregate →
-    shuffle join on the word key → per-doc window top-k. Both shuffles key
-    on high-cardinality, well-distributed values (doc×word, word); nothing
-    is collected to the driver or broadcast, so the operator scales with
-    the corpus — on a heavy-tailed 100-TB vocabulary (billions of keys)
-    the df side cannot fit a broadcast, and the word-key shuffle join is
-    the scale-safe plan (AQE still turns it into a broadcast join
+    Plan: ONE word explode → (doc, word) tf aggregate → document
+    frequency derived FROM the tf rows (tf already holds one row per
+    (doc, word), so df = plain count per word — no second explode over
+    the corpus and no countDistinct expand; the duplicated tf subplan
+    collapses into a ReusedExchange) → shuffle join on the word key →
+    per-doc window top-k. Both shuffles key on high-cardinality,
+    well-distributed values (doc×word, word); nothing is collected to
+    the driver or broadcast, so the operator scales with the corpus —
+    on a heavy-tailed 100-TB vocabulary (billions of keys) the df side
+    cannot fit a broadcast, and the word-key shuffle join is the
+    scale-safe plan (AQE still turns it into a broadcast join
     automatically when the vocabulary happens to be small).
     """
     from pyspark.sql import Window as W
@@ -132,7 +136,7 @@ def tfidf_top_terms(
         F.explode(_words(F.lower(F.col(text_col)))).alias("w"),
     )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = df.count()
     scored = tf.join(dfreq, "w").select(
         "doc_id",

@@ -44,10 +44,14 @@ from carbondata_spark.functions import dround
     GROUP BY l_returnflag, l_linestatus
     """,
     headline=True,
-    doc="TPC-H Q1 pricing summary: full-scan groupBy + 8 aggregates.",
+    doc="TPC-H Q1 pricing summary: full-scan groupBy + 8 aggregates, read "
+    "through the CarbonStore segment-union scan path (fact_store.py — "
+    "CarbonQueryRDD parity: reference queries never read raw files).",
 )
 def q01(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    from carbondata_spark.fact_store import fact_table
+
+    li = fact_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -76,10 +80,13 @@ def q01(spark, sf_dir):
       AND l_quantity < 24
     """,
     headline=True,
-    doc="TPC-H Q6: selective multi-predicate filter + single agg (pushdown probe).",
+    doc="TPC-H Q6: selective multi-predicate filter + single agg (pushdown "
+    "probe), read through the CarbonStore segment-union scan path.",
 )
 def q06(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    from carbondata_spark.fact_store import fact_table
+
+    li = fact_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -250,11 +257,13 @@ def q_cube(spark, sf_dir):
     "deterministic tiebreak on l_orderkey).",
 )
 def q03(spark, sf_dir):
+    from carbondata_spark.fact_store import fact_table
+
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = t(spark, sf_dir, "orders").filter(
+    orders = fact_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
-    li = t(spark, sf_dir, "lineitem").filter(
+    li = fact_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
@@ -292,12 +301,14 @@ def q03(spark, sf_dir):
     "table, so their join strategy is left to AQE.",
 )
 def q05(spark, sf_dir):
+    from carbondata_spark.fact_store import fact_table
+
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").filter(
+    orders = fact_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = t(spark, sf_dir, "lineitem")
+    li = fact_table(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")

@@ -106,6 +106,24 @@ def test_semi_join_stays_semi(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_fact_store_scan_pushdown(spark, sf_dir):
+    """Headline OLAP now reads facts through the CarbonStore segment
+    union; Catalyst must push filters and column pruning through the
+    Union into EVERY per-segment parquet scan — otherwise the store
+    routing would trade correctness coverage for plan quality."""
+    plan = plan_of(spark, sf_dir, "q06_revenue_forecast")
+    # same-schema segments collapse into ONE multi-path FileScan (store.py
+    # table(): spark.read.parquet(*paths)) — a single scan node, not a
+    # Union — and the filter/pruning must reach it
+    assert "PushedFilters" in plan and "l_shipda" in plan
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_comment" not in scan_line and "l_orderkey" not in scan_line
+    # the query must actually read BOTH segments' files
+    df = registry()["q06_revenue_forecast"].fn(spark, sf_dir)
+    files = df.inputFiles()
+    assert any("Segment_0" in f for f in files) and any("Segment_1" in f for f in files)
+
+
 def test_store_load_clusters_on_sort_columns(spark, tmp_path, sf_dir):
     """Loads must produce parquet row groups clustered on sort columns so
     min/max stats prune like the reference's blocklet B-tree."""
