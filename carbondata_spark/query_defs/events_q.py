@@ -82,6 +82,49 @@ def q_asof_join(spark, sf_dir):
 
 
 @register(
+    "q_stream_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE user_id < 200),
+    flag AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flag
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Per-session rows via F.session_window (30-min gap; batch form of "
+    "the streaming sessionized operator — identical code runs with a "
+    "watermark on a stream). Oracle = gaps-and-islands; the > 1800 "
+    "boundary matches session_window's inclusive window extension.",
+)
+def q_stream_session_window(spark, sf_dir):
+    from carbondata_spark.streaming.ingest import sessionized
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    out = sessionized(ev, gap="30 minutes", group_cols=["user_id"])
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        dround(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "q_sessionize",
     oracle="""
     WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

@@ -360,21 +360,47 @@ class CarbonSession:
     # -- rollup routing ----------------------------------------------------
 
     def _try_rollup_route(self, s: str) -> DataFrame | None:
-        """Answer ``SELECT <dims|aggs> FROM <fact> GROUP BY <dims>`` from a
-        matching aggregate table (plans/agg_table.rewrite_aggregate
-        algebra). Returns None when the statement is not that shape, the
-        table has no rollups, or an aggregate is not derivable — the
-        caller then falls through to the normal Spark SQL passthrough, so
-        routing is always semantics-preserving."""
-        m = re.fullmatch(r"select (.+) from (\w+) group by ([\w\s,]+)", s, _I)
+        """Answer ``SELECT <dims|aggs> FROM <fact> [WHERE <dim preds>]
+        GROUP BY <dims>`` from a matching aggregate table
+        (plans/agg_table.rewrite_aggregate algebra). Returns None when the
+        statement is not that shape, the table has no rollups, or an
+        aggregate is not derivable — the caller then falls through to the
+        normal Spark SQL passthrough, so routing is always
+        semantics-preserving.
+
+        WHERE routing rule: every column the predicate references must be
+        a dimension of the chosen rollup (filter cols join the required
+        dim set for ``choose_rollup``); the summary is filtered BEFORE
+        combining partials, which is sound because a predicate on group
+        columns selects whole groups — it never splits a partial. A
+        predicate touching a measure (or anything not a fact column)
+        disqualifies routing."""
+        m = re.fullmatch(
+            r"select (.+?) from (\w+)(?: where (.+))? group by ([\w\s,]+)", s, _I
+        )
         if not m:
             return None
-        fact = m.group(2)
+        fact, where_s = m.group(2), m.group(3)
         if fact not in self.store.tables():
             return None
         from carbondata_spark.plans.agg_table import choose_rollup
 
-        group_cols = [c.strip() for c in m.group(3).split(",")]
+        group_cols = [c.strip() for c in m.group(4).split(",")]
+        filter_cols: set[str] = set()
+        if where_s:
+            # identifiers = word tokens outside string literals that are
+            # not predicate keywords; ALL must be fact columns (else an
+            # expression we cannot reason about -> no routing)
+            no_lit = re.sub(r"'[^']*'", "''", where_s)
+            kw = {"and", "or", "not", "in", "like", "between", "is", "null",
+                  "true", "false", "escape"}
+            idents = {
+                tok for tok in re.findall(r"[A-Za-z_]\w*", no_lit) if tok.lower() not in kw
+            }
+            fact_cols = set(self.store.schema(fact).fieldNames())
+            if not idents <= fact_cols:
+                return None
+            filter_cols = idents
         items = [i.strip() for i in _split_cols(m.group(1))]
         measures: dict[str, list[str]] = {}
         out_cols: list[tuple[str, str | None, str]] = []  # (fn|dim|count_star, col, alias)
@@ -393,10 +419,14 @@ class CarbonSession:
                 out_cols.append(("dim", it, it))
             else:
                 return None
-        chosen = choose_rollup(self.store, fact, group_cols, measures)
+        chosen = choose_rollup(
+            self.store, fact, [*group_cols, *sorted(filter_cols - set(group_cols))], measures
+        )
         if chosen is None:
             return None
         summary = self.store.table(f"{fact}_agg_{chosen}")
+        if where_s:
+            summary = summary.filter(F.expr(where_s))
         aggs = []
         for kind, col, alias in out_cols:
             if kind == "dim":

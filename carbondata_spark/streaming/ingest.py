@@ -99,6 +99,41 @@ def running_user_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def sessionized(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event-time SESSION windows (``F.session_window``): a session groups
+    consecutive events per key whose inter-event gap is ≤ the gap duration
+    (an event exactly ``gap`` after its predecessor still merges — window
+    extension is inclusive; verified empirically and mirrored by the
+    ``> gap`` boundary in the batch/oracle gaps-and-islands form,
+    q_sessionize / q_stream_session_window).
+
+    Works identically on a stream (watermark evicts closed-session state;
+    state shards on the group key) and on a batch DataFrame — the batch
+    form IS the oracle for the streaming path
+    (tests/test_streaming.py::test_session_window_streaming_matches_batch).
+
+    Scale: state per key is bounded by the watermark horizon; the shuffle
+    keys are the group columns, so sessions for different users build on
+    different executors — the Spark-native upgrade of the reference's
+    minute-granularity incremental loads (no session concept there;
+    green-field per SURVEY §2.9).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.session_window(ts_col, gap)] + [F.col(c) for c in (group_cols or ["user_id"])]
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
 def windowed_agg(
     events: DataFrame,
     ts_col: str = "ts",

@@ -322,6 +322,39 @@ def test_sql_create_aggregatetable_and_transparent_routing(cs, spark):
     assert not any("_agg_byrp" in f for f in fallthrough.inputFiles())
     assert {r["region"]: r["m"] for r in fallthrough.collect()} == {"east": 0.0, "west": 1.0}
 
+    # WHERE on rollup dims routes too: predicate columns ⊆ rollup dims,
+    # summary filtered BEFORE combining partials (whole groups selected)
+    routed_w = cs.sql(
+        "SELECT region, sum(amount) AS s FROM fact"
+        " WHERE product IN ('p0', 'p1') AND region = 'east' GROUP BY region"
+    )
+    assert any("_agg_byrp" in f for f in routed_w.inputFiles())
+    direct_w = (
+        cs.store.table("fact")
+        .filter(F.col("product").isin("p0", "p1") & (F.col("region") == "east"))
+        .groupBy("region")
+        .agg(F.sum("amount").alias("s"))
+    )
+    got_w = {r["region"]: r["s"] for r in routed_w.collect()}
+    want_w = {r["region"]: r["s"] for r in direct_w.collect()}
+    assert got_w.keys() == want_w.keys() == {"east"}
+    assert abs(got_w["east"] - want_w["east"]) < 1e-6
+
+    # WHERE on a MEASURE must not route (filtering partials is unsound)
+    no_route = cs.sql(
+        "SELECT region, sum(amount) AS s FROM fact WHERE qty > 2 GROUP BY region"
+    )
+    assert not any("_agg_byrp" in f for f in no_route.inputFiles())
+    want_m = {
+        r["region"]: r["s"]
+        for r in cs.store.table("fact")
+        .filter(F.col("qty") > 2)
+        .groupBy("region")
+        .agg(F.sum("amount").alias("s"))
+        .collect()
+    }
+    assert {r["region"]: r["s"] for r in no_route.collect()} == pytest.approx(want_m)
+
 
 def test_sql_mixed_case_identifiers_and_literals(cs, spark):
     cs.sql("CREATE TABLE MixedCase (Id bigint, CityName string)")

@@ -73,6 +73,47 @@ def test_windowed_agg_streaming_matches_batch(spark, tmp_path, sf_dir):
         assert abs(s_b - s_s) < 1e-9
 
 
+def test_session_window_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """The STREAMING session_window path (watermark + state eviction)
+    must produce exactly the batch sessionization over the same events,
+    fed one file per micro-batch so sessions span batch boundaries."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.streaming.ingest import sessionized
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50).cache()
+    src = tmp_path / "ev_sess"
+    # split by time so one user's session can straddle micro-batches
+    med = ev.approxQuantile("event_id", [0.5], 0.01)[0]
+    ev.filter(F.col("event_id") <= med).write.parquet(str(src / "f0"))
+    ev.filter(F.col("event_id") > med).write.parquet(str(src / "f1"))
+
+    batch_rows = {
+        (r["user_id"], r["session_window"]["start"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in sessionized(ev).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        sessionized(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["user_id"], r["session_window"]["start"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert batch_rows == stream_rows
+    assert len(batch_rows) > 0
+
+
 def test_stateful_running_stats_across_batches(spark, tmp_path, sf_dir):
     """applyInPandasWithState must carry state across micro-batches: with
     one file per trigger, the final per-user totals equal the batch
