@@ -192,6 +192,14 @@ def train_centroids(
     means with element-wise array aggregation. Centroid count is small by
     design (IVF lists), so the broadcast is cheap; the only shuffle is
     the groupBy(centroid) over (a sample of) the corpus.
+
+    The mean recompute is dimension-agnostic: posexplode to
+    (cid, pos, val) and hash-aggregate on (cid, pos). Partial aggregation
+    reduces each map task to at most k*dim rows before the shuffle, so
+    the exploded form costs no more shuffle volume than per-dimension sum
+    columns would — and, unlike one generated sum expression per
+    dimension, it neither blows up codegen at dim=768+ nor needs a
+    driver-side action to probe the vector width.
     """
     data = corpus.select(F.col(id_col).alias("vid"), F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
     if sample_fraction:
@@ -202,16 +210,21 @@ def train_centroids(
         .select(F.monotonically_increasing_id().alias("cid"), F.col("v").alias("cv"))
         .select(F.row_number().over(W.orderBy("cid")).alias("cid"), "cv")
     )
-    dim = len(data.select("v").first()["v"])
     for _ in range(iters):
         assigned = _assign(data, cents)
-        sums = assigned.groupBy("cid").agg(
-            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
-            F.count("*").alias("n"),
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
         )
-        cents = sums.select(
-            "cid",
-            F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("cv"),
+        cents = (
+            sums.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+                ).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda x: x["m"]).alias("cv"))
         )
     return cents
 

@@ -347,9 +347,14 @@ def q_array_ops(spark, sf_dir):
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # approximate sketches are engine-specific; rows-only check
+    oracle=None,  # PERMANENTLY no_oracle BY DESIGN: Spark's HLL++ and
+    # DuckDB's HLL are different sketches with different biases, so their
+    # approximate answers legitimately differ — no cross-engine value
+    # oracle can exist. Error bounds vs the exact answers are asserted in
+    # tests/test_approx.py instead (the strongest check available).
     doc="Approximate distinct + approximate quantiles (HLL / KLL sketches; "
-    "no cross-engine oracle — accuracy asserted in tests vs exact values).",
+    "no cross-engine oracle BY DESIGN — sketch outputs are engine-specific; "
+    "accuracy asserted in tests vs exact values).",
 )
 def q_approx_distinct(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
