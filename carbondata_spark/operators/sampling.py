@@ -1,0 +1,149 @@
+"""Corpus sampling / selection operators for training-data pipelines.
+
+Every operator here is DETERMINISTIC — selection is content-addressed
+(md5 of a stable key) rather than RNG-seeded, so a re-run over the same
+corpus (or an incremental run over a grown corpus) selects a stable,
+reproducible subset. That property is what a production training-data
+pipeline needs: resumable sampling, auditable inclusion decisions, and a
+cross-engine SQL oracle for every operator.
+
+Scale notes (100 TB):
+
+- ``hash_sample``      — pure map-side filter, zero shuffle; the filter is
+  a codegen'd expression pushed past the scan's column pruning.
+- ``stratified_sample`` — one shuffle keyed on the strata; per-stratum
+  top-N via row_number. For tiny N over giant strata, pre-thin with
+  ``hash_sample`` first (composition is exact because both stages order
+  by the same md5 key).
+- ``keep_best_dedup``  — single hash aggregate with map-side combine
+  (max_by), the same shape as exact dedup; no window, no sort.
+- ``token_budget_mix`` — rate-based domain mixing: per-domain token
+  totals (one partial-aggregated shuffle of #domains rows), then a
+  map-side uniform-hash filter at rate budget/total. Deliberately
+  approximate-budget rather than exact-prefix: an exact "take docs until
+  the running total hits the budget" needs an ordered scan of each whole
+  domain through a single task (window cumsum = one task per domain at
+  any scale), while the rate filter is embarrassingly parallel and lands
+  within ~1/sqrt(n_docs) of the budget. Both engines compute the same
+  arithmetic, so the oracle is still exact.
+
+The reference has no sampling surface (its LOAD path ingests everything:
+integration/spark/.../CarbonTableOutputFormat usage in
+CarbonDataRDDFactory.scala:94); these operators are the
+training-data-pipeline extension the rebuild adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 32)  # first 8 md5 hex chars → uniform in [0, 2^32)
+
+
+def _key_hash(key_col: str) -> Column:
+    """md5 of the stringified key — the shared deterministic ordering /
+    selection key (portable: DuckDB md5() produces identical hex)."""
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def _key_frac(key_col: str) -> Column:
+    """Uniform [0,1) from the first 8 md5 hex chars. conv() → string of a
+    decimal < 2^32, exactly representable in double, so the division and
+    comparison are bit-identical to the oracle's hex arithmetic."""
+    return F.conv(F.substring(_key_hash(key_col), 1, 8), 16, 10).cast("double") / F.lit(
+        HASH_SPACE
+    )
+
+
+def hash_sample(df: DataFrame, keep: int = 2, out_of: int = 16, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic ``keep/out_of`` sample: keep rows whose first md5 hex
+    digit of the key falls below the cut. Zero-shuffle map-side filter.
+
+    ``out_of`` must be 16 (one hex digit of selectivity granularity);
+    finer rates go through ``token_budget_mix``'s 32-bit fraction.
+    """
+    if out_of != 16:
+        raise ValueError("hash_sample granularity is 1/16; use a fraction-based op for finer rates")
+    digit = F.conv(F.substring(_key_hash(key_col), 1, 1), 16, 10).cast("int")
+    return df.filter(digit < F.lit(keep))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """First ``n_per_stratum`` rows per stratum in md5-key order — a
+    deterministic pseudo-random fixed-size sample per group, with the
+    selection rank exposed as ``sample_rank``."""
+    w = W.partitionBy(*strata_cols).orderBy(_key_hash(key_col), F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def keep_best_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST row per content hash (max quality,
+    ties to the lowest id) instead of an arbitrary survivor.
+
+    One hash aggregate: ``max_by(struct(<all cols>), struct(quality,
+    -id))`` combines map-side, so each task reduces its rows to one
+    candidate per content hash before the single shuffle — same plan
+    shape as ``dedup_exact`` (operators/dedup.py:70) with a richer
+    survivor policy.
+    """
+    cols = df.columns
+    best = F.max_by(
+        F.struct(*cols),
+        F.struct(F.col(quality_col).alias("o1"), (-F.col(id_col)).alias("o2")),
+    )
+    return (
+        df.withColumn("_content_hash", F.md5(F.col(content_col)))
+        .groupBy("_content_hash")
+        .agg(best.alias("b"))
+        .select(*[F.col(f"b.{c}").alias(c) for c in cols])
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain mixing to a per-domain token budget.
+
+    Each domain keeps a deterministic uniform-hash subset whose expected
+    token mass equals ``budgets[domain]`` (domains absent from the dict
+    are dropped; rate is clamped to 1). Two jobs: a partial-aggregated
+    token-total per domain (shuffles #domains rows), then a map-side
+    filter ``frac(key) < budget/total`` — no per-domain sequential scan,
+    so one hot domain cannot serialize the job the way a window-cumsum
+    formulation would.
+    """
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = df.withColumn("n_tokens", ntok.cast("long"))
+    totals = toks.groupBy(domain_col).agg(F.sum("n_tokens").alias("_total"))
+    budget_col = F.create_map(
+        *[x for d, b in sorted(budgets.items()) for x in (F.lit(d), F.lit(int(b)))]
+    )[F.col(domain_col)]
+    rates = totals.select(
+        domain_col,
+        F.least(F.lit(1.0), budget_col.cast("double") / F.col("_total").cast("double")).alias(
+            "_rate"
+        ),
+    ).filter(F.col("_rate").isNotNull())
+    return (
+        toks.join(F.broadcast(rates), domain_col)
+        .filter(_key_frac(id_col) < F.col("_rate"))
+        .drop("_rate")
+    )

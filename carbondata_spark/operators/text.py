@@ -168,3 +168,24 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x).cast("double") % F.lit(2147483647.0)
     )
     return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_roll", roll.cast("long"))
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-k words by DOCUMENT frequency.
+
+    Per-document distinct words come from ``array_distinct`` on the split
+    array — dedup happens inside the row (map-side, no shuffle) instead
+    of an explode + distinct (which would shuffle every token). The one
+    shuffle is the word-count hash aggregate (partial agg combines
+    map-side), and the top-k is TakeOrderedAndProject — no global sort of
+    the vocabulary.
+    """
+    words = df.select(
+        F.explode(F.array_distinct(_words(F.col(text_col)))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("word"))
+        .limit(k)
+    )

@@ -90,6 +90,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "p_sim_cosine_pairs",
     "q_complex_sql_load",
     "q_stream_session_window",
+    # round 3 new sampling / mixing / vocab / embedding-dedup operators
+    "p_sample_hash",
+    "p_sample_stratified",
+    "p_dedup_keep_best",
+    "p_mix_token_budget",
+    "p_text_vocab",
+    "p_dedup_embedding_groups",
     # keep the core store scan path under the hard signal every round
     "q_store_scan",
     "q_store_pruned",

@@ -151,3 +151,35 @@ def test_store_load_clusters_on_sort_columns(spark, tmp_path, sf_dir):
         1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
     )
     assert overlaps <= len(ranges) // 2, f"files not range-clustered: {ranges}"
+
+
+def test_hash_sample_zero_shuffle(spark, sf_dir):
+    """hash_sample is a pure map-side filter: no Exchange anywhere —
+    the property that makes it free at 100 TB."""
+    plan = plan_of(spark, sf_dir, "p_sample_hash")
+    assert "Exchange" not in plan
+
+
+def test_keep_best_dedup_no_window(spark, sf_dir):
+    """Survivor selection is a max_by hash aggregate (map-side combine),
+    not a row_number window (full shuffle + sort of every duplicate)."""
+    plan = plan_of(spark, sf_dir, "p_dedup_keep_best")
+    assert "Window" not in plan
+    # struct-valued max_by buffers force SortAggregate, but the partial
+    # (map-side) phase is what matters: each task reduces to one candidate
+    # per content hash BEFORE the shuffle — the window formulation would
+    # shuffle every duplicate row.
+    assert "partial_max_by" in plan
+
+
+def test_vocab_topk_take_ordered(spark, sf_dir):
+    """Top-k vocabulary must not globally sort the vocabulary."""
+    plan = plan_of(spark, sf_dir, "p_text_vocab")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_mix_no_window_cumsum(spark, sf_dir):
+    """Domain mixing is rate-based: no per-domain window cumsum (which
+    would funnel each domain through a single task at any scale)."""
+    plan = plan_of(spark, sf_dir, "p_mix_token_budget")
+    assert "Window" not in plan
