@@ -1,0 +1,69 @@
+"""Document chunking for training-data preparation: split each document
+into fixed-token-budget chunks while preserving document order.
+
+Scale notes (100 TB): chunking is a pure per-row transformation — the
+chunk index array is built with ``sequence`` and each chunk sliced out of
+the token array with ``slice``/``array_join``, then exploded. Zero
+shuffle, whole-stage codegen, embarrassingly parallel; output
+partitioning inherits the scan. This is the shape a tokenizer-sharding
+stage wants: no repartition before the write, and deterministic
+(chunk boundaries depend only on the document, not on partitioning).
+
+The reference has no text-pipeline surface (its LOAD path is
+CSV→columnar ETL, processing/.../CarbonDataLoadRDD-era graph); chunking
+is part of the training-data extension layer built on the same DataFrame
+API its query path delegates to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into consecutive chunks of at most
+    ``max_tokens`` whitespace tokens.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text) — chunk_id is
+    0-based and consecutive; every token lands in exactly one chunk; the
+    last chunk of a document may be short. Empty/whitespace-only docs
+    produce a single empty chunk (chunk_id 0) so no document silently
+    disappears from the corpus.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(max_tokens)).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("w"),
+        F.explode(idx).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_id") * max_tokens + 1, max_tokens)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic output sharding: shard = first 8 md5 hex chars of the
+    key mod ``n_shards`` — content-addressed (stable across runs and
+    engines, unlike ``pmod(hash(...))`` whose hash is Spark-specific), so
+    an incremental pipeline re-run routes every document to the same
+    shard. Map-side expression; the subsequent write would
+    ``repartition(n_shards, "shard")`` for one file per shard.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+    return df.withColumn("shard", (h.cast("long") % n_shards).cast("int"))

@@ -52,8 +52,14 @@ def shingles_df(
 
     df = ensure_parallelism(df)
     w = words_col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    # Spark's sequence(1, stop) DESCENDS into [1, 0] when stop < 1 (and
+    # slice(start=0) then throws), so documents shorter than n words must
+    # short-circuit to an empty shingle set BEFORE the sequence is built —
+    # matching the oracle's empty range(1, len-n+1).
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    grams = F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    )
     # dedup at DataFrame level (hash aggregate, codegen) — array_distinct
     # inside the row is O(len²) interpreted string comparisons
     return (
@@ -441,4 +447,43 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, count the
+    distinct word ``n``-grams it shares with ANY document in the held-out
+    eval set (the standard train/test-overlap check before training).
+    Returns (doc_id, n_shared) for contaminated documents only.
+
+    Plan shape: shingle explode on both sides; the eval side is reduced
+    to DISTINCT shingles first, so the equi-join on the shingle string
+    has multiplicity 1 per (corpus-shingle, eval-set) — a stop-shingle
+    shared by k eval docs cannot fan out k× (no quadratic blowup; this is
+    the same inverted-index discipline as ``ngram_jaccard_pairs``). One
+    shuffle for the join (keyed on the high-cardinality shingle string),
+    one hash aggregate for the per-doc count. At 100 TB the eval side is
+    typically small enough that AQE converts the join to a broadcast.
+    """
+    c_sh = shingles_df(corpus, id_col=id_col, text_col=text_col, n=n)
+    e_sh = (
+        shingles_df(eval_set, id_col=id_col, text_col=text_col, n=n)
+        .select("s")
+        .distinct()
+    )
+    return (
+        c_sh.join(e_sh, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
     )

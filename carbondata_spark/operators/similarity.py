@@ -315,3 +315,37 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.col("cos").alias("cosine"), F.col("rn").alias("rank"))
     )
+
+
+def knn_pairs(
+    df: DataFrame,
+    k: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Thresholded k-NN self-join: for every vector, its top-``k`` most
+    similar neighbors among those with rounded cosine ≥ ``threshold``.
+    EXACT (within the threshold) — candidates come from the losslessly
+    pruned ``cosine_pairs``, so no all-pairs join; the threshold is what
+    makes a kNN join tractable at corpus scale (an unthresholded exact
+    kNN is inherently quadratic — use ``ivf_topk`` for that trade).
+
+    The per-vector top-k runs AFTER threshold thinning, so the window
+    sorts only candidate neighbors (bounded per vector), not the corpus.
+    Ties break on ascending neighbor id for engine-independent results.
+    """
+    pairs = cosine_pairs(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    sym = pairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -189,3 +189,26 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("word"))
         .limit(k)
     )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Within-document repetition score: fraction of word n-grams that are
+    repeats of an earlier n-gram in the same document (0 = no repetition,
+    → 1 = highly repetitive). The standard Gopher-style "repeated n-gram
+    fraction" filter signal for boilerplate/spam.
+
+    Entirely in-row (build the n-gram array with sequence+transform,
+    count distincts with array_distinct): zero shuffle, scales linearly.
+    Documents with fewer than ``n`` words score 0.0.
+    """
+    w = _words(F.col(text_col))
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so short
+    # documents must short-circuit before the sequence is built
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    rep = F.when(F.size(w) < n, F.lit(0.0)).otherwise(
+        (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+    )
+    return df.withColumn("rep_ngram_frac", dround(rep, 4)).withColumn(
+        "n_ngrams", F.greatest(F.size(w) - (n - 1), F.lit(0)).cast("int")
+    )

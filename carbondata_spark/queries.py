@@ -97,6 +97,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "p_mix_token_budget",
     "p_text_vocab",
     "p_dedup_embedding_groups",
+    # round 3 chunking / repetition / decontamination / sharding / kNN
+    "p_doc_chunk",
+    "p_text_repetition",
+    "p_decontaminate",
+    "p_shard_assign",
+    "p_sim_knn",
     # keep the core store scan path under the hard signal every round
     "q_store_scan",
     "q_store_pruned",

@@ -1,0 +1,155 @@
+"""Training-data pipeline queries, part 3: document chunking, repetition
+scoring, benchmark decontamination, output sharding, thresholded kNN.
+
+These complete the pre-training data-prep story: chunk documents to a
+token budget, score boilerplate repetition, strip train/test overlap
+against a held-out eval split, shard the output deterministically, and
+link each vector to its nearest neighbors. All selection/routing is
+content-addressed (md5) so every operator has an exact cross-engine
+oracle and re-runs are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from carbondata_spark.queries import register, t
+from carbondata_spark.query_defs.pipeline import _hex4_sql
+
+_KEY_MD5 = "md5(CAST(doc_id AS VARCHAR))"
+_KEY_U32 = f"(({_hex4_sql(_KEY_MD5, 1)}) * 65536 + ({_hex4_sql(_KEY_MD5, 5)}))"
+
+
+@register(
+    "p_doc_chunk",
+    oracle=r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    c AS (SELECT doc_id, w,
+                 unnest(range(0, CAST(greatest(ceil(len(w) / 32.0), 1) AS INT)))
+                   AS chunk_id
+          FROM w)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(w[chunk_id * 32 + 1 : chunk_id * 32 + 32]) AS INT) AS n_tokens,
+           array_to_string(w[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ')
+             AS chunk_text
+    FROM c
+    """,
+    doc="Token-budget document chunking (≤32 whitespace tokens per chunk, "
+    "order-preserving): pure in-row sequence/slice/explode — zero shuffle.",
+)
+def p_doc_chunk(spark, sf_dir):
+    from carbondata_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(t(spark, sf_dir, "documents"), max_tokens=32)
+
+
+@register(
+    "p_text_repetition",
+    oracle=r"""
+    WITH b AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+               FROM documents),
+    g AS (SELECT doc_id, len(w) AS nw,
+                 list_transform(range(1, len(w) - 1),
+                                i -> array_to_string(w[i:i+2], ' ')) AS grams
+          FROM b)
+    SELECT doc_id,
+           round(CASE WHEN nw < 3 THEN 0.0
+                      ELSE (len(grams) - len(list_distinct(grams)))
+                           / CAST(len(grams) AS DOUBLE) END, 4) AS rep_ngram_frac,
+           CAST(greatest(nw - 2, 0) AS INT) AS n_ngrams
+    FROM g
+    """,
+    doc="Within-document repeated-trigram fraction (Gopher-style "
+    "boilerplate signal) — in-row array expressions, zero shuffle.",
+)
+def p_text_repetition(spark, sf_dir):
+    from carbondata_spark.operators.text import with_repetition
+
+    return with_repetition(t(spark, sf_dir, "documents")).select(
+        "doc_id", "rep_ngram_frac", "n_ngrams"
+    )
+
+
+@register(
+    "p_decontaminate",
+    oracle=rf"""
+    WITH words AS (SELECT doc_id, substr({_KEY_MD5}, 1, 1) AS hd,
+                          string_split_regex(trim(text), '\s+') AS w
+                   FROM documents),
+    sh AS (SELECT DISTINCT doc_id, hd, array_to_string(w[i:i+4], ' ') AS s
+           FROM words, unnest(range(1, len(w) - 3)) AS t(i)),
+    ev AS (SELECT DISTINCT s FROM sh WHERE hd = '0'),
+    co AS (SELECT doc_id, s FROM sh WHERE hd <> '0')
+    SELECT co.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM co JOIN ev USING (s)
+    GROUP BY co.doc_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing any 5-gram with "
+    "the held-out eval split (md5 digit 0 ≈ 1/16 of docs), with shared-"
+    "shingle counts. Inverted-index join on the shingle string; eval side "
+    "reduced to distinct shingles so multiplicity is 1.",
+)
+def p_decontaminate(spark, sf_dir):
+    from carbondata_spark.operators.dedup import decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    hd = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return decontaminate(docs.filter(hd != "0"), docs.filter(hd == "0"), n=5)
+
+
+@register(
+    "p_shard_assign",
+    oracle=rf"""
+    WITH s AS (SELECT doc_id, n_chars,
+                      CAST({_KEY_U32} % 8 AS INT) AS shard
+               FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM s GROUP BY shard
+    """,
+    doc="Deterministic output sharding (md5-mod-8, content-addressed so "
+    "re-runs route identically) + per-shard balance stats — the write-"
+    "fanout stage of a training-data export.",
+)
+def p_shard_assign(spark, sf_dir):
+    from carbondata_spark.operators.chunking import shard_assign
+
+    s = shard_assign(t(spark, sf_dir, "documents"), n_shards=8)
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
+    "p_sim_knn",
+    oracle="""
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[]), 4)
+                          DESC, b.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4) >= 0.4
+    ) WHERE rank <= 3
+    """,
+    doc="Thresholded kNN self-join: top-3 neighbors per vector among "
+    "cosine ≥ 0.4, via losslessly-pruned IVF-bucketed candidate pairs "
+    "(oracle = brute force + window).",
+)
+def p_sim_knn(spark, sf_dir):
+    from carbondata_spark.operators.similarity import knn_pairs
+
+    return knn_pairs(t(spark, sf_dir, "embeddings"), k=3, threshold=0.4)

@@ -271,3 +271,82 @@ def test_multimodal_to_similarity_pipeline(spark, docs):
     for q, cosines in per_q.items():
         assert cosines == sorted(cosines, reverse=True)
         assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+
+
+def test_short_docs_do_not_crash_shingling(spark):
+    """Documents with fewer words than the shingle width must produce an
+    EMPTY shingle set (matching the oracle's empty range) — Spark's
+    sequence(1, stop<1) descends into [1, 0] and slice(start=0) throws,
+    so the guard in shingles_df/with_repetition is load-bearing."""
+    from carbondata_spark.operators.dedup import shingles_df
+    from carbondata_spark.operators.text import with_repetition
+    from carbondata_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""), (4, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    sh = shingles_df(df).collect()
+    assert {r.doc_id for r in sh} == {4}  # only the 6-word doc shingles
+    rep = {r.doc_id: (r.rep_ngram_frac, r.n_ngrams) for r in with_repetition(df).collect()}
+    assert rep[1] == (0.0, 0) and rep[2] == (0.0, 0)
+    assert rep[4] == (0.0, 4)
+    ch = chunk_documents(df, max_tokens=4).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "one"
+    got = sorted(by_doc[4], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in got] == ["a b c d", "e f"]
+    assert [r.n_tokens for r in got] == [4, 2]
+
+
+def test_repetition_detects_repeats(spark):
+    from carbondata_spark.operators.text import with_repetition
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "all words here are unique today")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.rep_ngram_frac for r in with_repetition(df).collect()}
+    assert rows[1] > 0.5  # 4 trigrams, all identical -> 3/4
+    assert rows[2] == 0.0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc sharing a 5-gram with the eval set is flagged with the
+    right shared-shingle count; clean docs are absent."""
+    from carbondata_spark.operators.dedup import decontaminate
+
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over suffix"),
+            (2, "completely different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_shared for r in decontaminate(corpus, eval_set, n=5).collect()}
+    # doc 1 contains "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert got == {1: 2}
+
+
+def test_knn_pairs_matches_bruteforce(spark, emb):
+    from carbondata_spark.operators.similarity import knn_pairs, cosine_pairs_bruteforce
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    pairs = cosine_pairs_bruteforce(emb, threshold=0.4)
+    sym = pairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"), "cosine"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id"), "cosine"
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    expect = sym.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    got = knn_pairs(emb, k=3, threshold=0.4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))

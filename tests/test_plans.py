@@ -183,3 +183,22 @@ def test_token_budget_mix_no_window_cumsum(spark, sf_dir):
     would funnel each domain through a single task at any scale)."""
     plan = plan_of(spark, sf_dir, "p_mix_token_budget")
     assert "Window" not in plan
+
+
+def test_doc_chunk_zero_shuffle(spark, sf_dir):
+    """Chunking is per-row explode — no Exchange at any scale."""
+    plan = plan_of(spark, sf_dir, "p_doc_chunk")
+    assert "Exchange" not in plan
+
+
+def test_repetition_zero_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "p_text_repetition")
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_no_cartesian(spark, sf_dir):
+    """The shingle-overlap join must be a hash/sort-merge equi-join on the
+    shingle string, never a nested-loop over doc pairs."""
+    plan = plan_of(spark, sf_dir, "p_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
