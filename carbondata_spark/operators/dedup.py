@@ -179,14 +179,14 @@ def minhash_signatures(
     return _minhash_from_shingles(shingles_df(df, id_col, text_col, n))
 
 
-def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
+def _minhash_from_shingles(sh: DataFrame, extra_aggs: list[Column] | None = None) -> DataFrame:
     ha = F.md5(F.concat(F.lit("a:"), F.col("s")))
     hb = F.md5(F.concat(F.lit("b:"), F.col("s")))
     aggs = []
     for k in range(MINHASH_K):
         src = ha if k < 4 else hb
         aggs.append(F.min(F.substring(src, 1 + 8 * (k % 4), 8)).alias(f"h{k}"))
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs, *(extra_aggs or []))
 
 
 def minhash_lsh_pairs(
@@ -200,20 +200,36 @@ def minhash_lsh_pairs(
 
     Candidates = pairs agreeing on ≥1 of 4 bands (2 minhashes per band);
     with k=8, P(candidate) ≈ 1-(1-j²)⁴ — j=0.5 → 68%, j=0.8 → 99%.
-    Verification joins back to the shingle index, so reported pairs carry
-    exact Jaccard and respect the threshold exactly (LSH affects recall
-    only). Scale path: the band-key shuffle replaces the quadratic
-    shingle self-join of ``ngram_jaccard_pairs``.
+    Verification is exact Jaccard, so reported pairs respect the
+    threshold exactly (LSH affects recall only). Scale path: the band-key
+    shuffle replaces the quadratic shingle self-join of
+    ``ngram_jaccard_pairs``.
+
+    Plan shape: ONE pass over the shingle index — the signature aggregate
+    also carries each doc's sorted shingle set as an array column, so
+    candidate verification is two equi-joins on doc id plus an in-row
+    ``array_intersect`` (hash-set, O(|a|+|b|)) instead of re-joining the
+    exploded index by (doc, shingle) and re-aggregating. The shingle-set
+    array is per-doc state proportional to the document itself (same
+    order as carrying the text), so it holds at 100 TB, and it removes
+    two full-index shuffles, a pair-count hash aggregate, and the
+    persist/recompute of the index that the join formulation needed.
     """
     from pyspark import StorageLevel
 
-    # The shingle index feeds signature generation AND candidate
-    # verification — persist it so the explode/distinct runs once, not
-    # three times (~6x wall-clock at bench scale). At 100 TB, materialize
-    # the shingle index as a store table instead (same lifecycle as the
-    # IVF assignment table).
-    sh = shingles_df(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = _minhash_from_shingles(sh)
+    sh = shingles_df(df, id_col, text_col, n)
+    # sig feeds band explosion AND both sides of the verification join —
+    # persist the compact per-doc row (8 hex minima + shingle array) so
+    # the explode/aggregate over the corpus runs exactly once. At 100 TB,
+    # materialize it as a store table instead (same lifecycle as the IVF
+    # assignment table).
+    sig = _minhash_from_shingles(
+        sh,
+        extra_aggs=[
+            F.count("*").alias("c"),
+            F.sort_array(F.collect_list("s")).alias("ss"),
+        ],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = F.array(
         *[
             F.struct(
@@ -238,21 +254,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard over the SAME persisted index
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s"))
-    inter = (
-        cand.join(sa, "id_a").join(sb, ["id_b", "s"]).groupBy("id_a", "id_b").agg(
-            F.count("*").alias("inter")
-        )
-    )
-    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
-    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
-    jac = F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter"))
+    # verify with exact jaccard: join each side's shingle-set array onto
+    # the candidate pair and intersect in-row
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ssa"), F.col("c").alias("ca"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ssb"), F.col("c").alias("cb"))
+    inter = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+    jac = inter / (F.col("ca") + F.col("cb") - inter)
     return (
-        inter.join(ca, "id_a")
-        .join(cb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(jac >= threshold)
         .select("id_a", "id_b", dround(jac, 4).alias("jaccard"))
     )
