@@ -155,3 +155,69 @@ def windowed_agg(
         F.count("*").alias("n_events"),
         F.sum("value").alias("sum_value"),
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming counterpart of ``dedup_exact`` for at-least-once sources
+    (Kafka redeliveries, replayed files).
+
+    State is one entry per key, sharded on the key shuffle, and evicted
+    once the watermark passes — bounded memory at any throughput, unlike
+    plain ``dropDuplicates`` on a stream which keeps ALL keys forever. On
+    a batch DataFrame it degrades to plain dropDuplicates (same result
+    set, no state machinery).
+    """
+    keys = key_cols or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each purchase matched to
+    every click by the same user in the preceding ``horizon``.
+
+    On streams, both sides carry watermarks and the join condition bounds
+    event time on BOTH sides, so Spark can evict join state (clicks older
+    than the horizon + watermark can never match again). Shuffle key is
+    the user — state shards across executors. On batch DataFrames the
+    same condition runs as a plain interval join, which is the oracle for
+    the streaming path (q_event_attribution).
+    """
+    c = clicks.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col(user_col).alias("p_user_id"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
+    )
