@@ -51,6 +51,20 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def epoch_seconds(col: Column) -> Column:
+    """Seconds since epoch (double, sub-second precision) for TIMESTAMP
+    *or* TIMESTAMP_NTZ input.
+
+    A direct ``cast("double")`` is illegal on TIMESTAMP_NTZ in Spark 4,
+    and parquet written with isAdjustedToUTC=false (pyarrow default)
+    infers as NTZ. The intermediate cast to TIMESTAMP interprets NTZ in
+    the session timezone (pinned to UTC by session.py/catalog.py), which
+    matches DuckDB's epoch() over the same naive timestamps; on an
+    already-TIMESTAMP column it is a no-op.
+    """
+    return col.cast("timestamp").cast("double")
+
+
 def dround(col: Column, n: int = 2) -> Column:
     """Round a DOUBLE like DuckDB does: half-away-from-zero on the scaled
     binary value — ``sign(x) * floor(abs(x)*10^n + 0.5) / 10^n``.

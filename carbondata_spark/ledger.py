@@ -1,0 +1,166 @@
+"""Structural stale-row detection for the driver correctness prefix.
+
+The driver checks a bounded PREFIX of the query registry each round, so
+iteration order decides which queries get fresh hard-signal rows. Rounds
+2 and 3 both leaked the same process failure: an operator was rewritten
+AFTER its queries' last driver verification, and the hand-maintained
+priority list didn't notice. This module replaces editorial judgment with
+a ledger.
+
+``driver_ledger.json`` (repo root, committed) records for every query the
+last round a driver CORRECTNESS row existed and the md5 digest of the
+query's source closure AT THAT round's verified commit:
+
+    {"q01_pricing_summary": {"last_round": 3, "digest": "ab12..."}, ...}
+
+At registry() time the CURRENT source closure digest is recomputed and
+the priority order is derived:
+
+    1. queries whose digest differs from the ledger (code changed since
+       last driver row) or that have no ledger entry (never verified) —
+       these need hard signal most;
+    2. everything else, oldest driver row first (stale-tail rotation).
+
+The "source closure" of a query is the module defining its callable plus
+every ``carbondata_spark.*`` module it (transitively) imports, plus a
+small always-included core set (catalog/functions — the delegation
+targets of the registry helpers). ``queries.py`` itself and this module
+are excluded: they hold registration/ordering plumbing whose edits do not
+change query semantics, and hashing them would mark every query stale on
+any registry reshuffle — defeating the rotation the ledger exists to
+drive.
+
+``tools/update_ledger.py`` refreshes the ledger from CORRECTNESS_r*.json
++ git history at the start of each round (digests are read from the
+verified round's snapshot commit via ``git show``, so it is correct to
+run it even after the working tree has diverged).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+from typing import Callable
+
+PACKAGE = "carbondata_spark"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER_PATH = os.path.join(REPO_ROOT, "driver_ledger.json")
+
+# Always part of every closure: targets of the queries.py helper shims
+# (t -> catalog.load_table, r2 -> functions.dround).
+CORE_MODULES = (f"{PACKAGE}.catalog", f"{PACKAGE}.functions")
+# Plumbing whose changes never alter query results (see module doc).
+EXCLUDED = {f"{PACKAGE}.queries", f"{PACKAGE}.ledger"}
+
+_IMPORT_RE = re.compile(
+    rf"^\s*(?:from\s+({PACKAGE}[\w.]*)\s+import|import\s+({PACKAGE}[\w.]*))",
+    re.M,
+)
+
+
+def module_relpath(modname: str) -> str:
+    """Dotted module name -> repo-relative file path (packages ->
+    __init__.py)."""
+    parts = modname.split(".")
+    as_file = os.path.join(*parts) + ".py"
+    as_pkg = os.path.join(*parts, "__init__.py")
+    if os.path.isdir(os.path.join(REPO_ROOT, os.path.join(*parts))):
+        return as_pkg
+    return as_file
+
+
+def read_source_worktree(modname: str) -> bytes | None:
+    """Read a module's source from the current working tree."""
+    path = os.path.join(REPO_ROOT, module_relpath(modname))
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def imports_of(source: bytes) -> set[str]:
+    text = source.decode("utf-8", errors="replace")
+    found = set()
+    for m in _IMPORT_RE.finditer(text):
+        found.add(m.group(1) or m.group(2))
+    return found
+
+
+def module_closure(
+    roots: list[str], read_source: Callable[[str], bytes | None]
+) -> dict[str, bytes]:
+    """BFS the intra-package import graph from ``roots`` + CORE_MODULES,
+    skipping EXCLUDED. Unreadable modules are simply absent (their
+    importers' digests still change when they appear/disappear)."""
+    todo = [*roots, *CORE_MODULES]
+    seen: dict[str, bytes] = {}
+    while todo:
+        mod = todo.pop()
+        if mod in seen or mod in EXCLUDED:
+            continue
+        src = read_source(mod)
+        if src is None:
+            continue
+        seen[mod] = src
+        todo.extend(m for m in imports_of(src) if m not in seen)
+    return seen
+
+
+def closure_digest(
+    roots: list[str], read_source: Callable[[str], bytes | None]
+) -> str:
+    closure = module_closure(roots, read_source)
+    h = hashlib.md5()
+    for mod in sorted(closure):
+        h.update(mod.encode())
+        h.update(b"\x00")
+        h.update(closure[mod])
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def load_ledger() -> dict[str, dict]:
+    try:
+        with open(LEDGER_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def priority_order(
+    query_modules: dict[str, str],
+    ledger: dict[str, dict] | None = None,
+    read_source: Callable[[str], bytes | None] = read_source_worktree,
+) -> list[str]:
+    """Derive registry iteration order from the ledger.
+
+    ``query_modules``: query name -> defining module, in registry
+    insertion order (which breaks ties within each group).
+    """
+    if ledger is None:
+        ledger = load_ledger()
+    digest_cache: dict[str, str] = {}
+
+    def digest(mod: str) -> str:
+        if mod not in digest_cache:
+            digest_cache[mod] = closure_digest([mod], read_source)
+        return digest_cache[mod]
+
+    changed: list[tuple[int, int, str]] = []
+    fresh: list[tuple[int, int, str]] = []
+    for i, (name, mod) in enumerate(query_modules.items()):
+        entry = ledger.get(name)
+        if entry is None or entry.get("digest") != digest(mod):
+            # Within the changed block, queries whose LAST GREEN row is
+            # oldest (red-last-row and never-verified count as round 0)
+            # need the hard signal most.
+            green = int(entry.get("last_green_round", 0)) if entry else 0
+            changed.append((green, i, name))
+        else:
+            fresh.append((int(entry.get("last_round", 0)), i, name))
+    changed.sort()
+    fresh.sort()
+    return [name for _, _, name in [*changed, *fresh]]

@@ -305,6 +305,7 @@ def near_dup_groups(
         .distinct()
     )
     labels = nodes.select("v", F.col("v").alias("label"))
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.u == labels.v)
@@ -328,6 +329,14 @@ def near_dup_groups(
         labels = new_labels.select("v", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        # Never silently return partially-propagated labels: a 100-TB
+        # chain longer than 2^max_iters would otherwise split one content
+        # cluster into several with no signal (r3 audit item).
+        raise RuntimeError(
+            f"near_dup_groups did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters"
+        )
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("group_id"))
 
 

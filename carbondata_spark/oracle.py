@@ -41,7 +41,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             # collapse -0.0/0.0 and represent with enough digits
             if v == 0:
                 return "0"
-            return f"{v:.6g}" if abs(v) < 1e15 else f"{v:.6e}"
+            # repr(float) = shortest round-trip string — FULL double
+            # precision, matching the driver's value hash. The previous
+            # %.6g (6 significant digits) let a last-ulp divergence pass
+            # locally and fail the driver (r3: q_complex_sql_load). float()
+            # first: numpy>=2 reprs scalars as "np.float64(x)".
+            return repr(float(v))
         if isinstance(v, (list, tuple)):
             return "[" + ",".join(canon(x) for x in v) + "]"
         if pd.isna(v):

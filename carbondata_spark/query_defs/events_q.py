@@ -72,8 +72,10 @@ def q_asof_join(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("ts").alias("p_ts")
     )
+    from carbondata_spark.functions import epoch_seconds
+
     joined = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["p_ts"])
-    gap = F.col("ts").cast("double") - F.col("p_ts_asof").cast("double")
+    gap = epoch_seconds(F.col("ts")) - epoch_seconds(F.col("p_ts_asof"))
     return joined.select(
         "event_id",
         "user_id",
@@ -145,9 +147,11 @@ def q_stream_session_window(spark, sf_dir):
     "(lag + flag-sum; batch equivalent of session_window).",
 )
 def q_sessionize(spark, sf_dir):
+    from carbondata_spark.functions import epoch_seconds
+
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap = epoch_seconds(F.col("ts")) - F.lag(epoch_seconds(F.col("ts"))).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         ev.withColumn("new_session", new_session)

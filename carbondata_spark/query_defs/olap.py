@@ -650,8 +650,10 @@ def q_window_running(spark, sf_dir):
 )
 def q_window_lag(spark, sf_dir):
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    from carbondata_spark.functions import epoch_seconds
+
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap = epoch_seconds(F.col("ts")) - F.lag(epoch_seconds(F.col("ts"))).over(w)
     return ev.select(
         "user_id",
         "event_id",

@@ -205,7 +205,7 @@ def q_complex_nested(spark, sf_dir):
     SELECT o_orderstatus,
            count(*) AS n_legs,
            CAST(max(leg) AS INT) AS max_leg,
-           round(sum(dist), 2) AS total_dist
+           CAST(round(sum(CAST(dist AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_dist
     FROM legs GROUP BY o_orderstatus
     """,
     doc="Complex types through the SQL front-end end-to-end: orders are "
@@ -261,10 +261,17 @@ def q_complex_sql_load(spark, sf_dir):
     legs = store.table("complex_orders").select(
         "o_orderstatus", F.explode("route").alias("r")
     )
+    # DECIMAL(18,4) sums on BOTH sides: the leg distances have ≤3 decimal
+    # digits, so the cast is exact, both engines sum exactly (no
+    # order-dependent double drift), and round(...,2) never sits on an
+    # engine-dependent half-cent boundary (r3 root cause: 1400-term double
+    # sums at 2.5e8 drift ~1e-4 across engines vs 3.8e-5 boundary margin).
     return legs.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_legs"),
         F.max("r.leg").alias("max_leg"),
-        dround(F.sum("r.dist"), 2).alias("total_dist"),
+        F.round(F.sum(F.col("r.dist").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_dist"),
     )
 
 

@@ -20,3 +20,27 @@ def _names() -> list[str]:
 def test_query_matches_oracle(spark, oracle_con, sf_dir, name):
     res = run_query_diff(spark, oracle_con, sf_dir, name)
     assert res.ok, f"{name}: {res.detail}"
+
+
+def test_local_gate_catches_last_ulp_divergence():
+    """The local harness must be as strict as the driver's full-precision
+    value hash: a one-ulp float divergence (far below the old %.6g
+    canonicalization) must fail compare(). Regression test for the r3
+    q_complex_sql_load escape (passed 174/174 locally, failed the driver).
+    """
+    import math
+
+    import pandas as pd
+
+    from carbondata_spark.oracle import compare
+
+    good = pd.DataFrame({"k": ["a", "b"], "v": [251234567.89, 1.25]})
+    ulp = good.copy()
+    ulp.loc[0, "v"] = math.nextafter(251234567.89, math.inf)
+    assert compare("same", good, good.copy()).ok
+    res = compare("ulp", good, ulp)
+    assert not res.ok, "one-ulp divergence must fail the local gate"
+    # and a last-cent flip (the actual r3 failure mode) must fail too
+    cent = good.copy()
+    cent.loc[0, "v"] = 251234567.88
+    assert not compare("cent", good, cent).ok

@@ -1,0 +1,89 @@
+"""Structural stale-row detection (carbondata_spark/ledger.py)."""
+
+from __future__ import annotations
+
+from carbondata_spark import ledger as L
+
+
+def _reader(files: dict[str, bytes]):
+    return lambda mod: files.get(mod)
+
+
+FILES = {
+    "carbondata_spark.catalog": b"# catalog",
+    "carbondata_spark.functions": b"# functions",
+    "carbondata_spark.query_defs.ma": b"from carbondata_spark.operators.opx import f\n",
+    "carbondata_spark.query_defs.mb": b"# standalone\n",
+    "carbondata_spark.operators.opx": b"def f(): return 1\n",
+}
+
+
+def test_closure_follows_transitive_package_imports():
+    closure = L.module_closure(["carbondata_spark.query_defs.ma"], _reader(FILES))
+    assert "carbondata_spark.operators.opx" in closure  # transitive import
+    assert "carbondata_spark.catalog" in closure  # core set always included
+    assert "carbondata_spark.queries" not in closure  # excluded plumbing
+
+
+def test_digest_changes_when_imported_operator_changes():
+    d1 = L.closure_digest(["carbondata_spark.query_defs.ma"], _reader(FILES))
+    changed = dict(FILES)
+    changed["carbondata_spark.operators.opx"] = b"def f(): return 2\n"
+    d2 = L.closure_digest(["carbondata_spark.query_defs.ma"], _reader(changed))
+    assert d1 != d2
+    # and an untouched module's digest is unaffected
+    assert L.closure_digest(
+        ["carbondata_spark.query_defs.mb"], _reader(FILES)
+    ) == L.closure_digest(["carbondata_spark.query_defs.mb"], _reader(changed))
+
+
+def test_priority_order_fronts_changed_then_rotates_oldest():
+    read = _reader(FILES)
+    da = L.closure_digest(["carbondata_spark.query_defs.ma"], read)
+    db = L.closure_digest(["carbondata_spark.query_defs.mb"], read)
+    query_modules = {
+        "q_fresh_new": "carbondata_spark.query_defs.ma",  # verified r3, unchanged
+        "q_fresh_old": "carbondata_spark.query_defs.mb",  # verified r1, unchanged
+        "q_rewritten": "carbondata_spark.operators.opx",  # green r2, code changed
+        "q_never": "carbondata_spark.query_defs.mb",  # no driver row yet
+        "q_red": "carbondata_spark.query_defs.ma",  # last row red -> green 0
+    }
+    ledger = {
+        "q_fresh_new": {"last_round": 3, "last_green_round": 3, "digest": da},
+        "q_fresh_old": {"last_round": 1, "last_green_round": 1, "digest": db},
+        "q_rewritten": {"last_round": 2, "last_green_round": 2, "digest": "old"},
+        "q_red": {"last_round": 3, "last_green_round": 0, "digest": "old"},
+    }
+    order = L.priority_order(query_modules, ledger=ledger, read_source=read)
+    # changed block first: red/never (green 0, insertion order) before the
+    # green-but-rewritten r2 row; then fresh rows oldest-first.
+    assert order == ["q_never", "q_red", "q_rewritten", "q_fresh_old", "q_fresh_new"]
+
+
+def test_live_registry_order_honors_ledger_invariants():
+    """Against the real ledger + working tree: every query whose source
+    closure changed since its last driver row (or that never had one)
+    precedes every unchanged query, and unchanged queries are ordered
+    oldest-driver-row-first — so post-verification rewrites can never
+    again hide behind the driver's checked prefix."""
+    from carbondata_spark.queries import registry
+
+    ledger = L.load_ledger()
+    order = list(registry())
+    reg = registry()
+    digests: dict[str, str] = {}
+
+    def digest(mod: str) -> str:
+        if mod not in digests:
+            digests[mod] = L.closure_digest([mod], L.read_source_worktree)
+        return digests[mod]
+
+    def is_changed(name: str) -> bool:
+        e = ledger.get(name)
+        return e is None or e.get("digest") != digest(reg[name].fn.__module__)
+
+    flags = [is_changed(n) for n in order]
+    # all changed come before all unchanged
+    assert flags == sorted(flags, reverse=True)
+    fresh_rounds = [ledger[n]["last_round"] for n, c in zip(order, flags) if not c]
+    assert fresh_rounds == sorted(fresh_rounds)

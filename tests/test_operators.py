@@ -234,6 +234,25 @@ def test_near_dup_groups_transitive_closure(spark, docs):
     assert {2, 3, 11}.isdisjoint(kept_ids) and {1, 10}.issubset(kept_ids)
 
 
+def test_near_dup_groups_raises_on_non_convergence(spark):
+    """A chain longer than propagation can collapse within max_iters must
+    raise, never silently return partially-propagated labels (r3 audit)."""
+    import pytest as _pytest
+
+    from carbondata_spark.operators.dedup import near_dup_groups
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(docs, chain, max_iters=1)
+    # and with enough iterations the same chain converges to one group
+    groups = near_dup_groups(docs, chain, max_iters=20)
+    assert groups.select("group_id").distinct().count() == 1
+
+
 def test_near_dup_groups_on_real_lsh_pairs(spark, docs):
     from carbondata_spark.operators.dedup import minhash_lsh_pairs, near_dup_groups
 

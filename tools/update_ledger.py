@@ -1,0 +1,126 @@
+"""Refresh driver_ledger.json from CORRECTNESS_r*.json + git history.
+
+Run at the start of each round (idempotent, safe to re-run anytime): for
+every query with at least one driver CORRECTNESS row, record the LATEST
+round a row exists and the source-closure digest computed from the git
+tree the driver verified that round — so later edits to the working tree
+are detected as staleness, not silently absorbed.
+
+Round -> verified commit resolution: the driver commits
+"round N: end-of-round snapshot" and then runs verification, so that
+snapshot IS the verified tree. Round 1 predates the snapshot convention;
+its verified tree is the parent of the "round 1: verdict/..." commit.
+
+Usage: python tools/update_ledger.py   (from anywhere inside the repo)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from carbondata_spark.ledger import (  # noqa: E402
+    LEDGER_PATH,
+    REPO_ROOT,
+    closure_digest,
+    module_relpath,
+)
+
+
+def round_commits() -> dict[int, str]:
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    commits: dict[int, str] = {}
+    for line in out.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): end-of-round snapshot", subject)
+        if m:
+            commits.setdefault(int(m.group(1)), sha)
+            continue
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:
+            # fallback: tree the driver verified = parent of the verdict
+            # commit (used for rounds without a snapshot commit, e.g. r1)
+            commits.setdefault(int(m.group(1)), sha + "^")
+    return commits
+
+
+def git_reader(commit: str):
+    cache: dict[str, bytes | None] = {}
+
+    def read(modname: str) -> bytes | None:
+        if modname not in cache:
+            res = subprocess.run(
+                ["git", "show", f"{commit}:{module_relpath(modname)}"],
+                cwd=REPO_ROOT,
+                capture_output=True,
+            )
+            cache[modname] = res.stdout if res.returncode == 0 else None
+        return read_cached(modname)
+
+    def read_cached(modname: str) -> bytes | None:
+        return cache[modname]
+
+    return read
+
+
+def last_rounds() -> tuple[dict[str, int], dict[str, int]]:
+    """query -> (latest round with any driver row, latest GREEN round).
+
+    Green = full hash match, or a successful rows-only check for queries
+    that declare no oracle (err == 'no_oracle').
+    """
+    latest: dict[str, int] = {}
+    latest_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            latest[name] = max(latest.get(name, 0), rnd)
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                latest_green[name] = max(latest_green.get(name, 0), rnd)
+    return latest, latest_green
+
+
+def main() -> None:
+    from carbondata_spark.queries import registry
+
+    commits = round_commits()
+    rounds, green_rounds = last_rounds()
+    reg = registry()
+    readers = {rnd: git_reader(sha) for rnd, sha in commits.items()}
+    ledger: dict[str, dict] = {}
+    for name, q in reg.items():
+        rnd = rounds.get(name)
+        if rnd is None or rnd not in readers:
+            continue  # never driver-verified -> no entry -> front-blocked
+        mod = q.fn.__module__
+        ledger[name] = {
+            "last_round": rnd,
+            "last_green_round": green_rounds.get(name, 0),
+            "digest": closure_digest([mod], readers[rnd]),
+        }
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+    n_changed = len(reg) - len(ledger)
+    print(f"ledger: {len(ledger)} entries written, {n_changed} never-verified")
+
+
+if __name__ == "__main__":
+    main()
