@@ -51,6 +51,30 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+# Exact-decimal money arithmetic: doubles carrying <=6 decimal digits
+# (prices, discounts, their products) cast losslessly to this type, sums
+# over it are exact in BOTH Spark and DuckDB (no partial-agg order drift),
+# and round-then-cast-to-double is deterministic — so a rounded total can
+# never straddle an engine-dependent boundary (tools/margin_audit.py).
+MONEY_DEC = "decimal(30,6)"
+
+
+def dsum(col: Column, n: int = 2) -> Column:
+    """Drift-free rounded sum of a money-valued double expression:
+    exact DECIMAL(30,6) sum -> round (HALF_UP == DuckDB ties-away) ->
+    double. Oracle mirror:
+    ``CAST(round(sum(CAST(x AS DECIMAL(30,6))), n) AS DOUBLE)``."""
+    return F.round(F.sum(col.cast(MONEY_DEC)), n).cast("double")
+
+
+def davg(col: Column, n: int = 2) -> Column:
+    """Drift-free rounded average: exact decimal sum cast to double (a
+    correctly-rounded, engine-identical conversion) divided by the count,
+    then DuckDB-style double rounding. Oracle mirror:
+    ``round(CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / count(x), n)``."""
+    return dround(F.sum(col.cast(MONEY_DEC)).cast("double") / F.count(col), n)
+
+
 def epoch_seconds(col: Column) -> Column:
     """Seconds since epoch (double, sub-second precision) for TIMESTAMP
     *or* TIMESTAMP_NTZ input.

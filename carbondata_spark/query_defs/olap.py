@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from carbondata_spark.queries import r2, register, t
 
-from carbondata_spark.functions import dround
+from carbondata_spark.functions import davg, dround, dsum
 
 # ---------------------------------------------------------------------------
 # Aggregation family (reference: CarbonAggregate / MeasureAggregator,
@@ -31,13 +31,18 @@ from carbondata_spark.functions import dround
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 2)                                        AS avg_qty,
-           round(avg(l_extendedprice), 2)                                   AS avg_price,
-           round(avg(l_discount), 2)                                        AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE)      AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))), 2) AS DOUBLE)
+             AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 2)
+             AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice), 2)
+             AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount), 2)
+             AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -53,17 +58,21 @@ def q01(spark, sf_dir):
 
     li = fact_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # dsum/davg: exact decimal accumulation — at sf0.1 these group sums
+    # reach ~1e9, where double partial-agg order drift (~1e-4) exceeds the
+    # distance to a half-cent boundary (margin_audit: drift 0.286 vs
+    # margin 0.0018 in scaled units). TPC-H itself types these DECIMAL.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc_price)).alias("sum_disc_price"),
-            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r2(F.avg("l_quantity")).alias("avg_qty"),
-            r2(F.avg("l_extendedprice")).alias("avg_price"),
-            r2(F.avg("l_discount")).alias("avg_disc"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -72,7 +81,8 @@ def q01(spark, sf_dir):
 @register(
     "q06_revenue_forecast",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))), 2) AS DOUBLE)
+             AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -94,7 +104,9 @@ def q06(spark, sf_dir):
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        )
     )
 
 
@@ -182,7 +194,7 @@ def q_having(spark, sf_dir):
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 2) AS total,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -193,7 +205,7 @@ def q_rollup(spark, sf_dir):
     return (
         t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(r2(F.sum("l_extendedprice")).alias("total"), F.count("*").alias("n"))
+        .agg(dsum(F.col("l_extendedprice")).alias("total"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -209,7 +221,7 @@ def q_rollup(spark, sf_dir):
     SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -219,7 +231,7 @@ def q_cube(spark, sf_dir):
     return (
         t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
@@ -285,7 +297,9 @@ def q03(spark, sf_dir):
 @register(
     "q05_local_supplier_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE)
+             AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -319,7 +333,7 @@ def q05(spark, sf_dir):
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -700,7 +714,7 @@ def q_scalar_string(spark, sf_dir):
     SELECT CAST(year(o_orderdate) AS INT) AS yr,
            CAST(month(o_orderdate) AS INT) AS mo,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
     FROM orders GROUP BY 1, 2
     """,
     doc="Datetime extraction + group by year/month.",
@@ -712,7 +726,7 @@ def q_scalar_datetime(spark, sf_dir):
             F.year("o_orderdate").alias("yr"),
             F.month("o_orderdate").alias("mo"),
         )
-        .agg(F.count("*").alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )
 
 

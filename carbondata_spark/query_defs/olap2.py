@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from carbondata_spark.functions import dround
+from carbondata_spark.functions import dround, dsum
 from carbondata_spark.queries import r2, register, t
 
 
@@ -196,7 +196,8 @@ def q18(spark, sf_dir):
 @register(
     "q19_disjunctive",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE)
+             AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -222,7 +223,7 @@ def q19(spark, sf_dir):
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 

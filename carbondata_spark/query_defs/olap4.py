@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from carbondata_spark.functions import dround
+from carbondata_spark.functions import dround, dsum
 from carbondata_spark.queries import r2, register, t
 
 
@@ -121,7 +121,8 @@ def q13(spark, sf_dir):
 @register(
     "q17_small_quantity",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#4'
       AND l_quantity < (
@@ -144,7 +145,11 @@ def q17(spark, sf_dir):
         li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_q, li.l_partkey == avg_q.t_partkey)
         .filter(F.col("l_quantity") < F.col("thresh"))
-        .agg(dround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -274,7 +279,9 @@ def q_union_all(spark, sf_dir):
 @register(
     "q_range_join",
     oracle="""
-    SELECT tier, count(*) AS cnt, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT tier, count(*) AS cnt,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE)
+             AS revenue
     FROM lineitem
     JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 50.0))
          AS tiers(tier, lo, hi)
@@ -301,6 +308,6 @@ def q_range_join(spark, sf_dir):
         .groupBy("tier")
         .agg(
             F.count("*").alias("cnt"),
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )

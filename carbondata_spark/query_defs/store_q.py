@@ -28,7 +28,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from carbondata_spark.functions import dround
+from carbondata_spark.functions import dround, dsum
 from carbondata_spark.queries import register, t
 
 # (sf_dir, app_id) -> store_path; the CarbonStore object is rebuilt per
@@ -89,7 +89,7 @@ def _orders_store(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT o_orderstatus,
            count(*) AS cnt,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -105,7 +105,7 @@ def q_store_scan(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("cnt"),
-            dround(F.sum("o_totalprice"), 2).alias("total"),
+            dsum(F.col("o_totalprice")).alias("total"),
         )
     )
 
@@ -115,7 +115,7 @@ def q_store_scan(spark, sf_dir):
     oracle="""
     SELECT CASE WHEN o_orderkey % 3 = 2 THEN 'web' ELSE 'legacy' END AS channel,
            count(*) AS cnt,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY 1
     """,
@@ -131,7 +131,7 @@ def q_store_evolution(spark, sf_dir):
         .groupBy("channel")
         .agg(
             F.count("*").alias("cnt"),
-            dround(F.sum("o_totalprice"), 2).alias("total"),
+            dsum(F.col("o_totalprice")).alias("total"),
         )
     )
 
@@ -280,7 +280,7 @@ def q_complex_sql_load(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            count(*) AS cnt,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'
     GROUP BY o_orderpriority
@@ -296,5 +296,5 @@ def q_store_pruned(spark, sf_dir):
     pruned = store.scan("orders_by_year", column="o_orderdate", ge=datetime.datetime(2000, 7, 1))
     return pruned.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"),
-        dround(F.sum("o_totalprice"), 2).alias("total"),
+        dsum(F.col("o_totalprice")).alias("total"),
     )

@@ -1,0 +1,188 @@
+"""Registry-wide numeric-robustness audit of rounded double aggregates.
+
+The r3 escape (`q_complex_sql_load`): an oracle's `round(sum(double), 2)`
+landed 3.8e-5 from a half-cent boundary while cross-engine summation
+order drifts ~1e-4 at that magnitude — Spark and DuckDB rounded to
+different cents. This audit makes that failure mode measurable for EVERY
+registered oracle:
+
+For each oracle containing `round(expr, n)`, the rounding is stripped
+(balanced-paren rewrite) and the query re-run in DuckDB at the target sf.
+For every float column produced by a stripped round, each value v is
+scored:
+
+    margin(v, n) = | frac(|v| * 10^n) - 0.5 |   (distance to the nearest
+                                                 rounding boundary, in
+                                                 scaled units)
+    drift(v, n)  = |v| * 10^n * 1e-12           (generous cross-engine
+                                                 summation-order drift:
+                                                 ~1e5 terms x ulp, i.e.
+                                                 relative ~2e-12)
+
+A value is FRAGILE when margin < 100 * drift (less than a 100x safety
+factor between the boundary and plausible engine drift) — including the
+degenerate case where drift alone exceeds any possible margin (|v| >~
+2.5e7 at n=2), where rounding a double sum to cents is unsound no matter
+where the data lands and the query must sum decimals instead.
+
+Usage:
+    python tools/margin_audit.py [sf_dir ...]   (default sf0.01 + sf0.1)
+
+Writes MARGIN_AUDIT_r04.json {query: {min_margin, max_drift, fragile,
+n_values}} and exits non-zero if any query is fragile — also invoked by
+tests/test_margin_audit.py so a fragile oracle fails CI.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SAFETY = 100.0
+REL_DRIFT = 1e-12
+
+_ROUND_RE = re.compile(r"\bround\s*\(", re.IGNORECASE)
+
+
+def strip_rounds(sql: str) -> tuple[str, list[int], bool]:
+    """Replace every top-level-or-nested ``round(expr, n)`` with
+    ``(expr)``; return (rewritten SQL, scales found, accumulative?).
+
+    ``accumulative`` is True when any stripped expression contains an
+    order-dependent float aggregate (sum/avg over doubles drifts between
+    engines; a ratio/scalar computed per-row from identical doubles is
+    bit-identical in both engines and carries zero cross-engine drift, so
+    its distance-to-boundary is irrelevant)."""
+    scales: list[int] = []
+    accumulative = False
+    while True:
+        m = _ROUND_RE.search(sql)
+        if not m:
+            return sql, scales, accumulative
+        start = m.end()  # position after "round("
+        depth = 1
+        i = start
+        while depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[start : i - 1]
+        # split "expr, n" at the last top-level comma
+        depth2, split = 0, -1
+        for j, ch in enumerate(inner):
+            if ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            elif ch == "," and depth2 == 0:
+                split = j
+        if split < 0:
+            expr, n = inner, 0  # round(x) = scale 0
+        else:
+            expr, tail = inner[:split], inner[split + 1 :]
+            try:
+                n = int(tail.strip())
+            except ValueError:
+                expr, n = inner, 0
+        scales.append(n)
+        # sum/avg over DOUBLES drifts with partial-agg order; a sum over a
+        # DECIMAL cast is exact in both engines (the registry's remedy for
+        # flagged queries), so it does not count as drifting.
+        if re.search(r"\b(sum|avg)\s*\(", expr, re.IGNORECASE) and not re.search(
+            r"\bdecimal\b", expr, re.IGNORECASE
+        ):
+            accumulative = True
+        sql = sql[: m.start()] + "(" + expr + ")" + sql[i:]
+
+
+def audit_value(v: float, n: int) -> tuple[float, float]:
+    scaled = abs(v) * (10.0**n)
+    frac = scaled - math.floor(scaled)
+    margin = abs(frac - 0.5)
+    drift = scaled * REL_DRIFT
+    return margin, drift
+
+
+def audit_query(con, name: str, sql: str) -> dict | None:
+    stripped, scales, accumulative = strip_rounds(sql)
+    if not scales:
+        return None
+    if not accumulative:
+        return None  # per-row/ratio rounding of identical doubles: no drift
+    n = max(scales)  # conservative: audit at the finest scale used
+    try:
+        pdf = con.execute(stripped).fetchdf()
+    except Exception as e:  # stripped SQL failed (e.g. round on non-numeric)
+        return {"error": str(e)[:200]}
+
+    min_margin, max_drift, count = math.inf, 0.0, 0
+    for col in pdf.columns:
+        if pdf[col].dtype.kind != "f":
+            continue
+        for v in pdf[col]:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            margin, drift = audit_value(float(v), n)
+            min_margin = min(min_margin, margin)
+            max_drift = max(max_drift, drift)
+            count += 1
+    if count == 0:
+        return None
+    return {
+        "min_margin": min_margin,
+        "max_drift": max_drift,
+        "fragile": min_margin < SAFETY * max_drift,
+        "n_values": count,
+        "scale": n,
+    }
+
+
+def main(sf_dirs: list[str]) -> int:
+    from carbondata_spark.oracle import duckdb_connection
+    from carbondata_spark.queries import registry
+
+    report: dict[str, dict] = {}
+    fragile = []
+    for sf_dir in sf_dirs:
+        con = duckdb_connection(sf_dir)
+        for name, q in registry().items():
+            if not q.oracle:
+                continue
+            res = audit_query(con, name, q.oracle)
+            if res is None:
+                continue
+            key = name
+            prev = report.get(key)
+            # keep the worst (most fragile) observation across sfs
+            if prev is None or res.get("fragile", True) or (
+                "min_margin" in res
+                and "min_margin" in prev
+                and res["min_margin"] - SAFETY * res["max_drift"]
+                < prev["min_margin"] - SAFETY * prev["max_drift"]
+            ):
+                report[key] = {**res, "sf_dir": sf_dir}
+        con.close()
+    for name, res in sorted(report.items()):
+        if res.get("fragile"):
+            fragile.append(name)
+            print(f"FRAGILE {name}: margin={res.get('min_margin'):.3g} "
+                  f"drift={res.get('max_drift'):.3g} at {res['sf_dir']}")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "MARGIN_AUDIT_r04.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True, default=str)
+        f.write("\n")
+    print(f"audited {len(report)} rounded oracles, {len(fragile)} fragile -> {out}")
+    return 1 if fragile else 0
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    raise SystemExit(main(dirs))
