@@ -130,12 +130,23 @@ def tfidf_top_terms(
 
     from carbondata_spark.functions import dround, ensure_parallelism
 
+    from pyspark import StorageLevel
+
     df = ensure_parallelism(df)
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_words(F.lower(F.col(text_col)))).alias("w"),
     )
+    # Persist tf: it feeds BOTH the scored join and the df derivation, and
+    # Spark's ReusedExchange only deduplicates the scan+repartition below
+    # the aggregate, not the aggregate itself (observed in the executed
+    # plan: two identical hashpartitioning(doc_id, w) exchanges) — without
+    # the persist the corpus is exploded and aggregated twice. tf is one
+    # row per (doc, word), far smaller than the exploded token stream;
+    # MEMORY_AND_DISK spills rather than OOMs at 100-TB scale, and
+    # recomputing-twice is strictly more expensive than one spill pass.
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = df.count()
     scored = tf.join(dfreq, "w").select(

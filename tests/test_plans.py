@@ -118,10 +118,12 @@ def test_fact_store_scan_pushdown(spark, sf_dir):
     assert "PushedFilters" in plan and "l_shipda" in plan
     scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
     assert "l_comment" not in scan_line and "l_orderkey" not in scan_line
-    # the query must actually read BOTH segments' files
+    # the two incremental segments are compacted post-load (reference
+    # MERGE remedy, fact_store.py): the scan must read ONLY the valid
+    # compacted segment, never the stale pre-compaction ones
     df = registry()["q06_revenue_forecast"].fn(spark, sf_dir)
     files = df.inputFiles()
-    assert any("Segment_0" in f for f in files) and any("Segment_1" in f for f in files)
+    assert files and all("Segment_2" in f for f in files), files[:3]
 
 
 def test_store_load_clusters_on_sort_columns(spark, tmp_path, sf_dir):
@@ -202,3 +204,15 @@ def test_decontaminate_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "p_decontaminate")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_tf_aggregate_computed_once(spark, sf_dir):
+    """The (doc, word) tf aggregate feeds both the scored join and the
+    document-frequency derivation; ReusedExchange alone only dedups the
+    scan below it, so the operator persists tf — the executed plan must
+    read it back via InMemoryTableScan instead of re-exploding the corpus
+    (r3 flagged +11% from the double explode+aggregate)."""
+    df = registry()["p_text_tfidf"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes plan on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
