@@ -223,3 +223,57 @@ def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     return df.withColumn("rep_ngram_frac", dround(rep, 4)).withColumn(
         "n_ngrams", F.greatest(F.size(w) - (n - 1), F.lit(0)).cast("int")
     )
+
+
+def with_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Word-distribution Shannon entropy per document (natural log):
+    ``entropy = ln(n) - sum(c_w * ln(c_w)) / n`` over per-word counts —
+    low entropy flags repetitive/TEMPLATE text, high entropy flags
+    word-salad; a standard distributional quality signal alongside
+    `with_repetition`'s n-gram form.
+
+    Plan: one word explode -> (doc, word) count aggregate -> per-doc
+    aggregate. Both shuffles key on high-cardinality values; per-doc state
+    is O(distinct words in the doc); nothing broadcasts or collects, so
+    the operator scales with the corpus.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c").cast("double")
+        ).alias("entropy"),
+    )
+
+
+# PII scrubbing patterns — RE2-compatible (portable to DuckDB/Go/Rust
+# engines; no backrefs or lookarounds), the standard first-pass redaction
+# set for web-scraped training text.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: per-pattern match counts
+    (``n_email``/``n_phone``/``n_ipv4``) and ``text_redacted`` with each
+    match replaced by its ``[TYPE]`` tag. Pure codegen map expressions
+    (regexp_count / regexp_replace) — zero shuffle, linear scan, the
+    plan shape a 100-TB scrub pass needs. Patterns are deliberately
+    conservative (precision over recall): production recall belongs to a
+    dedicated NER pass; this is the cheap structural layer.
+    """
+    out = df
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.withColumn("text_redacted", red)

@@ -161,3 +161,39 @@ def q_sessionize(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CASE
+               WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                    AND t2 IS NOT NULL AND t2 > t1 THEN 3
+               WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 THEN 2
+               WHEN t0 IS NOT NULL THEN 1
+               ELSE 0 END AS stage
+      FROM m
+    )
+    SELECT CAST(stage AS INT) AS stage, count(*) AS n_users
+    FROM s GROUP BY stage
+    """,
+    doc="Ordered funnel view->click->purchase (operators/funnel.py): per "
+    "user the furthest step whose FIRST occurrence strictly follows the "
+    "previous step's first occurrence, then users per stage. One "
+    "map-side-combining min() aggregate keyed on user — no self-joins, "
+    "no windows (green-field; the reference's query layer has no "
+    "event-sequence surface, SURVEY §2.4).",
+)
+def q_funnel(spark, sf_dir):
+    from carbondata_spark.operators.funnel import funnel_stages
+
+    stages = funnel_stages(t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+    return stages.groupBy("stage").agg(F.count("*").alias("n_users"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from carbondata_spark.functions import dround
 from carbondata_spark.queries import register, t
 from carbondata_spark.query_defs.pipeline import _hex4_sql
 
@@ -153,3 +154,72 @@ def p_sim_knn(spark, sf_dir):
     from carbondata_spark.operators.similarity import knn_pairs
 
     return knn_pairs(t(spark, sf_dir, "embeddings"), k=3, threshold=0.4)
+
+
+@register(
+    "p_text_entropy",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 4) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+    headline=False,
+    doc="Word-distribution Shannon entropy per document "
+    "(operators/text.py:with_entropy): ln(n) - sum(c*ln(c))/n over "
+    "per-word counts — the distributional quality signal next to the "
+    "n-gram repetition score. Oracle recomputes the same formula in "
+    "DuckDB; per-doc term counts are small so the float sum is "
+    "margin-safe (audited by tools/margin_audit.py).",
+)
+def p_text_entropy(spark, sf_dir):
+    from carbondata_spark.operators.text import with_entropy
+
+    out = with_entropy(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_words", dround(F.col("entropy"), 4).alias("entropy")
+    )
+
+
+@register(
+    "p_text_pii",
+    oracle=r"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+           CAST(sum(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))) AS BIGINT) AS n_phone,
+           CAST(sum(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ipv4,
+           CAST(sum(CASE WHEN regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') <> text
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
+    FROM documents GROUP BY source
+    """,
+    doc="PII scrub parity per source (operators/text.py:pii_scrub): "
+    "RE2-portable email/phone/ipv4 patterns counted and redacted in both "
+    "engines — a diverging regex dialect, count, or replacement breaks "
+    "the hash (planted-PII behavior unit-tested in test_operators.py; "
+    "this row pins cross-engine pattern semantics on the real corpus). "
+    "Pure map expressions: zero shuffle before the per-source rollup.",
+)
+def p_text_pii(spark, sf_dir):
+    from carbondata_spark.operators.text import pii_scrub
+
+    s = pii_scrub(t(spark, sf_dir, "documents"))
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum((F.col("text_redacted") != F.col("text")).cast("int")).alias("n_redacted"),
+    )

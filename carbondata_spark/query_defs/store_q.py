@@ -276,6 +276,57 @@ def q_complex_sql_load(spark, sf_dir):
 
 
 @register(
+    "q_cube_ddl",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total,
+           sum(CAST(o_custkey AS DOUBLE)) AS sum_cust
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="CREATE CUBE front door end-to-end (CarbonSqlParser.scala:703-729, "
+    "cubeSchema.scala:107-126): the cube is created via SQL with an "
+    "explicit DIMENSIONS/MEASURES split, the bigint measure o_custkey "
+    "surfaces as double (CarbonDatasourceRelation.scala:194-208 "
+    "coercion), orders is LOADed with FORMAT parquet (conformed to the "
+    "cube schema: projection + coercion), and the aggregate runs through "
+    "the SQL passthrough over the registered cube view. The oracle "
+    "applies the same coercion to raw parquet, so a wrong dim/measure "
+    "split, missed coercion, or load misprojection breaks the hash. "
+    "sum(o_custkey): integer-valued doubles sum exactly (no decimal "
+    "needed); sum(o_totalprice) uses the decimal convention.",
+)
+def q_cube_ddl(spark, sf_dir):
+    from carbondata_spark.catalog import table_path
+    from carbondata_spark.sql import CarbonSession
+    from carbondata_spark.store import CarbonStore
+
+    key = (sf_dir, spark.sparkContext.applicationId, "cube_ddl")
+    if key not in _BUILT:
+        base = tempfile.mkdtemp(prefix="carbondata_cubeddl_")
+        cs = CarbonSession(spark, CarbonStore(spark, base))
+        cs.sql(
+            "CREATE CUBE orders_cube"
+            " DIMENSIONS (o_orderstatus string, o_orderpriority string)"
+            " MEASURES (o_totalprice double, o_custkey bigint)"
+        )
+        cs.sql(
+            f"LOAD DATA INPATH '{table_path(sf_dir, 'orders')}'"
+            " INTO TABLE orders_cube OPTIONS('format'='parquet')"
+        )
+        _BUILT[key] = base
+    cs = CarbonSession(spark, CarbonStore(spark, _BUILT[key]))
+    return cs.sql(
+        "SELECT o_orderstatus, o_orderpriority,"
+        " count(*) AS cnt,"
+        " CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total,"
+        " sum(o_custkey) AS sum_cust"
+        " FROM orders_cube GROUP BY o_orderstatus, o_orderpriority"
+    )
+
+
+@register(
     "q_store_pruned",
     oracle="""
     SELECT o_orderpriority,

@@ -16,7 +16,9 @@ round-trip exactly; only keywords are case-folded.
 Supported statements (case-insensitive keywords):
 
     CREATE TABLE <t> (<col> <type>, ...) [SORTED BY (c1, c2)]
-    DROP TABLE <t>
+    CREATE CUBE <t> DIMENSIONS (c type, ...) MEASURES (m type, ...)
+        [OPTIONS ('k'='v', ...)]           -- CarbonSqlParser.scala:703-729
+    DROP TABLE <t> / DROP CUBE <t> / SHOW CUBES
     SHOW TABLES
     SHOW SEGMENTS FOR TABLE <t>            -- SHOW LOADS
     DELETE SEGMENTS <id,...> FROM TABLE <t>  -- DELETE LOAD
@@ -243,6 +245,51 @@ class CarbonSession:
         if m:
             self.store.drop_table(m.group(1))
             return self._rows([{"dropped": m.group(1)}], "dropped string")
+
+        # CREATE CUBE — the reference's primary DDL front door
+        # (CarbonSqlParser.scala:703-729; model cubeSchema.scala:107-126):
+        # an explicit dimension/measure split. Dimensions become the sort
+        # columns (MDKey clustering analogue) and are recorded in
+        # dictionary_include; integer MEASURES surface as double (the
+        # reference's `case "int" => "double"` coercion,
+        # CarbonDatasourceRelation.scala:194-208) via the existing
+        # int_measures_as_double property hook.
+        m = re.fullmatch(
+            r"create cube (\w+) dimensions \((.+?)\) measures \((.+?)\)"
+            r"(?: options\s*\((.+)\))?",
+            s,
+            _I,
+        )
+        if m:
+            name, dims_s, meas_s, opts_s = m.group(1), m.group(2), m.group(3), m.group(4)
+            fields, dim_names = [], []
+            for part in _split_cols(dims_s):
+                cname, ctype = part.strip().split(None, 1)
+                fields.append(T.StructField(cname, _parse_type(ctype)))
+                dim_names.append(cname)
+            for part in _split_cols(meas_s):
+                cname, ctype = part.strip().split(None, 1)
+                fields.append(T.StructField(cname, _parse_type(ctype)))
+            props = _parse_options(opts_s)
+            props.setdefault("dictionary_include", ",".join(dim_names))
+            props.setdefault("int_measures_as_double", "true")
+            self.store.create_table(
+                name,
+                T.StructType(fields),
+                sort_columns=dim_names,
+                properties=props,
+            )
+            return self._rows([{"created": name}], "created string")
+
+        m = re.fullmatch(r"drop cube (\w+)", s, _I)
+        if m:
+            self.store.drop_table(m.group(1))
+            return self._rows([{"dropped": m.group(1)}], "dropped string")
+
+        if re.fullmatch(r"show cubes", s, _I):
+            return self._rows(
+                [{"cube_name": t} for t in self.store.tables()], "cube_name string"
+            )
 
         m = re.fullmatch(
             r"create table (\w+) \((.+?)\)"

@@ -28,6 +28,16 @@ from pyspark.sql.streaming import StreamingQuery
 from carbondata_spark.store import CarbonStore
 
 
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP: watermarks reject
+    TIMESTAMP_NTZ (parquet written with isAdjustedToUTC=false infers NTZ),
+    and the cast interprets NTZ in the session timezone (pinned UTC) — so
+    batch and stream paths see identical instants."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_load(
     store: CarbonStore,
     table: str,
@@ -124,7 +134,7 @@ def sessionized(
     minute-granularity incremental loads (no session concept there;
     green-field per SURVEY §2.9).
     """
-    df = events
+    df = _as_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     keys = [F.session_window(ts_col, gap)] + [F.col(c) for c in (group_cols or ["user_id"])]
@@ -146,7 +156,7 @@ def windowed_agg(
     handling; works identically on a stream (with watermark state
     eviction) and on a batch DataFrame (for the DuckDB oracle check —
     see q_stream_window in query_defs)."""
-    df = events
+    df = _as_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
@@ -177,7 +187,11 @@ def stream_dedup(
     keys = key_cols or ["event_id"]
     if not events.isStreaming:
         return events.dropDuplicates(keys)
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def attribution_join(
@@ -198,6 +212,8 @@ def attribution_join(
     same condition runs as a plain interval join, which is the oracle for
     the streaming path (q_event_attribution).
     """
+    clicks = _as_event_time(clicks, ts_col)
+    purchases = _as_event_time(purchases, ts_col)
     c = clicks.select(
         F.col(user_col).alias("user_id"),
         F.col(ts_col).alias("click_ts"),

@@ -369,3 +369,61 @@ def test_knn_pairs_matches_bruteforce(spark, emb):
     expect = sym.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
     got = knn_pairs(emb, k=3, threshold=0.4)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_pii_scrub_planted(spark):
+    from carbondata_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe@example.com or 555-123-4567 from 192.168.0.1"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.io c.d@e-f.org and ip 10.0.0.255"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ipv4) == (1, 1, 1)
+    assert "[EMAIL]" in rows[1].text_redacted and "[PHONE]" in rows[1].text_redacted
+    assert "[IPV4]" in rows[1].text_redacted
+    assert "john.doe" not in rows[1].text_redacted
+    assert rows[2].text_redacted == rows[2].text
+    assert (rows[2].n_email, rows[2].n_phone, rows[2].n_ipv4) == (0, 0, 0)
+    assert rows[3].n_email == 2 and rows[3].n_ipv4 == 1
+
+
+def test_entropy_extremes(spark):
+    import math
+
+    from carbondata_spark.operators.text import with_entropy
+
+    df = spark.createDataFrame(
+        [(1, "same same same same"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_entropy(df).collect()}
+    assert abs(rows[1].entropy) < 1e-12  # all-identical words -> 0
+    assert abs(rows[2].entropy - math.log(4)) < 1e-12  # uniform -> ln(k)
+    assert rows[1].n_words == 4
+
+
+def test_funnel_stage_semantics(spark):
+    from carbondata_spark.operators.funnel import funnel_stages
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2: click BEFORE first view -> stage stops at 1
+        (2, "click", 50), (2, "view", 100), (2, "purchase", 200),
+        # u3: view only
+        (3, "view", 10),
+        # u4: purchase without view/click
+        (4, "purchase", 10),
+        # u5: view -> click, purchase missing
+        (5, "view", 10), (5, "click", 20),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, float(s)) for u, t, s in rows], "user_id long, event_type string, ts double"
+    )
+    out = {r.user_id: r.stage for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}

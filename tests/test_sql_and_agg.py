@@ -369,3 +369,39 @@ def test_sql_mixed_case_identifiers_and_literals(cs, spark):
     assert vals == {"Web"}
     # passthrough SQL sees the same mixed-case table name
     assert cs.sql("SELECT count(*) AS n FROM MixedCase").collect()[0]["n"] == 2
+
+
+def test_sql_create_cube_ddl(cs, spark, sf_dir):
+    """CREATE CUBE — the reference's primary DDL (CarbonSqlParser.scala:
+    703-729): dims become sort columns, integer MEASURES surface as double
+    (CarbonDatasourceRelation.scala:194-208 coercion), and the cube is
+    queryable through the SQL passthrough."""
+    cs.sql(
+        "CREATE CUBE sales_cube"
+        " DIMENSIONS (region string, status string)"
+        " MEASURES (amount double, qty int)"
+    )
+    assert "sales_cube" in [r.cube_name for r in cs.sql("SHOW CUBES").collect()]
+    schema = cs.store.schema("sales_cube")
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert by_name["qty"] == "double"  # int measure -> double
+    assert by_name["region"] == "string"
+    d = cs.store.describe("sales_cube")
+    assert d["sort_columns"] == ["region", "status"]
+
+    df = spark.createDataFrame(
+        [("emea", "ok", 10.5, 2), ("apac", "ok", 1.25, 7), ("emea", "bad", 3.0, 1)],
+        "region string, status string, amount double, qty int",
+    )
+    cs.store.load("sales_cube", df)
+    out = {
+        r.region: (r.total, r.total_qty)
+        for r in cs.sql(
+            "SELECT region, sum(amount) AS total, sum(qty) AS total_qty"
+            " FROM sales_cube GROUP BY region"
+        ).collect()
+    }
+    assert out == {"emea": (13.5, 3.0), "apac": (1.25, 7.0)}
+
+    cs.sql("DROP CUBE sales_cube")
+    assert "sales_cube" not in cs.store.tables()
