@@ -55,26 +55,31 @@ from carbondata_spark.functions import davg, dround, dsum
 )
 def q01(spark, sf_dir):
     from carbondata_spark.fact_store import fact_table
+    from carbondata_spark.functions import exact_money_summary
 
     li = fact_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # dsum/davg: exact decimal accumulation — at sf0.1 these group sums
-    # reach ~1e9, where double partial-agg order drift (~1e-4) exceeds the
-    # distance to a half-cent boundary (margin_audit: drift 0.286 vs
-    # margin 0.0018 in scaled units). TPC-H itself types these DECIMAL.
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    # Exact decimal accumulation — at sf0.1 these group sums reach ~1e9,
+    # where double partial-agg order drift (~1e-4) exceeds the distance to
+    # a half-cent boundary (margin_audit: drift 0.286 vs margin 0.0018 in
+    # scaled units); TPC-H itself types these DECIMAL. The two-phase form
+    # keeps the hot path on long micro-units (decimal accumulators bench
+    # 2x slower on this 7-aggregate full scan).
+    return exact_money_summary(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": F.col("l_quantity"),
+            "sum_base_price": F.col("l_extendedprice"),
+            "sum_disc_price": disc_price,
+            "sum_charge": disc_price * (1 + F.col("l_tax")),
+        },
+        avgs={
+            "avg_qty": F.col("l_quantity"),
+            "avg_price": F.col("l_extendedprice"),
+            "avg_disc": F.col("l_discount"),
+        },
+        count_alias="count_order",
     )
 
 
