@@ -122,6 +122,32 @@ def closure_digest(
     return h.hexdigest()
 
 
+def fn_digest(
+    modname: str, fn_name: str, read_source: Callable[[str], bytes | None]
+) -> str | None:
+    """md5 of the query function's own source segment (ast-extracted) —
+    a FINER staleness signal than the module closure: a direct edit to
+    the query's body marks it higher-priority than a change that reaches
+    it only through a shared module. Returns None when the function can't
+    be located (treated as changed)."""
+    import ast
+
+    src = read_source(modname)
+    if src is None:
+        return None
+    try:
+        text = src.decode("utf-8", errors="replace")
+        tree = ast.parse(text)
+    except SyntaxError:
+        return None
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and node.name == fn_name:
+            seg = ast.get_source_segment(text, node)
+            if seg is not None:
+                return hashlib.md5(seg.encode()).hexdigest()
+    return None
+
+
 def load_ledger() -> dict[str, dict]:
     try:
         with open(LEDGER_PATH) as f:
@@ -131,14 +157,22 @@ def load_ledger() -> dict[str, dict]:
 
 
 def priority_order(
-    query_modules: dict[str, str],
+    query_modules: dict[str, str | tuple[str, str]],
     ledger: dict[str, dict] | None = None,
     read_source: Callable[[str], bytes | None] = read_source_worktree,
 ) -> list[str]:
     """Derive registry iteration order from the ledger.
 
-    ``query_modules``: query name -> defining module, in registry
-    insertion order (which breaks ties within each group).
+    ``query_modules``: query name -> defining module (or (module,
+    fn_name)), in registry insertion order (which breaks ties within
+    each group).
+
+    Order: [closure-changed queries] then [unchanged, oldest driver row
+    first]. Within the changed block the key is (last green round ASC,
+    directly-edited-fn first): when a shared module touches everyone's
+    closure (e.g. functions.py), the bounded driver prefix should spend
+    its tail slots on queries whose OWN body changed — the highest-risk
+    rewrites — not on whichever unchanged query registered first.
     """
     if ledger is None:
         ledger = load_ledger()
@@ -149,18 +183,25 @@ def priority_order(
             digest_cache[mod] = closure_digest([mod], read_source)
         return digest_cache[mod]
 
-    changed: list[tuple[int, int, str]] = []
-    fresh: list[tuple[int, int, str]] = []
-    for i, (name, mod) in enumerate(query_modules.items()):
+    changed: list[tuple[int, int, int, str]] = []
+    fresh: list[tuple[int, int, int, str]] = []
+    for i, (name, spec) in enumerate(query_modules.items()):
+        mod, fname = spec if isinstance(spec, tuple) else (spec, None)
         entry = ledger.get(name)
         if entry is None or entry.get("digest") != digest(mod):
             # Within the changed block, queries whose LAST GREEN row is
             # oldest (red-last-row and never-verified count as round 0)
             # need the hard signal most.
             green = int(entry.get("last_green_round", 0)) if entry else 0
-            changed.append((green, i, name))
+            fn_same = 1  # default: not directly edited
+            if entry is None:
+                fn_same = 0  # brand new -> treat as direct
+            elif fname is not None and entry.get("fn_digest") is not None:
+                cur = fn_digest(mod, fname, read_source)
+                fn_same = 1 if cur == entry["fn_digest"] else 0
+            changed.append((green, fn_same, i, name))
         else:
-            fresh.append((int(entry.get("last_round", 0)), i, name))
+            fresh.append((int(entry.get("last_round", 0)), 0, i, name))
     changed.sort()
     fresh.sort()
-    return [name for _, _, name in [*changed, *fresh]]
+    return [name for _, _, _, name in [*changed, *fresh]]

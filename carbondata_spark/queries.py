@@ -74,7 +74,9 @@ def registry() -> dict[str, Query]:
     try:
         from carbondata_spark.ledger import priority_order
 
-        order = priority_order({n: q.fn.__module__ for n, q in _REGISTRY.items()})
+        order = priority_order(
+            {n: (q.fn.__module__, q.fn.__name__) for n, q in _REGISTRY.items()}
+        )
     except Exception:
         order = list(_REGISTRY)  # never let ordering break the contract
     return {n: _REGISTRY[n] for n in order}

@@ -4,8 +4,12 @@ Importing this package registers every query into
 ``carbondata_spark.queries._REGISTRY``.
 """
 
-import carbondata_spark.query_defs.events_q  # noqa: F401
+# olap first: insertion order is the within-bucket tie-break for the
+# ledger-derived driver priority, and the headline OLAP family should win
+# tail slots of the driver's bounded checked prefix over peripheral
+# queries with the same staleness rank.
 import carbondata_spark.query_defs.olap  # noqa: F401
+import carbondata_spark.query_defs.events_q  # noqa: F401
 import carbondata_spark.query_defs.olap2  # noqa: F401
 import carbondata_spark.query_defs.olap3  # noqa: F401
 import carbondata_spark.query_defs.olap4  # noqa: F401

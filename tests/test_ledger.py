@@ -60,6 +60,42 @@ def test_priority_order_fronts_changed_then_rotates_oldest():
     assert order == ["q_never", "q_red", "q_rewritten", "q_fresh_old", "q_fresh_new"]
 
 
+def test_priority_order_fn_digest_ranks_direct_edits_first():
+    """When a shared-module change marks several same-green queries stale,
+    the one whose OWN function body changed outranks the transitively
+    touched one."""
+    files = {
+        **FILES,
+        "carbondata_spark.query_defs.mq": (
+            b"def q_direct(spark, sf):\n    return 1\n\n"
+            b"def q_transitive(spark, sf):\n    return 2\n"
+        ),
+    }
+    read = _reader(files)
+    old_fn = L.fn_digest("carbondata_spark.query_defs.mq", "q_direct", read)
+    keep_fn = L.fn_digest("carbondata_spark.query_defs.mq", "q_transitive", read)
+    # later: q_direct's body was edited, q_transitive untouched, and some
+    # OTHER content in the module changed too (so closures mismatch)
+    files2 = dict(files)
+    files2["carbondata_spark.query_defs.mq"] = (
+        b"def q_direct(spark, sf):\n    return 111\n\n"
+        b"def q_transitive(spark, sf):\n    return 2\n"
+    )
+    read2 = _reader(files2)
+    ledger = {
+        "q_transitive": {"last_round": 3, "last_green_round": 3,
+                         "digest": "old", "fn_digest": keep_fn},
+        "q_direct": {"last_round": 3, "last_green_round": 3,
+                     "digest": "old", "fn_digest": old_fn},
+    }
+    qm = {
+        "q_transitive": ("carbondata_spark.query_defs.mq", "q_transitive"),
+        "q_direct": ("carbondata_spark.query_defs.mq", "q_direct"),
+    }
+    order = L.priority_order(qm, ledger=ledger, read_source=read2)
+    assert order == ["q_direct", "q_transitive"]
+
+
 def test_live_registry_order_honors_ledger_invariants():
     """Against the real ledger + working tree: every query whose source
     closure changed since its last driver row (or that never had one)

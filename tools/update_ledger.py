@@ -29,6 +29,7 @@ from carbondata_spark.ledger import (  # noqa: E402
     LEDGER_PATH,
     REPO_ROOT,
     closure_digest,
+    fn_digest,
     module_relpath,
 )
 
@@ -114,6 +115,7 @@ def main() -> None:
             "last_round": rnd,
             "last_green_round": green_rounds.get(name, 0),
             "digest": closure_digest([mod], readers[rnd]),
+            "fn_digest": fn_digest(mod, q.fn.__name__, readers[rnd]),
         }
     with open(LEDGER_PATH, "w") as f:
         json.dump(dict(sorted(ledger.items())), f, indent=1, sort_keys=True)
