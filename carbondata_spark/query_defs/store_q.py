@@ -327,6 +327,53 @@ def q_cube_ddl(spark, sf_dir):
 
 
 @register(
+    "q_store_time_travel",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS cnt,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+    doc="Time-travel read (store.table(as_of_ts=...)): orders loaded as "
+    "two segments (even keys, then odd) with a wall-clock instant "
+    "captured between the commits; the as-of view at that instant must "
+    "contain EXACTLY the first segment — manifest invalidation "
+    "timestamps + the reference's deferred physical delete "
+    "(clean_files) make historical segment sets reconstructible. A "
+    "second load leaking into the view, or the first one dropped, "
+    "breaks the hash against the even-keys oracle.",
+)
+def q_store_time_travel(spark, sf_dir):
+    import time as _time
+
+    from carbondata_spark.store import CarbonStore
+
+    key = (sf_dir, spark.sparkContext.applicationId, "time_travel")
+    if key not in _BUILT:
+        base = tempfile.mkdtemp(prefix="carbondata_timetravel_")
+        store = CarbonStore(spark, base)
+        orders = t(spark, sf_dir, "orders")
+        store.create_table("orders_tt", orders.schema)
+        store.load("orders_tt", orders.filter(F.col("o_orderkey") % 2 == 0))
+        mid_ts = _time.time()
+        _time.sleep(0.01)
+        store.load("orders_tt", orders.filter(F.col("o_orderkey") % 2 == 1))
+        _BUILT[key] = (base, mid_ts)
+    base, mid_ts = _BUILT[key]
+    store = CarbonStore(spark, base)
+    return (
+        store.table("orders_tt", as_of_ts=mid_ts)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@register(
     "q_store_pruned",
     oracle="""
     SELECT o_orderpriority,

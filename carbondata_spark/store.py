@@ -72,6 +72,13 @@ class SegmentEntry:
     # lets streaming replays detect an already-committed micro-batch
     # (exactly-once table contents across foreachBatch retries)
     origin: dict[str, Any] = field(default_factory=dict)
+    # wall-clock of the commit that took this segment OUT of the live set
+    # (delete/compact/overwrite). Drives time-travel reads: at as_of
+    # between load_end_ts and invalidated_ts the segment was live. None
+    # while live. Physical files persist until clean_files, exactly the
+    # reference's deferred-removal design — so as-of views stay readable
+    # until maintenance runs.
+    invalidated_ts: float | None = None
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -83,6 +90,7 @@ class SegmentEntry:
             "columns": self.columns,
             "stats": self.stats,
             "origin": self.origin,
+            "invalidated_ts": self.invalidated_ts,
         }
 
     @staticmethod
@@ -96,6 +104,7 @@ class SegmentEntry:
             columns=d.get("columns", []),
             stats=d.get("stats", {}),
             origin=d.get("origin", {}),
+            invalidated_ts=d.get("invalidated_ts"),
         )
 
 
@@ -313,6 +322,7 @@ class CarbonStore:
                 for e in entries:
                     if e.status == SEGMENT_SUCCESS:
                         e.status = SEGMENT_DELETED
+                        e.invalidated_ts = time.time()
             for e in entries:
                 if e.segment_id == seg_id:
                     e.status = SEGMENT_SUCCESS
@@ -473,7 +483,12 @@ class CarbonStore:
             for e in self._read_status(table)
         )
 
-    def table(self, table: str, segment_ids: list[int] | None = None) -> DataFrame:
+    def table(
+        self,
+        table: str,
+        segment_ids: list[int] | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
         """DataFrame = union of valid segments (optionally a subset),
         aligned to current schema.
 
@@ -481,13 +496,39 @@ class CarbonStore:
         are aligned by name with defaults filled (RestructureUtil.java:128
         / RestructureFilterExecuterImpl semantics) so old and new segments
         union cleanly.
+
+        ``as_of_ts``: time-travel read — the segment set as it was live at
+        that wall-clock instant (committed by then, not yet invalidated by
+        a later delete/compact/overwrite). Works because physical removal
+        is deferred to ``clean_files`` (the reference's deferred-delete
+        design); a cleaned segment needed by the view raises.
         """
         meta = self._read_schema(table)
         target = T.StructType.fromJson(meta["schema"])
         defaults: dict[str, Any] = {}
         for ev in meta["evolution"]:
             defaults.update(ev.get("defaults", {}))
-        segs = self.valid_segments(table)
+        if as_of_ts is not None:
+            floor = meta.get("history_floor_ts")
+            if floor is not None and as_of_ts < floor:
+                raise ValueError(
+                    f"time-travel view of {table}@{as_of_ts} predates the "
+                    f"history floor {floor}: clean_files removed segments "
+                    "that view needs"
+                )
+            segs = []
+            for e in self._read_status(table):
+                committed = e.status != SEGMENT_IN_PROGRESS and e.load_end_ts <= as_of_ts
+                live_then = e.invalidated_ts is None or e.invalidated_ts > as_of_ts
+                if committed and live_then:
+                    if not os.path.isdir(self._segment_dir(table, e.segment_id)):
+                        raise ValueError(
+                            f"time-travel view of {table}@{as_of_ts} needs segment "
+                            f"{e.segment_id}, already removed by clean_files"
+                        )
+                    segs.append(e)
+        else:
+            segs = self.valid_segments(table)
         if segment_ids is not None:
             segs = [e for e in segs if e.segment_id in segment_ids]
         if not segs:
@@ -552,6 +593,7 @@ class CarbonStore:
             for e in entries:
                 if e.segment_id in segment_ids and e.status == SEGMENT_SUCCESS:
                     e.status = SEGMENT_DELETED
+                    e.invalidated_ts = time.time()
                     flipped += 1
             self._write_status(table, entries)
         return flipped
@@ -566,6 +608,7 @@ class CarbonStore:
             for e in entries:
                 if e.status == SEGMENT_SUCCESS and e.load_start_ts < before_ts:
                     e.status = SEGMENT_DELETED
+                    e.invalidated_ts = time.time()
                     flipped += 1
             self._write_status(table, entries)
         return flipped
@@ -577,6 +620,7 @@ class CarbonStore:
         the filesystem, defines table contents, so orphan dirs are safe to
         drop)."""
         removed = []
+        floor = 0.0
         now = time.time()
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
@@ -589,9 +633,19 @@ class CarbonStore:
                 if e.status in (SEGMENT_DELETED, SEGMENT_COMPACTED) or stale:
                     shutil.rmtree(self._segment_dir(table, e.segment_id), ignore_errors=True)
                     removed.append(e.segment_id)
+                    if not stale:
+                        floor = max(floor, e.invalidated_ts or now)
                 else:
                     keep.append(e)
             self._write_status(table, keep)
+        if floor:
+            # advance the time-travel history floor: views older than the
+            # newest invalidation we just physically removed are no longer
+            # reconstructible and must raise rather than silently shrink
+            with file_lock(self._schema_path(table)):
+                meta = self._read_schema(table)
+                meta["history_floor_ts"] = max(meta.get("history_floor_ts", 0.0), floor)
+                self._write_schema(table, meta)
         return removed
 
     def auto_compact(
@@ -677,6 +731,7 @@ class CarbonStore:
             for e in entries:
                 if e.segment_id in old_ids and e.status == SEGMENT_SUCCESS:
                     e.status = SEGMENT_COMPACTED
+                    e.invalidated_ts = time.time()
                 if e.segment_id == new_id:
                     e.status = SEGMENT_SUCCESS
                     e.rows = rows

@@ -218,3 +218,52 @@ def test_incremental_rollup_refresh_appends_partial_segments(spark, tmp_path):
     out2 = {r["region"]: r["sum_amt"] for r in
             at.rewrite_aggregate(store, "f", ["region"], {"amt": ["sum"]}).collect()}
     assert out2 == {"e": 10.0, "w": 10.0}
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """as_of reads reconstruct the live segment set at any instant:
+    between loads, after a delete, and across a compaction — until
+    clean_files removes the physical dirs (deferred-delete design)."""
+    import time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "tt_store"))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    store.create_table("tt", df.schema, sort_columns=[])
+    store.load("tt", df.filter("k < 40"))
+    t_after_load0 = time.time()
+    time.sleep(0.01)
+    store.load("tt", df.filter("k >= 40"))
+    t_after_load1 = time.time()
+    time.sleep(0.01)
+
+    assert store.table("tt", as_of_ts=t_after_load0).count() == 40
+    assert store.table("tt", as_of_ts=t_after_load1).count() == 100
+    # before any load: empty
+    assert store.table("tt", as_of_ts=t_after_load0 - 10).count() == 0
+
+    store.delete_segments("tt", [0])
+    t_after_delete = time.time()
+    assert store.table("tt").count() == 60
+    assert store.table("tt", as_of_ts=t_after_delete).count() == 60
+    # pre-delete instant still sees both segments
+    assert store.table("tt", as_of_ts=t_after_load1).count() == 100
+
+    # compaction invalidates inputs but the pre-compaction view holds
+    store.load("tt", df.filter("k < 40"))
+    time.sleep(0.01)
+    t_before_compact = time.time()
+    store.compact("tt")
+    assert store.table("tt").count() == 100
+    assert store.table("tt", as_of_ts=t_before_compact).count() == 100
+
+    # clean_files removes invalidated segments -> old views now raise
+    store.clean_files("tt")
+    with _pytest.raises(ValueError, match="clean_files"):
+        store.table("tt", as_of_ts=t_after_load1).count()
+    # current view unaffected
+    assert store.table("tt").count() == 100
