@@ -197,3 +197,49 @@ def q_funnel(spark, sf_dir):
 
     stages = funnel_stages(t(spark, sf_dir, "events"), ["view", "click", "purchase"])
     return stages.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE)) / 7) AS INT) AS week_n,
+             CAST(date_trunc('week', f.first_day) AS DATE) AS cohort_week
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_n,
+           count(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_n
+    """,
+    doc="Retention cohort matrix: users bucketed by first-seen week "
+    "(cohort), counted as active in each subsequent week-offset. Two "
+    "user-keyed aggregates + one user-keyed join — first-seen is a "
+    "map-side-combining min(), the join shuffles on the naturally "
+    "high-cardinality user key, and the final rollup is tiny. The "
+    "standard product-analytics companion to q_funnel.",
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7)
+            .cast("int")
+            .alias("week_n"),
+            F.date_format(F.date_trunc("week", F.col("first_day")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(F.count("*").alias("n_active"))

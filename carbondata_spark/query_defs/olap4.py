@@ -13,6 +13,7 @@ joining), deterministic tiebreaks on every top-k.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from carbondata_spark.functions import dround, dsum
@@ -311,3 +312,70 @@ def q_range_join(spark, sf_dir):
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS rolling_1h,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM events WHERE user_id < 50
+    """,
+    doc="Value-range window frame (RANGE BETWEEN 3600 PRECEDING): "
+    "per-user rolling 1-hour sum/count over event time — the "
+    "time-window analytics frame ROWS frames cannot express (frame "
+    "membership follows the ORDER BY value, not row position). "
+    "Epoch-seconds ordering keys the frame identically in both engines. "
+    "Note: peer rows (equal ts) share frame results in both engines, so "
+    "no unique-key tiebreak is needed for determinism.",
+)
+def q_window_range_frame(spark, sf_dir):
+    from carbondata_spark.functions import epoch_seconds
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch_seconds(F.col("ts")))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        dround(F.sum("value").over(w), 2).alias("rolling_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL')   AS linestatus,
+           count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube) + grouping() "
+    "disambiguation of NULL-as-ALL vs real NULLs — the remaining "
+    "grouping-analytics surface of SURVEY §2.4 (HiveQL-delegated in the "
+    "reference). Expressed through Spark SQL; Catalyst expands to a "
+    "single Expand + hash aggregate, one shuffle.",
+)
+def q_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL')   AS linestatus,
+               count(*) AS n,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """)

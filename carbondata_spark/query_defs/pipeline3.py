@@ -223,3 +223,38 @@ def p_text_pii(spark, sf_dir):
         F.sum("n_ipv4").alias("n_ipv4"),
         F.sum((F.col("text_redacted") != F.col("text")).cast("int")).alias("n_redacted"),
     )
+
+
+@register(
+    "p_quality_percentile_cut",
+    oracle="""
+    WITH thresh AS (
+      SELECT quantile_cont(n_chars, 0.25) AS t FROM documents
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents, thresh
+    WHERE n_chars >= t
+    GROUP BY source
+    """,
+    doc="Percentile-threshold quality cut: keep documents at or above the "
+    "corpus 25th-percentile length — the standard 'drop the shortest "
+    "quartile' pre-training filter, with the threshold computed from the "
+    "data (not hardcoded). Spark plan: exact percentile() aggregate to a "
+    "1-row frame, broadcast cross join, filtered scan — percentile "
+    "state is a count-map over distinct lengths (bounded), never a "
+    "global sort; the corpus side streams.",
+)
+def p_quality_percentile_cut(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    thresh = docs.agg(F.expr("percentile(n_chars, 0.25)").alias("t"))
+    return (
+        docs.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_chars") >= F.col("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
