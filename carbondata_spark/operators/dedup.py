@@ -506,3 +506,32 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def near_dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Near-dup groups summarized with a quality-best survivor: one row
+    per cluster with its size and the kept document (max quality, ties to
+    the lowest id) — the end-to-end near-dedup policy (LSH pairs ->
+    connected components -> survivor election) a training-data pipeline
+    actually ships.
+
+    Plan: near_dup_groups' label propagation, a group-keyed join back to
+    the corpus, then ONE max_by hash aggregate (map-side combine, no
+    window) — the keep_best_dedup survivor policy applied per cluster
+    instead of per exact-content hash.
+    """
+    groups = near_dup_groups(docs, pairs, id_col)
+    member = docs.select(id_col, quality_col).join(groups, id_col)
+    best = F.max_by(
+        F.col(id_col),
+        F.struct(F.col(quality_col).alias("o1"), (-F.col(id_col)).alias("o2")),
+    )
+    return member.groupBy("group_id").agg(
+        F.count("*").alias("n_members"),
+        best.alias("keep_id"),
+    )

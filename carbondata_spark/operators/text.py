@@ -277,3 +277,44 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return out.withColumn("text_redacted", red)
+
+
+def with_unigram_nll(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-unigram negative log-likelihood per document — the
+    dependency-free perplexity proxy used for quality filtering (a
+    document scoring high against its own corpus' unigram distribution is
+    word-salad / OOV-heavy; low means generic-fluent):
+
+        nll = sum_w c_dw * -ln(count_w / total_tokens) / sum_w c_dw
+
+    Plan: one explode -> per-(doc, word) counts (persisted: feeds both
+    the corpus distribution and the scoring join, same rationale as
+    tfidf_top_terms) -> corpus counts by word -> word-key shuffle join ->
+    per-doc aggregate. The 1-row total-token frame broadcasts. State per
+    key is a count; nothing collects to the driver. The model hook for a
+    real LM is the same join shape with an external (word, logp) table.
+    """
+    from pyspark import StorageLevel
+
+    from carbondata_spark.functions import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words(F.lower(F.col(text_col)))).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = tf.groupBy("w").agg(F.sum("c").alias("cw"))
+    total = corpus.agg(F.sum("cw").alias("total"))
+    scored = tf.join(corpus, "w").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (
+            F.sum(
+                F.col("c").cast("double")
+                * -F.log(F.col("cw").cast("double") / F.col("total").cast("double"))
+            )
+            / F.sum("c").cast("double")
+        ).alias("nll"),
+    )

@@ -439,3 +439,59 @@ def p_media_decode(spark, sf_dir):
     from carbondata_spark.operators.multimodal import decode_media, documents_as_media
 
     return decode_media(documents_as_media(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "p_dedup_near_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_MINHASH_MH_CTE},
+    {_MINHASH_BANDS_CTE},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+              GROUP BY 1, 2),
+    p AS (SELECT id_a, id_b FROM inter
+          JOIN counts ca ON ca.doc_id = id_a
+          JOIN counts cb ON cb.doc_id = id_b
+          WHERE inter::DOUBLE / (ca.c + cb.c - inter) >= 0.5),
+    e AS (SELECT id_a AS v, id_b AS u FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT v, u FROM e
+      UNION
+      SELECT r.v, e.u FROM reach r JOIN e ON r.u = e.v
+    ),
+    groups AS (
+      SELECT d.doc_id, d.n_chars,
+             CAST(least(d.doc_id, coalesce(min(r.u), d.doc_id)) AS BIGINT) AS group_id
+      FROM documents d LEFT JOIN reach r ON r.v = d.doc_id
+      GROUP BY d.doc_id, d.n_chars
+    ),
+    ranked AS (
+      SELECT group_id, doc_id,
+             row_number() OVER (PARTITION BY group_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM groups
+    )
+    SELECT g.group_id,
+           count(*) AS n_members,
+           CAST(min(CASE WHEN rk.rn = 1 THEN rk.doc_id END) AS BIGINT) AS keep_id
+    FROM groups g JOIN ranked rk ON rk.group_id = g.group_id AND rk.doc_id = g.doc_id
+    GROUP BY g.group_id
+    """,
+    doc="End-to-end near-dedup policy (operators/dedup.py:"
+    "near_dedup_keep_best): MinHash-LSH pairs -> connected components -> "
+    "per-cluster quality-best survivor (max n_chars, ties to lowest id) "
+    "via one map-side-combining max_by — no window over the corpus. "
+    "Oracle = recursive-CTE reachability + window election.",
+)
+def p_dedup_near_keep_best(spark, sf_dir):
+    from carbondata_spark.operators.dedup import minhash_lsh_pairs, near_dedup_keep_best
+
+    docs = t(spark, sf_dir, "documents")
+    return near_dedup_keep_best(docs, minhash_lsh_pairs(docs, threshold=0.5))

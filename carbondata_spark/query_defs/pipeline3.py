@@ -258,3 +258,34 @@ def p_quality_percentile_cut(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "p_text_unigram_nll",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+    corpus AS (SELECT w, sum(c) AS cw FROM tf GROUP BY w),
+    tot AS (SELECT sum(cw) AS total FROM corpus)
+    SELECT tf.doc_id,
+           CAST(sum(tf.c) AS BIGINT) AS n_tokens,
+           round(sum(CAST(tf.c AS DOUBLE)
+                     * -ln(CAST(corpus.cw AS DOUBLE) / CAST(tot.total AS DOUBLE)))
+                 / CAST(sum(tf.c) AS DOUBLE), 4) AS nll
+    FROM tf JOIN corpus USING (w), tot
+    GROUP BY tf.doc_id
+    """,
+    doc="Unigram perplexity proxy (operators/text.py:with_unigram_nll): "
+    "per-document corpus-unigram negative log-likelihood — the "
+    "quality-filter signal between rule scores and a real LM. Oracle "
+    "recomputes the distribution in DuckDB; per-doc sums are small so "
+    "the float accumulation is margin-safe (audited).",
+)
+def p_text_unigram_nll(spark, sf_dir):
+    from carbondata_spark.operators.text import with_unigram_nll
+
+    out = with_unigram_nll(t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens", dround(F.col("nll"), 4).alias("nll"))

@@ -20,6 +20,7 @@ Supported statements (case-insensitive keywords):
         [OPTIONS ('k'='v', ...)]           -- CarbonSqlParser.scala:703-729
     DROP TABLE <t> / DROP CUBE <t> / SHOW CUBES
     SHOW TABLES
+    SELECT ... FROM <t> AS OF TIMESTAMP '<iso>'   -- time-travel read
     SHOW SEGMENTS FOR TABLE <t>            -- SHOW LOADS
     DELETE SEGMENTS <id,...> FROM TABLE <t>  -- DELETE LOAD
     DELETE SEGMENTS FROM TABLE <t> WHERE STARTTIME BEFORE '<ts>'
@@ -319,6 +320,24 @@ class CarbonSession:
         routed = self._try_rollup_route(s)
         if routed is not None:
             return routed
+
+        # Time travel in SQL: `FROM <t> AS OF TIMESTAMP '<iso>'` registers
+        # a view of the historical segment set (store.table(as_of_ts=...))
+        # under a mangled name and rewrites the reference — the SELECT
+        # surface for the manifest's invalidation timestamps.
+        def _asof_sub(m: re.Match) -> str:
+            tname = m.group(1)
+            ts = datetime.fromisoformat(m.group(2)).replace(tzinfo=timezone.utc).timestamp()
+            view = f"{tname}_asof_{int(ts * 1000)}"
+            self.store.table(tname, as_of_ts=ts).createOrReplaceTempView(view)
+            return view
+
+        s = re.sub(
+            r"\b(\w+) as of timestamp '([^']+)'",
+            lambda m: _asof_sub(m) if m.group(1) in self.store.tables() else m.group(0),
+            s,
+            flags=_I,
+        )
 
         # passthrough: register ONLY the store tables the statement
         # references as views, then run Spark SQL. Building a view is

@@ -405,3 +405,24 @@ def test_sql_create_cube_ddl(cs, spark, sf_dir):
 
     cs.sql("DROP CUBE sales_cube")
     assert "sales_cube" not in cs.store.tables()
+
+
+def test_sql_as_of_time_travel(cs, spark):
+    """`FROM t AS OF TIMESTAMP '<iso>'` reads the historical segment set
+    through the SQL passthrough (store.table(as_of_ts=...) surface)."""
+    import time
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    cs.sql("CREATE TABLE asof_t (k bigint, v double)")
+    cs.store.load("asof_t", df.filter("k < 20"))
+    mid = time.time()
+    time.sleep(0.01)
+    cs.store.load("asof_t", df.filter("k >= 20"))
+
+    iso = datetime.fromtimestamp(mid, tz=timezone.utc).isoformat().replace("+00:00", "")
+    old = cs.sql(f"SELECT count(*) AS n FROM asof_t AS OF TIMESTAMP '{iso}'").collect()
+    now = cs.sql("SELECT count(*) AS n FROM asof_t").collect()
+    assert old[0].n == 20 and now[0].n == 50
