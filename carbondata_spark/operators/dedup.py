@@ -46,8 +46,15 @@ def shingles_df(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle) pairs — distinct word n-grams per document."""
+    """(id, shingle) pairs — word n-grams per document, distinct by
+    default.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregate is duplicate-insensitive (minhash minima) or dedups inside
+    its own aggregate (collect_set) — one full shuffle of the exploded
+    token stream saved."""
     from carbondata_spark.functions import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -62,10 +69,8 @@ def shingles_df(
     )
     # dedup at DataFrame level (hash aggregate, codegen) — array_distinct
     # inside the row is O(len²) interpreted string comparisons
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("s"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("s"))
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +222,11 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = shingles_df(df, id_col, text_col, n)
+    # distinct=False: minhash minima are duplicate-insensitive and the
+    # shingle set dedups inside collect_set, so the (doc, shingle)
+    # distinct would be a second full shuffle of the exploded token
+    # stream for nothing — the signature aggregate is the ONLY shuffle.
+    sh = shingles_df(df, id_col, text_col, n, distinct=False)
     # sig feeds band explosion AND both sides of the verification join —
     # persist the compact per-doc row (8 hex minima + shingle array) so
     # the explode/aggregate over the corpus runs exactly once. At 100 TB,
@@ -225,11 +234,8 @@ def minhash_lsh_pairs(
     # assignment table).
     sig = _minhash_from_shingles(
         sh,
-        extra_aggs=[
-            F.count("*").alias("c"),
-            F.sort_array(F.collect_list("s")).alias("ss"),
-        ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        extra_aggs=[F.sort_array(F.collect_set("s")).alias("ss")],
+    ).withColumn("c", F.size("ss")).persist(StorageLevel.MEMORY_AND_DISK)
     bands = F.array(
         *[
             F.struct(
