@@ -67,3 +67,35 @@ def shard_assign(
     """
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
     return df.withColumn("shard", (h.cast("long") % n_shards).cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Deterministic contiguous sequence packing: assign each document to
+    a (shard, bin) so that bins hold consecutive documents (by id order
+    within a content-addressed shard) whose running token total fits the
+    context budget — the write-side packing step before training
+    serialization. ``bin = floor((cumsum - n) / budget)`` over the
+    per-shard id-ordered cumulative sum: reproducible (re-runs and other
+    engines produce identical assignments), no driver loop.
+
+    Scale: one window cumsum per shard — shards are the parallelism unit
+    (pick n_shards >= cluster cores); within a shard the sort is by the
+    id, the same order the docs will be written. Oversized documents
+    (n > budget) still get a bin (their own overflowing one) — splitting
+    them belongs to chunk_documents upstream.
+    """
+    from pyspark.sql import Window as W
+
+    sharded = shard_assign(df, n_shards=n_shards, key_col=id_col)
+    w = W.partitionBy("shard").orderBy(id_col)
+    cum = F.sum(token_col).over(w)
+    return sharded.withColumn(
+        "bin",
+        F.floor((cum - F.col(token_col)) / F.lit(budget_tokens)).cast("int"),
+    )

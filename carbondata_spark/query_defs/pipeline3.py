@@ -289,3 +289,81 @@ def p_text_unigram_nll(spark, sf_dir):
 
     out = with_unigram_nll(t(spark, sf_dir, "documents"))
     return out.select("doc_id", "n_tokens", dround(F.col("nll"), 4).alias("nll"))
+
+
+@register(
+    "p_pack_sequences",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             CAST({_KEY_U32} % 8 AS INT) AS shard
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_chars,
+             CAST(floor((sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_chars) / 2048.0) AS INT) AS bin
+      FROM sharded
+    )
+    SELECT shard, bin,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM packed GROUP BY shard, bin
+    """,
+    doc="Deterministic sequence packing (operators/chunking.py:"
+    "pack_sequences): per content-addressed shard, id-ordered running "
+    "char totals split into 2048-char bins (bin = floor((cumsum-n)/L)) — "
+    "the reproducible write-side packing step before training "
+    "serialization. One window cumsum per shard; shards are the "
+    "parallelism unit. Oracle replays the identical cumsum in DuckDB.",
+)
+def p_pack_sequences(spark, sf_dir):
+    from carbondata_spark.operators.chunking import pack_sequences
+
+    packed = pack_sequences(
+        t(spark, sf_dir, "documents"), budget_tokens=2048, n_shards=8,
+        token_col="n_chars",
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "p_quality_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT source, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT decile,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM scored GROUP BY decile
+    """,
+    doc="Quality-decile bucketing via ntile(10) (deterministic total "
+    "order: score then id) — the bucketing step of curriculum/quality "
+    "mixing; completes the window-function surface (rank family + "
+    "running frames + RANGE frames + ntile). Note: a global ntile needs "
+    "a single-partition sort — for 100-TB corpora use the "
+    "percentile-threshold form (p_quality_percentile_cut) instead; this "
+    "operator is for bounded scored samples.",
+)
+def p_quality_deciles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("n_chars", "doc_id"))
+    )
+    return scored.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
