@@ -379,3 +379,41 @@ def q_grouping_sets(spark, sf_dir):
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
     """)
+
+
+@register(
+    "q_map_ops",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey,
+             map(['seg', 'nk'], [c_mktsegment, CAST(c_nationkey AS VARCHAR)]) AS mp
+      FROM customer WHERE c_custkey <= 50
+    )
+    SELECT c_custkey,
+           element_at(mp, 'seg')[1] AS seg_v,
+           element_at(mp, 'nk')[1]  AS nk_v,
+           CAST(len(map_keys(mp)) AS INT) AS n_keys,
+           list_contains(map_keys(mp), 'seg') AS has_seg,
+           list_contains(map_keys(mp), 'zz')  AS has_zz
+    FROM m
+    """,
+    doc="Map-type scalar surface (SURVEY §2.8 array/map/json — the map "
+    "leg): construct a map column, extract by key, enumerate keys, test "
+    "membership. Spark create_map/element_at/map_keys/map_contains_key "
+    "vs DuckDB map/element_at/map_keys (DuckDB extraction returns a "
+    "1-element list, unwrapped with [1] so both engines emit scalars).",
+)
+def q_map_ops(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    mp = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("nk"), F.col("c_nationkey").cast("string"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.element_at(mp, "seg").alias("seg_v"),
+        F.element_at(mp, "nk").alias("nk_v"),
+        F.size(F.map_keys(mp)).alias("n_keys"),
+        F.array_contains(F.map_keys(mp), "seg").alias("has_seg"),
+        F.array_contains(F.map_keys(mp), "zz").alias("has_zz"),
+    )
