@@ -216,3 +216,25 @@ def test_tfidf_tf_aggregate_computed_once(spark, sf_dir):
     df.collect()  # AQE finalizes plan on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_new_pipeline_queries_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-4 additions: no cartesian anywhere, the
+    packing query runs exactly one Window (the per-shard cumsum), and the
+    funnel is pure aggregation (no join, no window)."""
+    for name in ["q_retention_cohorts", "p_text_unigram_nll", "q_funnel"]:
+        df = registry()[name].fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+    pack = registry()["p_pack_sequences"].fn(spark, sf_dir)
+    pack.collect()
+    pplan = pack._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the node in both the initial and final plan sections, so
+    # count DISTINCT window specs, not occurrences
+    specs = {ln.strip() for ln in pplan.splitlines() if "Window [" in ln}
+    assert len(specs) == 1, specs
+    fun = registry()["q_funnel"].fn(spark, sf_dir)
+    fun.collect()
+    fplan = fun._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in fplan and "Window" not in fplan
