@@ -150,6 +150,29 @@ def exact_money_summary(
     return partial.groupBy(*group_cols).agg(*aggs)
 
 
+# operator label -> its most recent persisted intermediate. Bounds the
+# cache leak of operators that persist (tfidf/unigram-nll tf frames,
+# minhash signatures) to ONE frame per operator per app: re-invoking the
+# operator releases the previous invocation's blocks, which otherwise
+# accumulate for the application lifetime (a ~100-query driver sweep
+# would pin every historical tf frame until app exit).
+_PERSISTED: dict[str, DataFrame] = {}
+
+
+def repersist(label: str, df: DataFrame, storage_level=None) -> DataFrame:
+    from pyspark import StorageLevel
+
+    prev = _PERSISTED.get(label)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session gone / already unpersisted
+    out = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED[label] = out
+    return out
+
+
 def epoch_seconds(col: Column) -> Column:
     """Seconds since epoch (double, sub-second precision) for TIMESTAMP
     *or* TIMESTAMP_NTZ input.

@@ -220,7 +220,7 @@ def minhash_lsh_pairs(
     two full-index shuffles, a pair-count hash aggregate, and the
     persist/recompute of the index that the join formulation needed.
     """
-    from pyspark import StorageLevel
+    from carbondata_spark.functions import repersist
 
     # distinct=False: minhash minima are duplicate-insensitive and the
     # shingle set dedups inside collect_set, so the (doc, shingle)
@@ -232,10 +232,13 @@ def minhash_lsh_pairs(
     # the explode/aggregate over the corpus runs exactly once. At 100 TB,
     # materialize it as a store table instead (same lifecycle as the IVF
     # assignment table).
-    sig = _minhash_from_shingles(
-        sh,
-        extra_aggs=[F.sort_array(F.collect_set("s")).alias("ss")],
-    ).withColumn("c", F.size("ss")).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = repersist(
+        "minhash_sig",
+        _minhash_from_shingles(
+            sh,
+            extra_aggs=[F.sort_array(F.collect_set("s")).alias("ss")],
+        ).withColumn("c", F.size("ss")),
+    )
     bands = F.array(
         *[
             F.struct(
@@ -312,7 +315,10 @@ def near_dup_groups(
     )
     labels = nodes.select("v", F.col("v").alias("label"))
     changed = 0
-    for _ in range(max_iters):
+    # max_iters + 1: a graph that converges in exactly max_iters
+    # propagation rounds still needs one confirming pass to observe
+    # changed == 0 — without it a fully-correct result would be rejected
+    for _ in range(max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges.u == labels.v)
             .groupBy(edges.v.alias("nv"))

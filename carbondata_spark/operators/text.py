@@ -127,9 +127,7 @@ def tfidf_top_terms(
     scale-safe plan (AQE still turns it into a broadcast join
     automatically when the vocabulary happens to be small).
     """
-    from carbondata_spark.functions import dround, ensure_parallelism
-
-    from pyspark import StorageLevel
+    from carbondata_spark.functions import dround, ensure_parallelism, repersist
 
     df = ensure_parallelism(df)
     words = df.select(
@@ -145,7 +143,7 @@ def tfidf_top_terms(
     # MEMORY_AND_DISK spills rather than OOMs at 100-TB scale, and
     # recomputing-twice is strictly more expensive than one spill pass.
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    tf = repersist("tfidf_tf", tf)
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     n_docs = df.count()
     scored = tf.join(dfreq, "w").select(
@@ -313,9 +311,7 @@ def with_unigram_nll(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     key is a count; nothing collects to the driver. The model hook for a
     real LM is the same join shape with an external (word, logp) table.
     """
-    from pyspark import StorageLevel
-
-    from carbondata_spark.functions import ensure_parallelism
+    from carbondata_spark.functions import ensure_parallelism, repersist
 
     df = ensure_parallelism(df)
     words = df.select(
@@ -323,7 +319,7 @@ def with_unigram_nll(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.explode(_words(F.lower(F.col(text_col)))).alias("w"),
     )
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    tf = repersist("unigram_nll_tf", tf)
     corpus = tf.groupBy("w").agg(F.sum("c").alias("cw"))
     total = corpus.agg(F.sum("cw").alias("total"))
     scored = tf.join(corpus, "w").crossJoin(F.broadcast(total))

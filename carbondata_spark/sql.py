@@ -327,7 +327,12 @@ class CarbonSession:
         # surface for the manifest's invalidation timestamps.
         def _asof_sub(m: re.Match) -> str:
             tname = m.group(1)
-            ts = datetime.fromisoformat(m.group(2)).replace(tzinfo=timezone.utc).timestamp()
+            dt = datetime.fromisoformat(m.group(2))
+            # honor an explicit offset; only ASSUME UTC for naive literals
+            # (replace() on an aware datetime would silently discard the
+            # offset and shift the historical view)
+            dt = dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
+            ts = dt.timestamp()
             view = f"{tname}_asof_{int(ts * 1000)}"
             self.store.table(tname, as_of_ts=ts).createOrReplaceTempView(view)
             return view

@@ -318,16 +318,21 @@ class CarbonStore:
 
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
+            # one timestamp for the whole commit: an overwrite's
+            # invalidations and the new segment's activation are the same
+            # instant, so time-travel reads see an atomic swap, never an
+            # empty in-between window
+            commit_ts = time.time()
             if mode == "overwrite":
                 for e in entries:
                     if e.status == SEGMENT_SUCCESS:
                         e.status = SEGMENT_DELETED
-                        e.invalidated_ts = time.time()
+                        e.invalidated_ts = commit_ts
             for e in entries:
                 if e.segment_id == seg_id:
                     e.status = SEGMENT_SUCCESS
                     e.rows = rows
-                    e.load_end_ts = time.time()
+                    e.load_end_ts = commit_ts
                     e.stats = stats
             self._write_status(table, entries)
 
@@ -518,7 +523,11 @@ class CarbonStore:
                 )
             segs = []
             for e in self._read_status(table):
-                committed = e.status != SEGMENT_IN_PROGRESS and e.load_end_ts <= as_of_ts
+                committed = (
+                    e.status != SEGMENT_IN_PROGRESS
+                    and e.load_end_ts > 0.0  # 0.0 = never promoted to live
+                    and e.load_end_ts <= as_of_ts
+                )
                 live_then = e.invalidated_ts is None or e.invalidated_ts > as_of_ts
                 if committed and live_then:
                     if not os.path.isdir(self._segment_dir(table, e.segment_id)):
@@ -726,16 +735,24 @@ class CarbonStore:
                 for e in entries:
                     if e.segment_id == new_id:
                         e.status = SEGMENT_DELETED
+                        # stamp the abort so as-of reads never consider a
+                        # segment that was NEVER live (load_end_ts stays
+                        # 0.0, belt-and-braces with the as-of filter)
+                        e.invalidated_ts = time.time()
                 self._write_status(table, entries)
                 return None
+            # ONE timestamp for the whole swap: the compacted inputs leave
+            # the live set at the same instant the merged segment enters
+            # it, so no as_of value can observe a window with neither side
+            commit_ts = time.time()
             for e in entries:
                 if e.segment_id in old_ids and e.status == SEGMENT_SUCCESS:
                     e.status = SEGMENT_COMPACTED
-                    e.invalidated_ts = time.time()
+                    e.invalidated_ts = commit_ts
                 if e.segment_id == new_id:
                     e.status = SEGMENT_SUCCESS
                     e.rows = rows
-                    e.load_end_ts = time.time()
+                    e.load_end_ts = commit_ts
             self._write_status(table, entries)
         return new_id
 

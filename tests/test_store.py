@@ -267,3 +267,63 @@ def test_time_travel_reads(spark, tmp_path):
         store.table("tt", as_of_ts=t_after_load1).count()
     # current view unaffected
     assert store.table("tt").count() == 100
+
+
+def test_time_travel_overwrite_swap_is_atomic(spark, tmp_path):
+    """An overwrite (and compact) invalidates old segments and activates
+    the new one with ONE commit timestamp — no as_of value can observe an
+    empty in-between window, and the view at the swap instant sees
+    exactly the new side."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.store import CarbonStore
+
+    s = CarbonStore(spark, str(tmp_path / "swap_store"))
+    df = spark.range(40).select(F.col("id").alias("k"))
+    s.create_table("t", df.schema, sort_columns=[])
+    s.load("t", df.filter("k < 10"))
+    s.load("t", df.filter("k >= 10"), mode="overwrite")
+    entries = s.show_segments("t")
+    swap_ts = max(e["load_end_ts"] for e in entries)
+    old = [e for e in entries if e["status"] != "Success"]
+    assert old and all(e["invalidated_ts"] == swap_ts for e in old)
+    assert s.table("t", as_of_ts=swap_ts).count() == 30
+    assert s.table("t", as_of_ts=swap_ts - 1e-4).count() == 10
+
+
+def test_aborted_compact_never_visible_to_time_travel(spark, tmp_path):
+    """A compact that aborts (concurrent delete invalidated an input)
+    leaves a never-live merged segment; as-of reads must never include it
+    (it has load_end_ts == 0 and an abort invalidation stamp)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.store import CarbonStore, SEGMENT_DELETED
+
+    s = CarbonStore(spark, str(tmp_path / "abort_store"))
+    df = spark.range(20).select(F.col("id").alias("k"))
+    s.create_table("t", df.schema, sort_columns=[])
+    s.load("t", df.filter("k < 10"))
+    s.load("t", df.filter("k >= 10"))
+    t_live = time.time()
+
+    # simulate the abort path's manifest state: a merged segment that was
+    # registered but never promoted (status DELETED, load_end_ts 0.0)
+    entries = s._read_status("t")
+    from carbondata_spark.store import SegmentEntry
+
+    entries.append(
+        SegmentEntry(
+            segment_id=99,
+            status=SEGMENT_DELETED,
+            rows=0,
+            load_start_ts=time.time(),
+            load_end_ts=0.0,
+            columns=["k"],
+            invalidated_ts=time.time(),
+        )
+    )
+    s._write_status("t", entries)
+    assert s.table("t", as_of_ts=t_live).count() == 20
+    assert s.table("t").count() == 20

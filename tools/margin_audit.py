@@ -116,12 +116,19 @@ def audit_query(con, name: str, sql: str) -> dict | None:
         return None
     if not accumulative:
         return None  # per-row/ratio rounding of identical doubles: no drift
-    n = max(scales)  # conservative: audit at the finest scale used
     try:
         pdf = con.execute(stripped).fetchdf()
     except Exception as e:  # stripped SQL failed (e.g. round on non-numeric)
-        return {"error": str(e)[:200]}
+        # an unauditable accumulative oracle must FAIL the gate loudly,
+        # not vanish: treat as fragile
+        return {"error": str(e)[:200], "fragile": True}
 
+    # A fragile value is fragile at ITS column's scale; column->scale
+    # mapping is not recoverable from the stripped SQL, so score every
+    # value at EVERY scale the query uses and take the worst — coarser
+    # scales do not subsume finer ones (x.005 has margin 0 at n=2 but 0.5
+    # at n=4). Conservative by design: a false flag costs one decimal
+    # conversion, a miss ships the r3 failure mode.
     min_margin, max_drift, count = math.inf, 0.0, 0
     for col in pdf.columns:
         if pdf[col].dtype.kind != "f":
@@ -129,9 +136,10 @@ def audit_query(con, name: str, sql: str) -> dict | None:
         for v in pdf[col]:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
-            margin, drift = audit_value(float(v), n)
-            min_margin = min(min_margin, margin)
-            max_drift = max(max_drift, drift)
+            for n in set(scales):
+                margin, drift = audit_value(float(v), n)
+                if margin - SAFETY * drift < min_margin - SAFETY * max_drift:
+                    min_margin, max_drift = margin, drift
             count += 1
     if count == 0:
         return None
@@ -140,7 +148,7 @@ def audit_query(con, name: str, sql: str) -> dict | None:
         "max_drift": max_drift,
         "fragile": min_margin < SAFETY * max_drift,
         "n_values": count,
-        "scale": n,
+        "scales": sorted(set(scales)),
     }
 
 
@@ -158,22 +166,31 @@ def main(sf_dirs: list[str]) -> int:
             res = audit_query(con, name, q.oracle)
             if res is None:
                 continue
-            key = name
-            prev = report.get(key)
-            # keep the worst (most fragile) observation across sfs
-            if prev is None or res.get("fragile", True) or (
+            prev = report.get(name)
+            # keep the worst observation across sfs: fragile (incl.
+            # error-as-fragile) always sticks and is never overwritten by
+            # a later clean measurement; among clean ones keep the
+            # smallest safety headroom
+            if prev is None:
+                report[name] = {**res, "sf_dir": sf_dir}
+            elif prev.get("fragile"):
+                pass  # already failing: a cleaner later run must not hide it
+            elif res.get("fragile") or (
                 "min_margin" in res
                 and "min_margin" in prev
                 and res["min_margin"] - SAFETY * res["max_drift"]
                 < prev["min_margin"] - SAFETY * prev["max_drift"]
             ):
-                report[key] = {**res, "sf_dir": sf_dir}
+                report[name] = {**res, "sf_dir": sf_dir}
         con.close()
     for name, res in sorted(report.items()):
         if res.get("fragile"):
             fragile.append(name)
-            print(f"FRAGILE {name}: margin={res.get('min_margin'):.3g} "
-                  f"drift={res.get('max_drift'):.3g} at {res['sf_dir']}")
+            if "error" in res:
+                print(f"FRAGILE {name}: audit error {res['error'][:120]}")
+            else:
+                print(f"FRAGILE {name}: margin={res['min_margin']:.3g} "
+                      f"drift={res['max_drift']:.3g} at {res['sf_dir']}")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "MARGIN_AUDIT_r04.json")
     with open(out, "w") as f:
