@@ -243,3 +243,40 @@ def q_retention_cohorts(spark, sf_dir):
         .distinct()
     )
     return activity.groupBy("cohort_week", "week_n").agg(F.count("*").alias("n_active"))
+
+
+@register(
+    "q_event_attribution",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+               FROM events WHERE event_type = 'click' AND user_id < 100),
+    p AS (SELECT user_id AS p_user_id, ts AS purchase_ts,
+                 event_id AS purchase_id, value AS purchase_value
+          FROM events WHERE event_type = 'purchase')
+    SELECT user_id, click_id, purchase_id,
+           round(purchase_value, 2) AS purchase_value
+    FROM c JOIN p
+      ON user_id = p_user_id
+     AND purchase_ts >= click_ts
+     AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+    """,
+    doc="Attribution interval join (streaming/ingest.py:attribution_join, "
+    "batch form — identical code runs stream-stream with watermarks on "
+    "both sides and a bounded join condition, so state evicts): every "
+    "purchase matched to same-user clicks in the preceding hour. Shuffle "
+    "keys on the user; no time-bucketing blowup because the equi-key "
+    "carries the join and the interval is a residual predicate.",
+)
+def q_event_attribution(spark, sf_dir):
+    from carbondata_spark.streaming.ingest import attribution_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 100))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = attribution_join(clicks, purchases, horizon="1 hour")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        dround(F.col("purchase_value"), 2).alias("purchase_value"),
+    )

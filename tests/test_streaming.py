@@ -188,3 +188,34 @@ def test_stream_replay_does_not_duplicate_segments(spark, tmp_path, sf_dir):
     run("ckpt2")  # fresh checkpoint -> same epoch ids replayed
     assert len(store.show_segments("orders_eo")) == n_segs
     assert store.table("orders_eo").count() == 300
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path, sf_dir):
+    """dropDuplicatesWithinWatermark on a stream that redelivers every
+    row (two identical files) must emit each event_id once — the
+    at-least-once-source dedup; batch form = plain dropDuplicates."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.streaming.ingest import stream_dedup
+
+    ev = load_table(spark, sf_dir, "events").limit(500).cache()
+    src = tmp_path / "dup_ev"
+    ev.write.parquet(str(src))
+    ev.write.mode("append").parquet(str(src))  # redelivery: every row twice
+
+    doubled = spark.read.parquet(str(src))
+    assert doubled.count() == 2 * ev.count()
+    # batch degradation
+    assert stream_dedup(doubled).count() == ev.count()
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    deduped = stream_dedup(stream, watermark="10 years")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_out").collect()[0]
+    assert got.c == ev.count() and got.d == ev.count()
