@@ -77,12 +77,16 @@ def pack_sequences(
     token_col: str = "n_tokens",
 ) -> DataFrame:
     """Deterministic contiguous sequence packing: assign each document to
-    a (shard, bin) so that bins hold consecutive documents (by id order
-    within a content-addressed shard) whose running token total fits the
-    context budget — the write-side packing step before training
-    serialization. ``bin = floor((cumsum - n) / budget)`` over the
-    per-shard id-ordered cumulative sum: reproducible (re-runs and other
-    engines produce identical assignments), no driver loop.
+    a (shard, bin) by its START offset in the per-shard id-ordered token
+    stream — ``bin = floor((cumsum - n) / budget)`` — the write-side
+    packing step before training serialization. Reproducible (re-runs
+    and other engines produce identical assignments), no driver loop.
+
+    Bin-size contract: a bin's total can overflow the budget by AT MOST
+    its last document (a doc straddling a boundary belongs to the bin it
+    starts in); downstream writers truncate/pad the tail as usual.
+    Exact never-overflow packing is sequential first-fit — not
+    prefix-computable, and not what distributed packing pipelines run.
 
     Scale: one window cumsum per shard — shards are the parallelism unit
     (pick n_shards >= cluster cores); within a shard the sort is by the
@@ -93,7 +97,14 @@ def pack_sequences(
     from pyspark.sql import Window as W
 
     sharded = shard_assign(df, n_shards=n_shards, key_col=id_col)
-    w = W.partitionBy("shard").orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame includes PEER rows
+    # (equal ids) in the cumsum, diverging from the oracle's ROWS replay
+    # whenever id_col is not unique
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     cum = F.sum(token_col).over(w)
     return sharded.withColumn(
         "bin",

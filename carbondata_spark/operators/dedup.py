@@ -346,7 +346,7 @@ def near_dup_groups(
         # chain longer than 2^max_iters would otherwise split one content
         # cluster into several with no signal (r3 audit item).
         raise RuntimeError(
-            f"near_dup_groups did not converge in {max_iters} iterations "
+            f"near_dup_groups did not converge in {max_iters + 1} iterations "
             f"({changed} labels still changing); raise max_iters"
         )
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("group_id"))

@@ -110,6 +110,7 @@ class CarbonSession:
     def __init__(self, spark: SparkSession, store: CarbonStore):
         self.spark = spark
         self.store = store
+        self._asof_views: dict[str, str] = {}  # table -> live as-of view
 
     def _rows(self, rows: list[dict], schema: str) -> DataFrame:
         return self.spark.createDataFrame([Row(**r) for r in rows], schema) if rows else (
@@ -325,8 +326,10 @@ class CarbonSession:
         # a view of the historical segment set (store.table(as_of_ts=...))
         # under a mangled name and rewrites the reference — the SELECT
         # surface for the manifest's invalidation timestamps.
+        by_lower = {t.lower(): t for t in self.store.tables()}
+
         def _asof_sub(m: re.Match) -> str:
-            tname = m.group(1)
+            tname = by_lower[m.group(1).lower()]
             dt = datetime.fromisoformat(m.group(2))
             # honor an explicit offset; only ASSUME UTC for naive literals
             # (replace() on an aware datetime would silently discard the
@@ -334,12 +337,20 @@ class CarbonSession:
             dt = dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
             ts = dt.timestamp()
             view = f"{tname}_asof_{int(ts * 1000)}"
+            # bound catalog growth: one live as-of view per table (the
+            # repersist pattern) — a polling session issuing fresh
+            # timestamps would otherwise accumulate an analyzed
+            # union-of-segments plan per call, forever
+            prev = self._asof_views.get(tname)
+            if prev and prev != view:
+                self.spark.catalog.dropTempView(prev)
+            self._asof_views[tname] = view
             self.store.table(tname, as_of_ts=ts).createOrReplaceTempView(view)
             return view
 
         s = re.sub(
             r"\b(\w+) as of timestamp '([^']+)'",
-            lambda m: _asof_sub(m) if m.group(1) in self.store.tables() else m.group(0),
+            lambda m: _asof_sub(m) if m.group(1).lower() in by_lower else m.group(0),
             s,
             flags=_I,
         )

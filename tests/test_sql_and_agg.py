@@ -426,3 +426,11 @@ def test_sql_as_of_time_travel(cs, spark):
     old = cs.sql(f"SELECT count(*) AS n FROM asof_t AS OF TIMESTAMP '{iso}'").collect()
     now = cs.sql("SELECT count(*) AS n FROM asof_t").collect()
     assert old[0].n == 20 and now[0].n == 50
+    # mixed-case table reference matches too (identifier handling is
+    # case-insensitive everywhere else in the router)
+    old2 = cs.sql(f"SELECT count(*) AS n FROM ASOF_T AS OF TIMESTAMP '{iso}'").collect()
+    assert old2[0].n == 20
+    # repeated as-of reads keep ONE live view per table (bounded catalog)
+    iso2 = datetime.fromtimestamp(mid + 10, tz=timezone.utc).isoformat().replace("+00:00", "")
+    cs.sql(f"SELECT count(*) AS n FROM asof_t AS OF TIMESTAMP '{iso2}'").collect()
+    assert len(cs._asof_views) == 1

@@ -25,6 +25,11 @@ degenerate case where drift alone exceeds any possible margin (|v| >~
 2.5e7 at n=2), where rounding a double sum to cents is unsound no matter
 where the data lands and the query must sum decimals instead.
 
+Reported ``min_margin``/``max_drift`` are the (margin, drift) of the
+single WORST value-scale pair — the minimizer of margin - SAFETY*drift —
+not independent extremes across values (pairing one value's margin with
+a different value's drift would conflate unrelated cells).
+
 Usage:
     python tools/margin_audit.py [sf_dir ...]   (default sf0.01 + sf0.1)
 
