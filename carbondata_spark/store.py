@@ -401,14 +401,18 @@ class CarbonStore:
         column: str | None = None,
         ge: Any = None,
         le: Any = None,
+        as_of_ts: float | None = None,
     ) -> DataFrame:
         """Segment-pruned scan: skip whole segments whose manifest
         [min,max] for ``column`` cannot intersect [ge, le], then apply the
         residual filter. Equivalent results to ``table().filter(...)``;
         at scale the pruned segments are never even listed.
+
+        ``as_of_ts`` composes zone-map pruning with time travel: the
+        candidate set is the historical segment set at that instant.
         """
         if column is None:
-            return self.table(table)
+            return self.table(table, as_of_ts=as_of_ts)
 
         def norm_bound(v):
             import datetime
@@ -418,8 +422,23 @@ class CarbonStore:
             return v
 
         ge_n, le_n = norm_bound(ge), norm_bound(le)
+        if as_of_ts is not None:
+            # reuse table()'s as-of selection for the candidate set, then
+            # zone-map prune within it
+            candidates = []
+            for e in self._read_status(table):
+                committed = (
+                    e.status != SEGMENT_IN_PROGRESS
+                    and e.load_end_ts > 0.0
+                    and e.load_end_ts <= as_of_ts
+                )
+                live_then = e.invalidated_ts is None or e.invalidated_ts > as_of_ts
+                if committed and live_then:
+                    candidates.append(e)
+        else:
+            candidates = self.valid_segments(table)
         keep: list[int] = []
-        for e in self.valid_segments(table):
+        for e in candidates:
             rng = e.stats.get(column)
             if rng is None:
                 keep.append(e.segment_id)  # unknown stats: cannot prune
@@ -430,7 +449,7 @@ class CarbonStore:
             if le_n is not None and mn > le_n:
                 continue
             keep.append(e.segment_id)
-        df = self.table(table, segment_ids=keep)
+        df = self.table(table, segment_ids=keep, as_of_ts=as_of_ts)
         if ge is not None:
             df = df.filter(F.col(column) >= F.lit(ge))
         if le is not None:

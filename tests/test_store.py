@@ -327,3 +327,27 @@ def test_aborted_compact_never_visible_to_time_travel(spark, tmp_path):
     s._write_status("t", entries)
     assert s.table("t", as_of_ts=t_live).count() == 20
     assert s.table("t").count() == 20
+
+
+def test_scan_composes_with_time_travel(spark, tmp_path):
+    """Zone-map pruning over a HISTORICAL segment set: scan(as_of_ts=...)
+    prunes within the segments live at that instant."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.store import CarbonStore
+
+    s = CarbonStore(spark, str(tmp_path / "sc_store"))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    s.create_table("t", df.schema, sort_columns=["k"])
+    s.load("t", df.filter("k < 50"))
+    mid = time.time()
+    time.sleep(0.01)
+    s.load("t", df.filter("k >= 50"))
+
+    # historical scan: only segment 0 existed; range filter applies within
+    out = s.scan("t", column="k", ge=10, as_of_ts=mid)
+    assert out.count() == 40  # k in [10, 50)
+    # current scan sees both segments
+    assert s.scan("t", column="k", ge=10).count() == 90
