@@ -5,8 +5,12 @@
 ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
 equivalent for the driver's differential check. Column names are aliased
 identically on both sides; double aggregates are rounded to 2 decimals on
-both sides (Spark and DuckDB accumulate floats in different orders, so raw
-bit-equality is not achievable — see carbondata_spark/queries.py).
+both sides, and order-dependent money sums accumulate as exact
+DECIMAL(30,6) in BOTH engines (functions.dsum/davg/exact_money_summary)
+so the rounding never straddles an engine-dependent boundary — policed by
+tools/margin_audit.py; see carbondata_spark/queries.py. Iteration order
+of ``queries()`` is the driver-priority order derived from
+driver_ledger.json (changed/red/never-verified queries first).
 """
 
 from __future__ import annotations
