@@ -82,10 +82,40 @@ def read_source_worktree(modname: str) -> bytes | None:
 
 
 def imports_of(source: bytes) -> set[str]:
+    """Intra-package modules imported by ``source``.
+
+    ast-based so that every alias of ``import a, b`` and imports nested
+    inside functions (``def f(): import carbondata_spark.x``) are seen —
+    the earlier line-regex took only the first comma-separated module, so
+    a closure edge could be silently dropped and a changed query
+    under-prioritized. Falls back to the regex only if the source doesn't
+    parse (a broken module shouldn't break ordering for everyone else).
+    """
+    import ast
+
     text = source.decode("utf-8", errors="replace")
-    found = set()
-    for m in _IMPORT_RE.finditer(text):
-        found.add(m.group(1) or m.group(2))
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return {m.group(1) or m.group(2) for m in _IMPORT_RE.finditer(text)}
+    found: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(PACKAGE):
+                    found.add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            # level>0 (relative) can't target the package root from inside
+            # it by absolute name; the package uses absolute imports only.
+            if node.level == 0 and node.module and node.module.startswith(PACKAGE):
+                found.add(node.module)
+                # ``from pkg.sub import mod`` may import a SUBMODULE, not a
+                # name; add the candidate — module_closure drops entries
+                # whose source file doesn't exist, so false candidates
+                # (plain functions/classes) cost nothing.
+                for alias in node.names:
+                    if alias.name != "*":
+                        found.add(f"{node.module}.{alias.name}")
     return found
 
 
@@ -160,19 +190,24 @@ def priority_order(
     query_modules: dict[str, str | tuple[str, str]],
     ledger: dict[str, dict] | None = None,
     read_source: Callable[[str], bytes | None] = read_source_worktree,
+    headline: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
     """Derive registry iteration order from the ledger.
 
     ``query_modules``: query name -> defining module (or (module,
     fn_name)), in registry insertion order (which breaks ties within
-    each group).
+    each group). ``headline``: names of bench-headline queries.
 
     Order: [closure-changed queries] then [unchanged, oldest driver row
-    first]. Within the changed block the key is (last green round ASC,
-    directly-edited-fn first): when a shared module touches everyone's
-    closure (e.g. functions.py), the bounded driver prefix should spend
-    its tail slots on queries whose OWN body changed — the highest-risk
-    rewrites — not on whichever unchanged query registered first.
+    first]. Within the changed block the key is (headline first, then
+    directly-edited-fn first, then last green round ASC): a headline
+    query whose closure changed in any way must never miss the driver's
+    bounded prefix — its bench number is the repo's public face — and a
+    query whose OWN body was rewritten is higher-risk than one touched
+    only transitively through a shared module (e.g. functions.py, whose
+    edits reach every closure). Round 4 proved the old key wrong:
+    (green_round, fn_same) let 15 new queries and the r1/r2 stale tail
+    starve the directly-rewritten flagship q01 out of the 50-row prefix.
     """
     if ledger is None:
         ledger = load_ledger()
@@ -183,15 +218,13 @@ def priority_order(
             digest_cache[mod] = closure_digest([mod], read_source)
         return digest_cache[mod]
 
-    changed: list[tuple[int, int, int, str]] = []
-    fresh: list[tuple[int, int, int, str]] = []
+    changed: list[tuple[int, int, int, int, str]] = []
+    fresh: list[tuple[int, int, str]] = []
     for i, (name, spec) in enumerate(query_modules.items()):
         mod, fname = spec if isinstance(spec, tuple) else (spec, None)
         entry = ledger.get(name)
         if entry is None or entry.get("digest") != digest(mod):
-            # Within the changed block, queries whose LAST GREEN row is
-            # oldest (red-last-row and never-verified count as round 0)
-            # need the hard signal most.
+            # Red-last-row and never-verified count as green round 0.
             green = int(entry.get("last_green_round", 0)) if entry else 0
             fn_same = 1  # default: not directly edited
             if entry is None:
@@ -199,9 +232,9 @@ def priority_order(
             elif fname is not None and entry.get("fn_digest") is not None:
                 cur = fn_digest(mod, fname, read_source)
                 fn_same = 1 if cur == entry["fn_digest"] else 0
-            changed.append((green, fn_same, i, name))
+            changed.append((0 if name in headline else 1, fn_same, green, i, name))
         else:
-            fresh.append((int(entry.get("last_round", 0)), 0, i, name))
+            fresh.append((int(entry.get("last_round", 0)), i, name))
     changed.sort()
     fresh.sort()
-    return [name for _, _, _, name in [*changed, *fresh]]
+    return [name for *_, name in [*changed, *fresh]]

@@ -75,7 +75,8 @@ def registry() -> dict[str, Query]:
         from carbondata_spark.ledger import priority_order
 
         order = priority_order(
-            {n: (q.fn.__module__, q.fn.__name__) for n, q in _REGISTRY.items()}
+            {n: (q.fn.__module__, q.fn.__name__) for n, q in _REGISTRY.items()},
+            headline={n for n, q in _REGISTRY.items() if q.headline},
         )
     except Exception:
         order = list(_REGISTRY)  # never let ordering break the contract

@@ -96,6 +96,118 @@ def test_priority_order_fn_digest_ranks_direct_edits_first():
     assert order == ["q_direct", "q_transitive"]
 
 
+def test_imports_of_ast_sees_comma_nested_and_submodule_imports():
+    """The old line-regex captured only the FIRST module of a
+    comma-separated import and nothing inside function bodies; the ast
+    scanner sees all of them, plus submodule-from candidates."""
+    src = (
+        b"import carbondata_spark.a, carbondata_spark.b\n"
+        b"from carbondata_spark.query_defs import olap\n"
+        b"def f():\n"
+        b"    import carbondata_spark.lazy\n"
+    )
+    found = L.imports_of(src)
+    assert {"carbondata_spark.a", "carbondata_spark.b"} <= found
+    assert "carbondata_spark.lazy" in found
+    # from-import records both the package and the submodule candidate
+    assert "carbondata_spark.query_defs" in found
+    assert "carbondata_spark.query_defs.olap" in found
+
+
+def test_imports_of_submodule_candidates_are_harmless_in_closure():
+    """A from-import of a plain NAME (not a submodule) produces a
+    candidate with no source file; module_closure drops it silently."""
+    files = {
+        **FILES,
+        "carbondata_spark.query_defs.mc": (
+            b"from carbondata_spark.operators.opx import f\n"
+        ),
+    }
+    closure = L.module_closure(["carbondata_spark.query_defs.mc"], _reader(files))
+    assert "carbondata_spark.operators.opx" in closure
+    # the candidate "carbondata_spark.operators.opx.f" has no source
+    assert "carbondata_spark.operators.opx.f" not in closure
+
+
+def test_priority_order_r4_starvation_reproduced_and_fixed():
+    """Round-4 regression: a shared-module edit (functions.py) marked all
+    106 closures changed; the old (green_round, fn_same) key ranked the
+    directly-rewritten, headline flagship q01 (green r3) behind 50+
+    closure-only r1/r2 rows, starving it out of the driver's 50-row
+    prefix. The fixed key (headline, fn_same, green_round) fronts it."""
+    files = {
+        **FILES,
+        "carbondata_spark.query_defs.mq": (
+            b"def q01(spark, sf):\n    return 1\n\n"
+            b"def q_old(spark, sf):\n    return 2\n"
+        ),
+    }
+    read = _reader(files)
+    old_fn = L.fn_digest("carbondata_spark.query_defs.mq", "q01", read)
+    keep_fn = L.fn_digest("carbondata_spark.query_defs.mq", "q_old", read)
+    # q01's body is then rewritten; the old-cohort bodies are untouched
+    # but every closure changed (shared functions module edited).
+    files2 = dict(files)
+    files2["carbondata_spark.query_defs.mq"] = (
+        b"def q01(spark, sf):\n    return 111\n\n"
+        b"def q_old(spark, sf):\n    return 2\n"
+    )
+    read2 = _reader(files2)
+    qm = {}
+    ledger = {}
+    for i in range(55):  # old stale cohort, green r1/r2, bodies unchanged
+        name = f"q_old_{i:02d}"
+        qm[name] = ("carbondata_spark.query_defs.mq", "q_old")
+        ledger[name] = {
+            "last_round": 1 + i % 2, "last_green_round": 1 + i % 2,
+            "digest": "stale", "fn_digest": keep_fn,
+        }
+    qm["q01"] = ("carbondata_spark.query_defs.mq", "q01")
+    ledger["q01"] = {"last_round": 3, "last_green_round": 3,
+                     "digest": "stale", "fn_digest": old_fn}
+    order = L.priority_order(qm, ledger=ledger, read_source=read2,
+                             headline={"q01"})
+    assert order.index("q01") == 0  # was position 55 under the old key
+    # and a non-headline direct rewrite still beats closure-only changes
+    order2 = L.priority_order(qm, ledger=ledger, read_source=read2)
+    assert order2.index("q01") == 0
+
+
+def test_priority_order_headline_closure_change_outranks_direct_edits():
+    """A headline query touched only transitively still outranks a
+    non-headline direct body rewrite: its bench number must never go
+    another round without a fresh driver row."""
+    files = {
+        **FILES,
+        "carbondata_spark.query_defs.mq": (
+            b"def q_head(spark, sf):\n    return 1\n\n"
+            b"def q_direct(spark, sf):\n    return 2\n"
+        ),
+    }
+    read = _reader(files)
+    head_fn = L.fn_digest("carbondata_spark.query_defs.mq", "q_head", read)
+    old_direct = L.fn_digest("carbondata_spark.query_defs.mq", "q_direct", read)
+    files2 = dict(files)
+    files2["carbondata_spark.query_defs.mq"] = (
+        b"def q_head(spark, sf):\n    return 1\n\n"
+        b"def q_direct(spark, sf):\n    return 222\n"
+    )
+    read2 = _reader(files2)
+    qm = {
+        "q_direct": ("carbondata_spark.query_defs.mq", "q_direct"),
+        "q_head": ("carbondata_spark.query_defs.mq", "q_head"),
+    }
+    ledger = {
+        "q_direct": {"last_round": 1, "last_green_round": 1,
+                     "digest": "stale", "fn_digest": old_direct},
+        "q_head": {"last_round": 3, "last_green_round": 3,
+                   "digest": "stale", "fn_digest": head_fn},
+    }
+    order = L.priority_order(qm, ledger=ledger, read_source=read2,
+                             headline={"q_head"})
+    assert order == ["q_head", "q_direct"]
+
+
 def test_live_registry_order_honors_ledger_invariants():
     """Against the real ledger + working tree: every query whose source
     closure changed since its last driver row (or that never had one)
