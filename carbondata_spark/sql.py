@@ -110,7 +110,7 @@ class CarbonSession:
     def __init__(self, spark: SparkSession, store: CarbonStore):
         self.spark = spark
         self.store = store
-        self._asof_views: dict[str, str] = {}  # table -> live as-of view
+        self._asof_views: dict[str, set[str]] = {}  # table -> live as-of views
 
     def _rows(self, rows: list[dict], schema: str) -> DataFrame:
         return self.spark.createDataFrame([Row(**r) for r in rows], schema) if rows else (
@@ -327,6 +327,7 @@ class CarbonSession:
         # under a mangled name and rewrites the reference — the SELECT
         # surface for the manifest's invalidation timestamps.
         by_lower = {t.lower(): t for t in self.store.tables()}
+        stmt_asof_views: set[str] = set()  # views THIS statement references
 
         def _asof_sub(m: re.Match) -> str:
             tname = by_lower[m.group(1).lower()]
@@ -337,15 +338,9 @@ class CarbonSession:
             dt = dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
             ts = dt.timestamp()
             view = f"{tname}_asof_{int(ts * 1000)}"
-            # bound catalog growth: one live as-of view per table (the
-            # repersist pattern) — a polling session issuing fresh
-            # timestamps would otherwise accumulate an analyzed
-            # union-of-segments plan per call, forever
-            prev = self._asof_views.get(tname)
-            if prev and prev != view:
-                self.spark.catalog.dropTempView(prev)
-            self._asof_views[tname] = view
             self.store.table(tname, as_of_ts=ts).createOrReplaceTempView(view)
+            self._asof_views.setdefault(tname, set()).add(view)
+            stmt_asof_views.add(view)
             return view
 
         s = re.sub(
@@ -366,7 +361,21 @@ class CarbonSession:
         for tname in self.store.tables():
             if tname.lower() in tokens:
                 self.store.register_view(tname)
-        return self.spark.sql(s)
+        df = self.spark.sql(s)
+        # Bound catalog growth — a polling session issuing fresh
+        # timestamps would otherwise accumulate an analyzed
+        # union-of-segments plan per call, forever. Dropping is DEFERRED
+        # until after spark.sql() so a statement referencing the same
+        # table at two timestamps (snapshot diff) keeps both views live
+        # through analysis; spark.sql analyzes eagerly, so the returned
+        # DataFrame holds resolved relations and survives the drop.
+        if stmt_asof_views:
+            for views in self._asof_views.values():
+                for v in views - stmt_asof_views:
+                    self.spark.catalog.dropTempView(v)
+                views &= stmt_asof_views
+            self._asof_views = {t: v for t, v in self._asof_views.items() if v}
+        return df
 
     # -- LOAD DATA ---------------------------------------------------------
 

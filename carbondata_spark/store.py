@@ -423,18 +423,10 @@ class CarbonStore:
 
         ge_n, le_n = norm_bound(ge), norm_bound(le)
         if as_of_ts is not None:
-            # reuse table()'s as-of selection for the candidate set, then
+            # table()'s as-of selection (shared helper — single definition
+            # of the time-travel predicate) is the candidate set, then
             # zone-map prune within it
-            candidates = []
-            for e in self._read_status(table):
-                committed = (
-                    e.status != SEGMENT_IN_PROGRESS
-                    and e.load_end_ts > 0.0
-                    and e.load_end_ts <= as_of_ts
-                )
-                live_then = e.invalidated_ts is None or e.invalidated_ts > as_of_ts
-                if committed and live_then:
-                    candidates.append(e)
+            candidates = self._asof_segments(table, as_of_ts)
         else:
             candidates = self.valid_segments(table)
         keep: list[int] = []
@@ -507,6 +499,54 @@ class CarbonStore:
             for e in self._read_status(table)
         )
 
+    def _asof_segments(
+        self, table: str, as_of_ts: float, meta: dict | None = None
+    ) -> list[SegmentEntry]:
+        """The historical segment set live at ``as_of_ts`` — the SINGLE
+        definition of the time-travel predicate, shared by ``table()`` and
+        ``scan()`` (previously duplicated inline; the copies could drift).
+
+        A segment is in the view iff it was committed by the instant
+        (not in-progress, promoted to live, ``load_end_ts <= as_of``) and
+        not yet invalidated by a later delete/compact/overwrite
+        (``invalidated_ts`` absent or after the instant). Raises when the
+        view predates the clean_files history floor or needs a segment
+        whose files clean_files already removed.
+        """
+        meta = self._read_schema(table) if meta is None else meta
+        created = meta.get("created_ts")
+        if created is not None and as_of_ts < created:
+            # distinct from "table empty at that instant": the table did
+            # not EXIST — fail loud (history-floor precedent) rather than
+            # return an empty frame that reads as "no data then"
+            raise ValueError(
+                f"time-travel view of {table}@{as_of_ts} predates table "
+                f"creation ({created})"
+            )
+        floor = meta.get("history_floor_ts")
+        if floor is not None and as_of_ts < floor:
+            raise ValueError(
+                f"time-travel view of {table}@{as_of_ts} predates the "
+                f"history floor {floor}: clean_files removed segments "
+                "that view needs"
+            )
+        segs = []
+        for e in self._read_status(table):
+            committed = (
+                e.status != SEGMENT_IN_PROGRESS
+                and e.load_end_ts > 0.0  # 0.0 = never promoted to live
+                and e.load_end_ts <= as_of_ts
+            )
+            live_then = e.invalidated_ts is None or e.invalidated_ts > as_of_ts
+            if committed and live_then:
+                if not os.path.isdir(self._segment_dir(table, e.segment_id)):
+                    raise ValueError(
+                        f"time-travel view of {table}@{as_of_ts} needs segment "
+                        f"{e.segment_id}, already removed by clean_files"
+                    )
+                segs.append(e)
+        return segs
+
     def table(
         self,
         table: str,
@@ -533,28 +573,7 @@ class CarbonStore:
         for ev in meta["evolution"]:
             defaults.update(ev.get("defaults", {}))
         if as_of_ts is not None:
-            floor = meta.get("history_floor_ts")
-            if floor is not None and as_of_ts < floor:
-                raise ValueError(
-                    f"time-travel view of {table}@{as_of_ts} predates the "
-                    f"history floor {floor}: clean_files removed segments "
-                    "that view needs"
-                )
-            segs = []
-            for e in self._read_status(table):
-                committed = (
-                    e.status != SEGMENT_IN_PROGRESS
-                    and e.load_end_ts > 0.0  # 0.0 = never promoted to live
-                    and e.load_end_ts <= as_of_ts
-                )
-                live_then = e.invalidated_ts is None or e.invalidated_ts > as_of_ts
-                if committed and live_then:
-                    if not os.path.isdir(self._segment_dir(table, e.segment_id)):
-                        raise ValueError(
-                            f"time-travel view of {table}@{as_of_ts} needs segment "
-                            f"{e.segment_id}, already removed by clean_files"
-                        )
-                    segs.append(e)
+            segs = self._asof_segments(table, as_of_ts, meta=meta)
         else:
             segs = self.valid_segments(table)
         if segment_ids is not None:

@@ -434,3 +434,42 @@ def test_sql_as_of_time_travel(cs, spark):
     iso2 = datetime.fromtimestamp(mid + 10, tz=timezone.utc).isoformat().replace("+00:00", "")
     cs.sql(f"SELECT count(*) AS n FROM asof_t AS OF TIMESTAMP '{iso2}'").collect()
     assert len(cs._asof_views) == 1
+    assert sum(len(v) for v in cs._asof_views.values()) == 1
+
+
+def test_sql_as_of_snapshot_diff_two_timestamps(cs, spark):
+    """A single SELECT referencing the SAME table at two different AS OF
+    timestamps (the natural snapshot-diff query) keeps both historical
+    views live through analysis — the earlier one-live-view-per-table
+    bound dropped the first view mid-substitution and failed with
+    view-not-found."""
+    import time
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    cs.sql("CREATE TABLE asof_diff (k bigint, v double)")
+    cs.store.load("asof_diff", df.filter("k < 10"))
+    t1 = time.time()
+    time.sleep(0.01)
+    cs.store.load("asof_diff", df.filter("k >= 10 AND k < 20"))
+    t2 = time.time()
+    time.sleep(0.01)
+    cs.store.load("asof_diff", df.filter("k >= 20"))
+
+    def iso(ts):
+        return datetime.fromtimestamp(ts, tz=timezone.utc).isoformat().replace("+00:00", "")
+
+    # rows added between t1 and t2 = the second load's 10 keys
+    out = cs.sql(
+        f"SELECT count(*) AS added FROM ("
+        f"SELECT k FROM asof_diff AS OF TIMESTAMP '{iso(t2)}' "
+        f"EXCEPT SELECT k FROM asof_diff AS OF TIMESTAMP '{iso(t1)}')"
+    ).collect()
+    assert out[0].added == 10
+    # both views stayed live for this statement, then are the only ones kept
+    assert sum(len(v) for v in cs._asof_views.values()) == 2
+    # a later single-timestamp statement drops the now-stale pair member
+    cs.sql(f"SELECT count(*) AS n FROM asof_diff AS OF TIMESTAMP '{iso(t1)}'").collect()
+    assert sum(len(v) for v in cs._asof_views.values()) == 1

@@ -233,7 +233,11 @@ def test_time_travel_reads(spark, tmp_path):
 
     store = CarbonStore(spark, str(tmp_path / "tt_store"))
     df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t_before_create = time.time()
+    time.sleep(0.01)
     store.create_table("tt", df.schema, sort_columns=[])
+    t_created = time.time()
+    time.sleep(0.01)
     store.load("tt", df.filter("k < 40"))
     t_after_load0 = time.time()
     time.sleep(0.01)
@@ -243,8 +247,12 @@ def test_time_travel_reads(spark, tmp_path):
 
     assert store.table("tt", as_of_ts=t_after_load0).count() == 40
     assert store.table("tt", as_of_ts=t_after_load1).count() == 100
-    # before any load: empty
-    assert store.table("tt", as_of_ts=t_after_load0 - 10).count() == 0
+    # after creation, before any load: empty table (it existed, had no data)
+    assert store.table("tt", as_of_ts=t_created).count() == 0
+    # BEFORE creation: the table did not exist — documented raise, not
+    # an empty frame masquerading as "no data then"
+    with _pytest.raises(ValueError, match="predates table creation"):
+        store.table("tt", as_of_ts=t_before_create)
 
     store.delete_segments("tt", [0])
     t_after_delete = time.time()
@@ -289,6 +297,38 @@ def test_time_travel_overwrite_swap_is_atomic(spark, tmp_path):
     assert old and all(e["invalidated_ts"] == swap_ts for e in old)
     assert s.table("t", as_of_ts=swap_ts).count() == 30
     assert s.table("t", as_of_ts=swap_ts - 1e-4).count() == 10
+
+
+def test_time_travel_inside_compaction_window_sees_atomic_swap(spark, tmp_path):
+    """Compaction stamps its inputs' invalidation and the merged
+    segment's activation with ONE commit timestamp (store._compact_into):
+    AS OF exactly that instant sees the merged segment alone — never
+    both sides, never an empty in-between window."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.store import CarbonStore
+
+    s = CarbonStore(spark, str(tmp_path / "cw_store"))
+    df = spark.range(60).select(F.col("id").alias("k"))
+    s.create_table("t", df.schema, sort_columns=["k"])
+    s.load("t", df.filter("k < 30"))
+    s.load("t", df.filter("k >= 30"))
+    s.compact("t")
+
+    entries = s.show_segments("t")
+    compacted = [e for e in entries if e["status"] == "Compacted"]
+    merged = [e for e in entries if e["status"] == "Success"]
+    assert len(compacted) == 2 and len(merged) == 1
+    commit_ts = merged[0]["load_end_ts"]
+    # the swap is one instant: inputs invalidated exactly when the merged
+    # segment went live
+    assert all(e["invalidated_ts"] == commit_ts for e in compacted)
+    # AT the swap instant: merged side only, full row count, no doubling
+    at = s.table("t", as_of_ts=commit_ts)
+    assert at.count() == 60
+    assert s.table("t", as_of_ts=commit_ts).select("k").distinct().count() == 60
+    # just before: the pre-compaction pair, same logical contents
+    assert s.table("t", as_of_ts=commit_ts - 1e-4).count() == 60
 
 
 def test_aborted_compact_never_visible_to_time_travel(spark, tmp_path):
