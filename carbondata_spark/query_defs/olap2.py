@@ -348,18 +348,45 @@ def q_array_ops(spark, sf_dir):
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # PERMANENTLY no_oracle BY DESIGN: Spark's HLL++ and
-    # DuckDB's HLL are different sketches with different biases, so their
-    # approximate answers legitimately differ — no cross-engine value
-    # oracle can exist. Error bounds vs the exact answers are asserted in
-    # tests/test_approx.py instead (the strongest check available).
-    doc="Approximate distinct + approximate quantiles (HLL / KLL sketches; "
-    "no cross-engine oracle BY DESIGN — sketch outputs are engine-specific; "
-    "accuracy asserted in tests vs exact values).",
+    # The raw sketch outputs can never have a cross-engine value oracle
+    # (Spark's HLL++ / KLL differ from DuckDB's sketches by design), so
+    # the query emits the EXACT answers plus Spark-computed booleans
+    # asserting the sketch estimates stay inside their error bounds —
+    # the oracle then verifies the exact aggregation for real and pins
+    # the booleans true. Sketches are deterministic for fixed data +
+    # precision, so the bound is a hard check, not a flaky one.
+    # Bounds: HLL rsd=0.01 vs a 5% gate (5 sigma); percentile_approx
+    # accuracy=10000 vs a 2% relative-value gate on near-uniform prices.
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       true AS count_within_5pct,
+       true AS median_within_2pct
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Approximate distinct + approximate quantiles (HLL / KLL "
+    "sketches) verified by bounded relative error against the exact "
+    "answers computed in the same pass.",
 )
 def q_approx_distinct(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= F.lit(0.05)
+        ).alias("count_within_5pct"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            / F.col("exact_median")
+            <= F.lit(0.02)
+        ).alias("median_within_2pct"),
     )
