@@ -131,6 +131,12 @@ def exact_money_summary(
 
     partial_cols = {**{f"_s_{a}": c for a, c in sums.items()},
                     **{f"_a_{a}": c for a, c in avgs.items()}}
+    # spark_partition_id() is ONLY a fan-out key to keep phase-1 partials
+    # long-typed and small; correctness does NOT depend on which rows land
+    # in which partition (re-aggregation in phase 2 is associative over
+    # any partitioning, including the nondeterministic assignment a retry
+    # or AQE re-plan produces). Do not "simplify" this into anything that
+    # relies on stable partition ids.
     partial = df.groupBy(*group_cols, F.spark_partition_id().alias("_pid")).agg(
         *[F.sum(micro(c)).alias(k) for k, c in partial_cols.items()],
         F.count("*").alias("_cnt"),

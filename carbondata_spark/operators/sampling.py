@@ -35,8 +35,12 @@ training-data-pipeline extension the rebuild adds on top.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 HASH_SPACE = float(1 << 32)  # first 8 md5 hex chars → uniform in [0, 2^32)
 
@@ -74,10 +78,43 @@ def stratified_sample(
     strata_cols: list[str],
     n_per_stratum: int,
     key_col: str = "doc_id",
+    warn_stratum_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """First ``n_per_stratum`` rows per stratum in md5-key order — a
     deterministic pseudo-random fixed-size sample per group, with the
-    selection rank exposed as ``sample_rank``."""
+    selection rank exposed as ``sample_rank``.
+
+    The full per-stratum window sort is this operator's documented
+    perf-weak spot: at 100 TB a hot stratum sorts all its rows to keep
+    ``n_per_stratum``. The scale path is a ``hash_sample`` pre-thin
+    before calling this. When ``warn_stratum_rows`` is set (default
+    10M), a probe warns about strata exceeding it (the fail-loud
+    precedent of near_dup_groups, advisory here because the result is
+    still correct, just expensive); pass ``None`` after pre-thinning to
+    skip the probe. The probe is one map-combined count over only the
+    strata columns — negligible next to the window sort it guards — and
+    fetches at most 5 offending strata to the driver (bounded take, not
+    a collect of data rows).
+    """
+    if warn_stratum_rows is not None:
+        big = (
+            df.groupBy(*strata_cols)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > warn_stratum_rows)
+            .take(5)
+        )
+        if big:
+            worst = ", ".join(
+                f"{tuple(r[c] for c in strata_cols)}={r['_n']} rows" for r in big
+            )
+            log.warning(
+                "stratified_sample: %d stratum(s) exceed %d rows (%s); the "
+                "per-stratum window sort will dominate — pre-thin with "
+                "hash_sample, then pass warn_stratum_rows=None",
+                len(big),
+                warn_stratum_rows,
+                worst,
+            )
     w = W.partitionBy(*strata_cols).orderBy(_key_hash(key_col), F.col(key_col))
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

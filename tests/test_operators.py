@@ -427,3 +427,34 @@ def test_funnel_stage_semantics(spark):
     )
     out = {r.user_id: r.stage for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()}
     assert out == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+
+def test_stratified_sample_warns_on_oversized_stratum(spark, caplog):
+    """The per-stratum window sort is the documented perf-weak spot: a
+    stratum above warn_stratum_rows logs a warning naming the offender
+    (advisory fail-loud, near_dup_groups precedent); pre-thinned callers
+    pass None and get no probe."""
+    import logging
+
+    from carbondata_spark.operators.sampling import stratified_sample
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 150, "big").otherwise("small").alias("lang"),
+    )
+    with caplog.at_level(logging.WARNING, logger="carbondata_spark.operators.sampling"):
+        out = stratified_sample(df, ["lang"], 5, key_col="doc_id", warn_stratum_rows=100)
+        n = out.count()
+    assert n == 10
+    assert any(
+        "stratified_sample" in r.message and "'big'" in r.message.replace("(", "")
+        for r in caplog.records
+    ), caplog.records
+    # result identical with the probe disabled, and no warning emitted
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="carbondata_spark.operators.sampling"):
+        out2 = stratified_sample(df, ["lang"], 5, key_col="doc_id", warn_stratum_rows=None)
+        assert out2.count() == 10
+    assert not caplog.records
