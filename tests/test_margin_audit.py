@@ -34,6 +34,24 @@ def test_strip_rounds_balanced_and_scales():
     assert not acc3
 
 
+def test_strip_rounds_skips_quoted_literals():
+    """Parens inside string literals must not unbalance the scan or move
+    the argument split (previously mis-sliced the expression)."""
+    sql = "SELECT round(sum(instr(s, '(')), 2) AS a FROM t"
+    stripped, scales, acc = strip_rounds(sql)
+    assert stripped == "SELECT (sum(instr(s, '('))) AS a FROM t"
+    assert scales == [2] and acc
+    # a quoted comma must not become the argument split
+    sql2 = "SELECT round(sum(length(replace(s, ',)', ''))), 3) AS a FROM t"
+    stripped2, scales2, _ = strip_rounds(sql2)
+    assert scales2 == [3]
+    assert stripped2 == "SELECT (sum(length(replace(s, ',)', '')))) AS a FROM t"
+    # doubled '' escape nets out (close-then-reopen)
+    sql3 = "SELECT round(sum(instr(s, 'it''s (x')), 2) AS a FROM t"
+    _, scales3, _ = strip_rounds(sql3)
+    assert scales3 == [2]
+
+
 def test_no_registered_oracle_is_fragile(oracle_con, sf_dir):
     from carbondata_spark.queries import registry
 

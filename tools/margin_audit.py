@@ -31,9 +31,10 @@ not independent extremes across values (pairing one value's margin with
 a different value's drift would conflate unrelated cells).
 
 Usage:
-    python tools/margin_audit.py [sf_dir ...]   (default sf0.01 + sf0.1)
+    python tools/margin_audit.py [--round N] [sf_dir ...]
+    (default sfs: sf0.01 + sf0.1; default round: latest CORRECTNESS + 1)
 
-Writes MARGIN_AUDIT_r04.json {query: {min_margin, max_drift, fragile,
+Writes MARGIN_AUDIT_r{N}.json {query: {min_margin, max_drift, fragile,
 n_values}} and exits non-zero if any query is fragile — also invoked by
 tests/test_margin_audit.py so a fragile oracle fails CI.
 """
@@ -62,7 +63,12 @@ def strip_rounds(sql: str) -> tuple[str, list[int], bool]:
     order-dependent float aggregate (sum/avg over doubles drifts between
     engines; a ratio/scalar computed per-row from identical doubles is
     bit-identical in both engines and carries zero cross-engine drift, so
-    its distance-to-boundary is irrelevant)."""
+    its distance-to-boundary is irrelevant).
+
+    Paren balancing and the argument-comma split skip quoted literals
+    (single or double; a doubled '' escape reads as close-then-reopen,
+    which nets out) — an oracle like ``round(sum(instr(s, '(')), 2)``
+    previously mis-sliced the expression."""
     scales: list[int] = []
     accumulative = False
     while True:
@@ -70,19 +76,29 @@ def strip_rounds(sql: str) -> tuple[str, list[int], bool]:
         if not m:
             return sql, scales, accumulative
         start = m.end()  # position after "round("
-        depth = 1
-        i = start
+        depth, i, quote = 1, start, None
         while depth:
-            if sql[i] == "(":
+            ch = sql[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
                 depth += 1
-            elif sql[i] == ")":
+            elif ch == ")":
                 depth -= 1
             i += 1
         inner = sql[start : i - 1]
-        # split "expr, n" at the last top-level comma
-        depth2, split = 0, -1
+        # split "expr, n" at the last top-level comma (quote-aware too)
+        depth2, split, quote = 0, -1, None
         for j, ch in enumerate(inner):
-            if ch == "(":
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
                 depth2 += 1
             elif ch == ")":
                 depth2 -= 1
@@ -157,7 +173,21 @@ def audit_query(con, name: str, sql: str) -> dict | None:
     }
 
 
-def main(sf_dirs: list[str]) -> int:
+def current_round() -> int:
+    """Round being BUILT now = latest driver CORRECTNESS round + 1 (the
+    driver writes CORRECTNESS_r{N}.json after the round's snapshot)."""
+    import glob
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def main(sf_dirs: list[str], round_no: int | None = None) -> int:
     from carbondata_spark.oracle import duckdb_connection
     from carbondata_spark.queries import registry
 
@@ -196,8 +226,9 @@ def main(sf_dirs: list[str]) -> int:
             else:
                 print(f"FRAGILE {name}: margin={res['min_margin']:.3g} "
                       f"drift={res['max_drift']:.3g} at {res['sf_dir']}")
+    rnd = current_round() if round_no is None else round_no
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "MARGIN_AUDIT_r04.json")
+                       f"MARGIN_AUDIT_r{rnd:02d}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True, default=str)
         f.write("\n")
@@ -206,5 +237,11 @@ def main(sf_dirs: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
-    raise SystemExit(main(dirs))
+    argv = sys.argv[1:]
+    rnd = None
+    if "--round" in argv:
+        i = argv.index("--round")
+        rnd = int(argv[i + 1])
+        del argv[i : i + 2]
+    dirs = argv or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    raise SystemExit(main(dirs, round_no=rnd))
