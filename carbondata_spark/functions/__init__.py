@@ -129,8 +129,24 @@ def exact_money_summary(
     def micro(c: Column) -> Column:
         return F.round(c * F.lit(1000000.0), 0).cast("long")
 
-    partial_cols = {**{f"_s_{a}": c for a, c in sums.items()},
-                    **{f"_a_{a}": c for a, c in avgs.items()}}
+    # Dedup identical input expressions across sums/avgs (q01 shares
+    # l_quantity and l_extendedprice between a sum and an avg): each
+    # unique expression is micro-summed ONCE in phase 1 — the hot path —
+    # and fanned out to its aliases in the tiny phase 2. Column repr is a
+    # stable print of the unresolved expression, a safe identity key
+    # (false negatives just cost a duplicate sum, as before).
+    uniq: dict[str, str] = {}
+    partial_aggs: list[Column] = []
+
+    def partial_name(c: Column) -> str:
+        key = repr(c)
+        if key not in uniq:
+            uniq[key] = f"_m{len(uniq)}"
+            partial_aggs.append(F.sum(micro(c)).alias(uniq[key]))
+        return uniq[key]
+
+    sum_src = {a: partial_name(c) for a, c in sums.items()}
+    avg_src = {a: partial_name(c) for a, c in avgs.items()}
     # spark_partition_id() is ONLY a fan-out key to keep phase-1 partials
     # long-typed and small; correctness does NOT depend on which rows land
     # in which partition (re-aggregation in phase 2 is associative over
@@ -138,7 +154,7 @@ def exact_money_summary(
     # or AQE re-plan produces). Do not "simplify" this into anything that
     # relies on stable partition ids.
     partial = df.groupBy(*group_cols, F.spark_partition_id().alias("_pid")).agg(
-        *[F.sum(micro(c)).alias(k) for k, c in partial_cols.items()],
+        *partial_aggs,
         F.count("*").alias("_cnt"),
     )
 
@@ -147,9 +163,9 @@ def exact_money_summary(
             F.sum(F.col(k).cast("decimal(28,0)")) / F.lit(1000000).cast("decimal(7,0)")
         ).cast("decimal(38,6)")
 
-    aggs = [F.round(dec(f"_s_{a}"), n).cast("double").alias(a) for a in sums]
+    aggs = [F.round(dec(sum_src[a]), n).cast("double").alias(a) for a in sums]
     aggs += [
-        dround(dec(f"_a_{a}").cast("double") / F.sum("_cnt"), n).alias(a) for a in avgs
+        dround(dec(avg_src[a]).cast("double") / F.sum("_cnt"), n).alias(a) for a in avgs
     ]
     if count_alias:
         aggs.append(F.sum("_cnt").alias(count_alias))
