@@ -449,32 +449,26 @@ def q_join_outer(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 5000
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')
+      AND c_mktsegment NOT IN ('HOUSEHOLD', 'FURNITURE')
+      AND c_acctbal > 5000
     """,
-    doc="IN + range filter with projection (reference IncludeFilterExecuterImpl).",
+    doc="IN + NOT IN + range filter with projection in one pushed "
+    "conjunction (reference IncludeFilterExecuterImpl + "
+    "ExcludeFilterExecuterImpl; registry rationalization r5 folded the "
+    "former q_filter_not_in in — the NOT IN removes HOUSEHOLD rows the "
+    "IN admitted, so the exclusion genuinely flips rows, and In/"
+    "Not(In)/GreaterThan all reach PushedFilters).",
 )
 def q_filter_in(spark, sf_dir):
     return (
         t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY") & (F.col("c_acctbal") > 5000))
+        .filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "HOUSEHOLD")
+            & ~F.col("c_mktsegment").isin("HOUSEHOLD", "FURNITURE")
+            & (F.col("c_acctbal") > 5000)
+        )
         .select("c_custkey", "c_name", "c_mktsegment")
-    )
-
-
-@register(
-    "q_filter_not_in",
-    oracle="""
-    SELECT count(*) AS n
-    FROM part
-    WHERE p_brand NOT IN ('Brand#1', 'Brand#2') AND p_size BETWEEN 10 AND 20
-    """,
-    doc="NOT IN + BETWEEN (reference ExcludeFilterExecuterImpl).",
-)
-def q_filter_not_in(spark, sf_dir):
-    return (
-        t(spark, sf_dir, "part")
-        .filter(~F.col("p_brand").isin("Brand#1", "Brand#2") & F.col("p_size").between(10, 20))
-        .agg(F.count("*").alias("n"))
     )
 
 
@@ -572,55 +566,68 @@ def q_topk_per_group(spark, sf_dir):
 
 
 @register(
-    "q_set_union",
+    "q_set_ops",
     oracle="""
-    SELECT k FROM (
+    SELECT 'u' AS op, k FROM (
       SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
       UNION
       SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
-    ) ORDER BY k
+    )
+    UNION ALL
+    SELECT DISTINCT 'i' AS op, o_custkey AS k FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'e' AS op, c_custkey AS k FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'a' AS op, o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'a' AS op, o_orderkey AS k FROM orders WHERE o_totalprice > 400000
     """,
-    doc="UNION (distinct).",
+    doc="Whole set-operation surface in one tagged result (registry "
+    "rationalization r5, formerly q_set_union / q_set_intersect / "
+    "q_set_except / q_union_all): 'u' = UNION distinct across two "
+    "tables, 'i' = INTERSECT (customers with both F and O orders), "
+    "'e' = EXCEPT (customers without orders — q_join_anti by another "
+    "operator), 'a' = duplicate-preserving UNION ALL (an urgent AND "
+    "expensive order appears twice; branch concatenation, no dedup "
+    "exchange). The DuckDB oracle expresses INTERSECT/EXCEPT as semi/"
+    "anti subqueries precisely so the two engines compute the same "
+    "semantics through DIFFERENT plans.",
 )
-def q_set_union(spark, sf_dir):
-    a = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+def q_set_ops(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("k")
     )
-    b = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+    neg_cust = customer.filter(F.col("c_acctbal") < 0).select(
         F.col("c_custkey").alias("k")
     )
-    return a.union(b).distinct().orderBy("k")
-
-
-@register(
-    "q_set_intersect",
-    oracle="""
-    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
-    """,
-    doc="INTERSECT: customers with both F and O orders.",
-)
-def q_set_intersect(spark, sf_dir):
-    orders = t(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
-    b = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
-    return a.intersect(b)
-
-
-@register(
-    "q_set_except",
-    oracle="""
-    SELECT c_custkey AS k FROM customer
-    EXCEPT
-    SELECT o_custkey AS k FROM orders
-    """,
-    doc="EXCEPT: customers without orders (mirrors q_join_anti by a different operator).",
-)
-def q_set_except(spark, sf_dir):
-    a = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    b = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    return a.exceptAll(b).distinct()
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    union_d = f_cust.union(neg_cust).distinct()
+    intersect = f_cust.intersect(o_cust)
+    except_ = (
+        customer.select(F.col("c_custkey").alias("k"))
+        .exceptAll(orders.select(F.col("o_custkey").alias("k")))
+        .distinct()
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("k")
+    )
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "k")  # noqa: E731
+    return (
+        tag(union_d, "u")
+        .unionByName(tag(intersect, "i"))
+        .unionByName(tag(except_, "e"))
+        .unionByName(tag(urgent.unionByName(big), "a"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -635,48 +642,32 @@ def q_set_except(spark, sf_dir):
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS running_spend,
-           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           coalesce(CAST(date_diff('day',
+                     lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     CAST(o_orderdate AS DATE)) AS INT), -1) AS gap_days
     FROM orders WHERE o_custkey < 100
     """,
-    doc="Running sum + rank windows.",
+    doc="Running sum + rank + lag windows over the same partition "
+    "(registry rationalization r5: the former q_window_lag's lag() "
+    "semantics fold in as the inter-order gap; the timestamp-typed lag "
+    "over events stays pinned by q_sessionize).",
 )
 def q_window_running(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    w_run = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w_ord = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
     w_rank = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w_ord),
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
         r2(F.sum("o_totalprice").over(w_run)).alias("running_spend"),
         F.rank().over(w_rank).alias("price_rank"),
-    )
-
-
-@register(
-    "q_window_lag",
-    oracle="""
-    SELECT user_id, event_id,
-           coalesce(round(epoch(tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)), 1), -1.0)
-             AS gap_s
-    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu
-          FROM events WHERE user_id < 50)
-    """,
-    doc="lag() inter-event gap in seconds (sessionization building block).",
-)
-def q_window_lag(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    from carbondata_spark.functions import epoch_seconds
-
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = epoch_seconds(F.col("ts")) - F.lag(epoch_seconds(F.col("ts"))).over(w)
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.coalesce(dround(gap, 1), F.lit(-1.0)).alias("gap_s"),
+        F.coalesce(gap, F.lit(-1)).alias("gap_days"),
     )
 
 
@@ -689,14 +680,23 @@ def q_window_lag(spark, sf_dir):
     "q_scalar_string",
     oracle="""
     SELECT c_custkey,
-           upper(c_name)                         AS uname,
-           substr(c_name, 1, 8)                  AS prefix8,
-           length(c_name)                        AS name_len,
-           concat(c_mktsegment, ':', c_name)     AS tagged,
-           replace(lower(c_mktsegment), 'e', '_') AS replaced
+           upper(c_name)                          AS uname,
+           substr(c_name, 1, 8)                   AS prefix8,
+           length(c_name)                         AS name_len,
+           concat(c_mktsegment, ':', c_name)      AS tagged,
+           replace(lower(c_mktsegment), 'e', '_') AS replaced,
+           translate(c_name, '#', '-')            AS dashed,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           reverse(c_name)                        AS rev_name,
+           split_part(c_name, '#', 2)             AS after_hash,
+           repeat(substr(c_name, 1, 2), 2)        AS doubled,
+           CAST(levenshtein(c_name, 'Customer#1') AS INT) AS lev_to_one,
+           CAST(ascii(substr(c_name, 1, 1)) AS INT) AS first_ascii
     FROM customer WHERE c_custkey <= 50
     """,
-    doc="String scalar functions (upper/substr/length/concat/replace).",
+    doc="String scalar surface (upper/substr/length/concat/replace/"
+    "translate/lpad/reverse/split_part/repeat/levenshtein/ascii) — the "
+    "former q_scalar_string2 merged in (registry rationalization r5).",
 )
 def q_scalar_string(spark, sf_dir):
     return (
@@ -709,6 +709,13 @@ def q_scalar_string(spark, sf_dir):
             F.length("c_name").alias("name_len"),
             F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
             F.replace(F.lower("c_mktsegment"), F.lit("e"), F.lit("_")).alias("replaced"),
+            F.translate("c_name", "#", "-").alias("dashed"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+            F.reverse("c_name").alias("rev_name"),
+            F.split_part("c_name", F.lit("#"), F.lit(2)).alias("after_hash"),
+            F.repeat(F.substring("c_name", 1, 2), 2).alias("doubled"),
+            F.levenshtein("c_name", F.lit("Customer#1")).alias("lev_to_one"),
+            F.ascii(F.substring("c_name", 1, 1)).alias("first_ascii"),
         )
     )
 
@@ -716,13 +723,22 @@ def q_scalar_string(spark, sf_dir):
 @register(
     "q_scalar_datetime",
     oracle="""
-    SELECT CAST(year(o_orderdate) AS INT) AS yr,
-           CAST(month(o_orderdate) AS INT) AS mo,
+    SELECT CAST(year(o_orderdate) AS INT)      AS yr,
+           CAST(month(o_orderdate) AS INT)     AS mo,
+           CAST(quarter(o_orderdate) AS INT)   AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since,
            count(*) AS n,
            CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
-    FROM orders GROUP BY 1, 2
+    FROM orders GROUP BY 1, 2, 3, 4, 5, 6
     """,
-    doc="Datetime extraction + group by year/month.",
+    doc="Datetime extraction surface grouped to the derived calendar "
+    "tuple: year/month/quarter/dayofweek (Spark 1=Sunday vs DuckDB "
+    "0=Sunday, aligned in the oracle)/last_day/datediff + exact decimal "
+    "totals — the former q_scalar_datetime2 merged in (registry "
+    "rationalization r5).",
 )
 def q_scalar_datetime(spark, sf_dir):
     return (
@@ -730,6 +746,12 @@ def q_scalar_datetime(spark, sf_dir):
         .groupBy(
             F.year("o_orderdate").alias("yr"),
             F.month("o_orderdate").alias("mo"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("days_since"),
         )
         .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("total"))
     )

@@ -254,27 +254,8 @@ def q21(spark, sf_dir):
     )
 
 
-@register(
-    "q_union_all",
-    oracle="""
-    SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    UNION ALL
-    SELECT 'big' AS src, o_orderkey FROM orders WHERE o_totalprice > 400000
-    """,
-    doc="UNION ALL (duplicate-preserving): an order can appear under both "
-    "tags; unionByName concatenates partitions without any shuffle or "
-    "dedup exchange (vs the UNION/distinct variant already covered by "
-    "q_set_union).",
-)
-def q_union_all(spark, sf_dir):
-    orders = t(spark, sf_dir, "orders")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.lit("urgent").alias("src"), "o_orderkey"
-    )
-    big = orders.filter(F.col("o_totalprice") > 400000).select(
-        F.lit("big").alias("src"), "o_orderkey"
-    )
-    return urgent.unionByName(big)
+# q_union_all was merged into q_set_ops (query_defs/olap.py) in the r5
+# registry rationalization — the duplicate-preserving branch is its 'a' tag.
 
 
 @register(

@@ -46,64 +46,9 @@ def q_scalar_math(spark, sf_dir):
     )
 
 
-@register(
-    "q_scalar_string2",
-    oracle="""
-    SELECT s_suppkey,
-           translate(s_name, '#', '-')                    AS dashed,
-           lpad(CAST(s_suppkey AS VARCHAR), 8, '0')       AS padded_key,
-           reverse(s_name)                                AS rev_name,
-           split_part(s_name, '#', 2)                     AS after_hash,
-           repeat(substr(s_name, 1, 2), 2)                AS doubled,
-           CAST(levenshtein(s_name, 'Supplier#1') AS INT) AS lev_to_one,
-           CAST(ascii(substr(s_name, 1, 1)) AS INT)       AS first_ascii
-    FROM supplier
-    """,
-    doc="String function depth: translate/lpad/reverse/split_part/repeat/"
-    "levenshtein/ascii.",
-)
-def q_scalar_string2(spark, sf_dir):
-    s = t(spark, sf_dir, "supplier")
-    return s.select(
-        "s_suppkey",
-        F.translate("s_name", "#", "-").alias("dashed"),
-        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded_key"),
-        F.reverse("s_name").alias("rev_name"),
-        F.split_part("s_name", F.lit("#"), F.lit(2)).alias("after_hash"),
-        F.repeat(F.substring("s_name", 1, 2), 2).alias("doubled"),
-        F.levenshtein("s_name", F.lit("Supplier#1")).alias("lev_to_one"),
-        F.ascii(F.substring("s_name", 1, 1)).alias("first_ascii"),
-    )
-
-
-@register(
-    "q_scalar_datetime2",
-    oracle="""
-    SELECT CAST(quarter(o_orderdate) AS INT)                          AS qtr,
-           CAST(dayofweek(o_orderdate) + 1 AS INT)                    AS dow,
-           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')  AS month_end,
-           CAST(date_diff('day', DATE '1995-01-01',
-                          CAST(o_orderdate AS DATE)) AS INT)          AS days_since_epoch_start,
-           count(*) AS n
-    FROM orders WHERE o_orderkey <= 500
-    GROUP BY 1, 2, 3, 4
-    """,
-    doc="Datetime function depth: quarter / dayofweek (Spark 1=Sunday vs "
-    "DuckDB 0=Sunday, aligned in the oracle) / last_day / datediff.",
-)
-def q_scalar_datetime2(spark, sf_dir):
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
-    return (
-        o.groupBy(
-            F.quarter("o_orderdate").alias("qtr"),
-            F.dayofweek("o_orderdate").alias("dow"),
-            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
-            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
-                "days_since_epoch_start"
-            ),
-        )
-        .agg(F.count("*").alias("n"))
-    )
+# q_scalar_string2 / q_scalar_datetime2 were merged into q_scalar_string
+# / q_scalar_datetime (query_defs/olap.py) in the r5 registry
+# rationalization: same engine surface, half the driver-check budget.
 
 
 @register(
