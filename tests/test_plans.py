@@ -238,3 +238,26 @@ def test_new_pipeline_queries_plan_shapes(spark, sf_dir):
     fun.collect()
     fplan = fun._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in fplan and "Window" not in fplan
+
+
+def test_filter_in_pushes_include_and_exclude(spark, sf_dir):
+    """The merged q_filter_in must push BOTH the include list and the
+    exclude list to the parquet reader (reference Include/Exclude
+    FilterExecuterImpl parity) — a residual-only NOT IN would decode
+    every admitted row at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q_filter_in")
+    pushed = next(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "In(c_mktsegment" in pushed
+    assert "Not(In(c_mktsegment" in pushed
+
+
+def test_set_ops_no_cartesian_and_tagged_branches(spark, sf_dir):
+    """q_set_ops: intersect/except plan as joins or aggregates — never a
+    cartesian — and the UNION ALL branch concatenates without a dedup
+    exchange of its own (its rows flow straight from the scans)."""
+    df = registry()["q_set_ops"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" in plan
