@@ -64,8 +64,9 @@ def main() -> None:
     for name in names:
         reg[name].fn(spark, sf_dir).collect()
 
-    # Each query is timed in TWO full interleaved passes and the per-query
-    # MIN reported. Rationale: (a) queries that persist intermediates
+    # Each query is timed in THREE full interleaved passes and the
+    # per-query MIN reported. Rationale: (a) queries that persist
+    # intermediates
     # (e.g. the LSH shingle index) leave cached blocks behind, and
     # accumulated blocks from earlier queries cause eviction churn that
     # can inflate a later query 5× run-to-run — clearCache() between
@@ -73,10 +74,13 @@ def main() -> None:
     # still count: the query pays for its own caching, just not its
     # predecessors'); (b) the sandbox shows multi-second host slowdown
     # BURSTS (same code, 0.8s vs 8.8s) — interleaving the passes means a
-    # burst cannot cover both measurements of one query, so the min is a
-    # burst-free estimate of engine throughput.
+    # burst must span the whole suite repeatedly to contaminate every
+    # measurement of one query, so the min is a burst-free estimate of
+    # engine throughput (three passes after r4 showed a single burst can
+    # still straddle both measurements of an early query: minhash 1.5s
+    # engine floor recorded as 3.1s).
     timings: dict[str, float] = {n: float("inf") for n in names}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -87,7 +91,7 @@ def main() -> None:
     # aux (outside the fixed 12-query headline metric): the double-sum
     # q01 under the identical protocol, pinning the exactness premium.
     double_t = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         _q01_double_form(spark, sf_dir).collect()
