@@ -63,6 +63,30 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert recall >= 0.9, f"LSH recall {recall} too low ({len(lsh)}/{len(exact)})"
 
 
+def test_minhash_lsh_xxhash64_variant(spark, docs):
+    """The production hash family (seeded xxhash64, no oracle replay)
+    obeys the same contract as md5: verified pairs are a subset of the
+    exact jaccard-threshold set, near-total recall on high-j pairs, and
+    the reported jaccard values are hash-independent (the verify step
+    intersects true shingle sets)."""
+    from carbondata_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    xx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.8, hash_fn="xxhash64").collect()
+    }
+    assert set(xx) <= set(exact), "no false positives after verification"
+    assert len(exact) > 0
+    recall = len(set(xx) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"xxhash64 LSH recall {recall} too low"
+    for pair, j in xx.items():
+        assert j == exact[pair], "verified jaccard must not depend on the hash family"
+
+
 def test_simhash_dup_invariance(spark, docs):
     from carbondata_spark.operators.dedup import simhash64
 
