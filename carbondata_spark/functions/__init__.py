@@ -70,6 +70,15 @@ def _to_micros(col: Column) -> Column:
     long cast truncates toward zero) lands on the SAME integer as the
     BigDecimal form and as a direct scale-6 decimal cast — measured ~35%
     off q01's wall time with bit-identical results.
+
+    Domain bound (PER ROW, property-tested): exactness requires the
+    float error of ``v * 1e6`` to stay under 0.5, i.e. |v| below
+    ~2.25e9 (0.5 * 2^52 micro-units; beyond that the double PRODUCT no
+    longer identifies the integer — true of the F.round form it
+    replaced too, since the multiply itself loses it). Money columns
+    are orders of magnitude inside this. Group SUMS may exceed it
+    freely: accumulation happens in exact long/decimal arithmetic —
+    only the per-row magnitude is bounded.
     """
     scaled = col * F.lit(1000000.0)
     return (

@@ -43,6 +43,71 @@ def test_dround_matches_duckdb_on_adversarial_values(spark, n):
     assert got == want, list(zip(sorted(vals), got, want))
 
 
+# Money domain: <=6 decimal digits AND per-row |v| <= 1e9 — inside the
+# documented _to_micros exactness bound (~2.25e9, functions/__init__.py).
+# A first draft generated up to 1e12 and hypothesis immediately found
+# 576460752305.0: at that magnitude the double PRODUCT v*1e6 no longer
+# identifies the micro-unit integer (ulp 128), so the bound is real and
+# per-row, not an implementation detail.
+money = st.builds(
+    lambda units, scale: units / (10.0**scale),
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.integers(min_value=6, max_value=6),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(money, min_size=1, max_size=30))
+def test_micro_sum_equals_decimal_cast_sum(spark, values):
+    """_micro_sum's truncation-based micro-unit conversion (_to_micros:
+    trunc(scaled ± 0.5), no per-row BigDecimal) must land on the exact
+    integer a direct DECIMAL(30,6) cast produces for any <=6-decimal
+    money value — positive, negative, and zero — so the decimal sums are
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.functions import MONEY_DEC, _micro_sum
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = df.select(
+        _micro_sum(F.col("v")).alias("micro"),
+        F.sum(F.col("v").cast(MONEY_DEC)).cast("decimal(38,6)").alias("direct"),
+    ).collect()[0]
+    assert row.micro == row.direct, (values, row.micro, row.direct)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]), money), min_size=1, max_size=40))
+def test_exact_money_summary_equals_single_phase_decimal(spark, rows):
+    """The two-phase long-micro-unit plan must be bit-identical to the
+    single-phase decimal form for every group, sum and avg alias."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.functions import MONEY_DEC, dround, exact_money_summary
+
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    got = {
+        r.g: (r.s, r.a, r.c)
+        for r in exact_money_summary(
+            df, ["g"], sums={"s": F.col("v")}, avgs={"a": F.col("v")},
+            count_alias="c",
+        ).collect()
+    }
+    want = {
+        r.g: (r.s, r.a, r.c)
+        for r in df.groupBy("g")
+        .agg(
+            F.round(F.sum(F.col("v").cast(MONEY_DEC)), 2).cast("double").alias("s"),
+            dround(
+                F.sum(F.col("v").cast(MONEY_DEC)).cast("double") / F.count("v"), 2
+            ).alias("a"),
+            F.count("*").alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(
