@@ -22,6 +22,30 @@ def test_query_matches_oracle(spark, oracle_con, sf_dir, name):
     assert res.ok, f"{name}: {res.detail}"
 
 
+HOSTILE_TZ_QUERIES = [
+    "q_scalar_datetime",   # date part extraction
+    "q01_pricing_summary", # timestamp-literal filter + exact money
+    "q_sessionize",        # event-time gaps over TIMESTAMP_NTZ parquet
+    "q_funnel",            # ordered event steps
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_TZ_QUERIES)
+def test_query_survives_hostile_session_timezone(spark, oracle_con, sf_dir, name):
+    """The driver runs queries()[name] on ITS OWN session, which may carry
+    any session timezone (the verify recipe's hostile probe is
+    America/New_York). ensure_session_confs must re-pin the confs on
+    every query entry, so a poisoned session still matches the TZ-naive
+    DuckDB oracle. In-suite version of that manual probe."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        res = run_query_diff(spark, oracle_con, sf_dir, name)
+        assert res.ok, f"{name} under hostile tz: {res.detail}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_local_gate_catches_last_ulp_divergence():
     """The local harness must be as strict as the driver's full-precision
     value hash: a one-ulp float divergence (far below the old %.6g
