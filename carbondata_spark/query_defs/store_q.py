@@ -396,3 +396,65 @@ def q_store_pruned(spark, sf_dir):
         F.count("*").alias("cnt"),
         dsum(F.col("o_totalprice")).alias("total"),
     )
+
+
+# (sf_dir, app_id) -> store_path for the z-order clustered build.
+_BUILT_Z: dict[tuple[str, str], str] = {}
+
+
+def _zorder_store(spark: SparkSession, sf_dir: str):
+    """Build (once per process+session) ``lineitem_z``: lineitem loaded
+    in two segments into a ``clustering='zorder'`` table clustered on
+    (l_suppkey, l_partkey) — every load Morton-orders its rows
+    (zorder.py), the analogue of the reference's per-load MDKey sort
+    (MDKeyGenStep.java) with trailing-column pruning power."""
+    from carbondata_spark.store import CarbonStore
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if key in _BUILT_Z:
+        return CarbonStore(spark, _BUILT_Z[key])
+
+    path = tempfile.mkdtemp(prefix="carbondata_zorder_")
+    store = CarbonStore(spark, path)
+    li = t(spark, sf_dir, "lineitem")
+    store.create_table(
+        "lineitem_z",
+        li.schema,
+        sort_columns=["l_suppkey", "l_partkey"],
+        properties={"clustering": "zorder"},
+    )
+    store.load("lineitem_z", li.filter(F.col("l_orderkey") % 2 == 0), partitions=4)
+    store.load("lineitem_z", li.filter(F.col("l_orderkey") % 2 == 1), partitions=4)
+    _BUILT_Z[key] = path
+    return store
+
+
+@register(
+    "q_store_zorder",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+    FROM lineitem
+    WHERE l_partkey < 200 AND l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+    doc="Z-order clustered store scan under the hard gate: lineitem "
+    "Morton-clustered on (l_suppkey, l_partkey) across two segments, "
+    "filtered on the TRAILING sort column (where lexicographic "
+    "clustering prunes nothing — zorder.py), aggregated with exact "
+    "decimal sums; must equal DuckDB over the raw parquet, so a single "
+    "row dropped/duplicated/reordered by the Morton shuffle breaks the "
+    "hash.",
+)
+def q_store_zorder(spark, sf_dir):
+    store = _zorder_store(spark, sf_dir)
+    return (
+        store.table("lineitem_z")
+        .filter((F.col("l_partkey") < 200) & (F.col("l_quantity") >= 25))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            dsum(F.col("l_extendedprice")).alias("total"),
+        )
+    )

@@ -161,6 +161,15 @@ class CarbonStore:
     def _write_status(self, table: str, entries: list[SegmentEntry]) -> None:
         _atomic_write_json(self._status_path(table), [e.to_json() for e in entries])
 
+    @staticmethod
+    def _is_zorder(meta: dict[str, Any]) -> bool:
+        """``clustering='zorder'`` table property (CREATE CUBE OPTIONS)
+        switches load/compaction clustering from lexicographic sort to
+        Morton interleaving of the sort columns (zorder.py)."""
+        return (
+            str(meta.get("properties", {}).get("clustering", "")).lower() == "zorder"
+        )
+
     # -- DDL --------------------------------------------------------------
 
     def create_table(
@@ -191,6 +200,11 @@ class CarbonStore:
             raise ValueError(f"table {table} already exists")
         os.makedirs(tdir, exist_ok=True)
         properties = properties or {}
+        clustering = str(properties.get("clustering", "sorted")).lower()
+        if clustering not in ("sorted", "zorder"):
+            raise ValueError(
+                f"unknown clustering {clustering!r}: expected 'sorted' or 'zorder'"
+            )
         schema = self.apply_reference_coercions(schema, properties)
         if sort_columns is None:
             # dims are sorted by default; DICTIONARY_INCLUDE promotes
@@ -302,13 +316,22 @@ class CarbonStore:
         # Write data outside the lock (long-running), commit manifest after.
         seg_dir = self._segment_dir(table, seg_id)
         writer = df
-        if partitions:
+        if sort_cols and self._is_zorder(meta):
+            # Morton-interleaved clustering instead of lexicographic:
+            # every sort column gets row-group min/max locality, not just
+            # the leading one (the reference's MDKey concatenation shares
+            # lexicographic's trailing-column blindness — zorder.py).
+            from carbondata_spark.zorder import cluster_writer
+
+            writer = cluster_writer(writer, sort_cols, partitions)
+        else:
+            if partitions:
+                if sort_cols:
+                    writer = writer.repartitionByRange(partitions, *sort_cols)
+                else:
+                    writer = writer.repartition(partitions)
             if sort_cols:
-                writer = writer.repartitionByRange(partitions, *sort_cols)
-            else:
-                writer = writer.repartition(partitions)
-        if sort_cols:
-            writer = writer.sortWithinPartitions(*sort_cols)
+                writer = writer.sortWithinPartitions(*sort_cols)
         w = writer.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
@@ -751,7 +774,11 @@ class CarbonStore:
         sort_cols = [c for c in sort_cols if c not in part_cols]
         writer = merged
         n_parts = partitions or max(1, sum(e.rows for e in segs) // 4_000_000)
-        if sort_cols:
+        if sort_cols and self._is_zorder(meta):
+            from carbondata_spark.zorder import cluster_writer
+
+            writer = cluster_writer(writer, sort_cols, n_parts)
+        elif sort_cols:
             # global range-sort across the merged data: restores clustering
             # that interleaved loads destroyed
             writer = writer.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
