@@ -155,6 +155,17 @@ def test_store_load_clusters_on_sort_columns(spark, tmp_path, sf_dir):
     assert overlaps <= len(ranges) // 2, f"files not range-clustered: {ranges}"
 
 
+def test_zorder_scan_pushdown(spark, sf_dir):
+    """The z-ordered store table is still a plain parquet scan to
+    Catalyst: the trailing-column filter must be pushed into the scan
+    (the clustering then makes the pushed range actually skip row
+    groups) and unreferenced columns pruned."""
+    plan = plan_of(spark, sf_dir, "q_store_zorder")
+    assert "PushedFilters" in plan and "l_partkey" in plan
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_comment" not in scan_line and "l_orderkey" not in scan_line
+
+
 def test_hash_sample_zero_shuffle(spark, sf_dir):
     """hash_sample is a pure map-side filter: no Exchange anywhere —
     the property that makes it free at 100 TB."""

@@ -407,6 +407,36 @@ def test_sql_create_cube_ddl(cs, spark, sf_dir):
     assert "sales_cube" not in cs.store.tables()
 
 
+def test_sql_create_cube_zorder_option(cs, spark):
+    """OPTIONS('clustering'='zorder') flows from the CREATE CUBE front
+    door into the table property that switches load clustering to
+    Morton order (zorder.py); loads through the SQL surface round-trip
+    and a bad value is rejected at DDL time."""
+    import pytest as _pytest
+
+    cs.sql(
+        "CREATE CUBE zcube"
+        " DIMENSIONS (city string, dev string)"
+        " MEASURES (amount double)"
+        " OPTIONS('clustering'='zorder')"
+    )
+    assert cs.store._read_schema("zcube")["properties"]["clustering"] == "zorder"
+    df = spark.createDataFrame(
+        [("a", "ios", 1.0), ("b", "and", 2.0), ("a", "and", 3.0), ("c", "web", 4.0)],
+        "city string, dev string, amount double",
+    )
+    cs.store.load("zcube", df)
+    got = cs.sql("SELECT sum(amount) AS s FROM zcube WHERE dev = 'and'").collect()
+    assert got[0]["s"] == 5.0
+    cs.sql("DROP CUBE zcube")
+
+    with _pytest.raises(ValueError, match="clustering"):
+        cs.sql(
+            "CREATE CUBE badcube DIMENSIONS (x string) MEASURES (y double)"
+            " OPTIONS('clustering'='hilbert')"
+        )
+
+
 def test_sql_as_of_time_travel(cs, spark):
     """`FROM t AS OF TIMESTAMP '<iso>'` reads the historical segment set
     through the SQL passthrough (store.table(as_of_ts=...) surface)."""
