@@ -46,6 +46,46 @@ def _q01_double_form(spark, sf_dir):
     )
 
 
+def _q03_raw_parquet_form(spark, sf_dir):
+    """q03 reading raw parquet directly — NOT in the registry (the
+    registry form routes facts through the compacted CarbonStore segment
+    scan, fact_store.py). Benched alongside so the store layer's routing
+    premium vs stock Spark-on-Parquet is a tracked number (BASELINE.md's
+    practical baseline)."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.functions import dround
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from carbondata_spark.queries import registry
@@ -112,12 +152,17 @@ def main() -> None:
 
     double_t = _aux_time(_q01_double_form)
     xx_t = _aux_time(_minhash_xxhash64)
+    raw_t = _aux_time(_q03_raw_parquet_form)
     aux = {
         "q01_double_form": round(double_t, 3),
         "q01_exactness_premium": round(timings["q01_pricing_summary"] - double_t, 3),
         "minhash_xxhash64_form": round(xx_t, 3),
         "minhash_md5_portability_premium": round(
             timings["p_dedup_minhash_lsh"] - xx_t, 3
+        ),
+        "q03_raw_parquet_form": round(raw_t, 3),
+        "q03_store_routing_premium": round(
+            timings["q03_shipping_priority"] - raw_t, 3
         ),
     }
 
