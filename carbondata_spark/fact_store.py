@@ -37,14 +37,18 @@ from carbondata_spark.catalog import ensure_session_confs, load_table
 # call around the CURRENT session (the driver owns its SparkSession).
 _BUILT: dict[tuple[str, str], str] = {}
 
-# (sf_dir, app_id, table) -> resolved DataFrame. The bench fact tables
-# are IMMUTABLE once built (load x2 + compact, never touched again), so
-# the manifest -> segment-paths -> parquet-relation resolution can run
-# once per app instead of on every query entry: table() re-reads the
-# manifest JSON under a file lock each call (~25 ms driver time,
-# measured), which is the right behavior for a live store but pure
-# overhead here, where it lands in every headline OLAP measurement.
-_TABLES: dict[tuple[str, str, str], DataFrame] = {}
+# (sf_dir, app_id, table) -> (session, resolved DataFrame). The bench
+# fact tables are IMMUTABLE once built (load x2 + compact, never touched
+# again), so the manifest -> segment-paths -> parquet-relation
+# resolution can run once per app instead of on every query entry:
+# table() re-reads the manifest JSON under a file lock each call (~25 ms
+# driver time, measured), which is the right behavior for a live store
+# but pure overhead here, where it lands in every headline OLAP
+# measurement. The cached DataFrame is bound to the session that built
+# it, so the entry is only reused when the CALLING session is that same
+# object — a driver that swaps sessions within one app (newSession())
+# gets a fresh resolution against its own session, never a stale one.
+_TABLES: dict[tuple[str, str, str], tuple[SparkSession, DataFrame]] = {}
 
 _FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 
@@ -82,6 +86,8 @@ def fact_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in _FACTS:
         return load_table(spark, sf_dir, name)
     key = (sf_dir, spark.sparkContext.applicationId, name)
-    if key not in _TABLES:
-        _TABLES[key] = fact_store(spark, sf_dir).table(name)
-    return _TABLES[key]
+    cached = _TABLES.get(key)
+    if cached is None or cached[0] is not spark:
+        cached = (spark, fact_store(spark, sf_dir).table(name))
+        _TABLES[key] = cached
+    return cached[1]

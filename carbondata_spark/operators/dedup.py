@@ -215,6 +215,8 @@ def _minhash_from_shingles(
       verification (exactness of reported jaccards still holds — the
       verify step is hash-independent).
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}: expected 'md5' or 'xxhash64'")
     if hash_fn == "xxhash64":
         aggs = [
             F.min(F.xxhash64(F.lit(k), F.col("s"))).alias(f"h{k}")

@@ -95,6 +95,13 @@ def stratified_sample(
     strata columns — negligible next to the window sort it guards — and
     fetches at most 5 offending strata to the driver (bounded take, not
     a collect of data rows).
+
+    NOTE the probe is an EAGER job at call time (a warning cannot be
+    emitted from a lazy plan): it executes the input's lineage once
+    before the lazy result is returned. Over a plain table scan that is
+    a pruned strata-columns pass; over an expensive computed input,
+    persist the input first or pass ``warn_stratum_rows=None`` —
+    likewise in plan-only contexts (.explain) where no job is expected.
     """
     if warn_stratum_rows is not None:
         big = (

@@ -96,6 +96,14 @@ def with_zvalue(df: DataFrame, cols: list[str]) -> DataFrame:
     per-batch range is exactly what the write path needs, since each
     load clusters only its own segment.
     """
+    if ZVAL_COL in df.columns:
+        # withColumn would OVERWRITE the data column and cluster_writer's
+        # drop would then remove it from the written segment — silent
+        # data loss; fail loudly instead.
+        raise ValueError(
+            f"input already has a column named {ZVAL_COL!r}; rename it "
+            "before z-order clustering"
+        )
     if not cols:
         return df.withColumn(ZVAL_COL, F.lit(0).cast("long"))
     k = len(cols)

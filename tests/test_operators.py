@@ -85,6 +85,9 @@ def test_minhash_lsh_xxhash64_variant(spark, docs):
     assert recall >= 0.9, f"xxhash64 LSH recall {recall} too low"
     for pair, j in xx.items():
         assert j == exact[pair], "verified jaccard must not depend on the hash family"
+    # a typo'd family must raise, not silently fall back to md5
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_lsh_pairs(docs, hash_fn="xxHash64").collect()
 
 
 def test_simhash_dup_invariance(spark, docs):

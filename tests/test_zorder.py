@@ -76,6 +76,14 @@ def test_zorder_store_round_trip(spark):
         )
 
 
+def test_with_zvalue_rejects_reserved_column_name(spark):
+    from carbondata_spark.zorder import with_zvalue
+
+    df = spark.createDataFrame([(1.0, 2)], "a double, _zval int")
+    with pytest.raises(ValueError, match="_zval"):
+        with_zvalue(df, ["a"])
+
+
 def test_create_table_rejects_unknown_clustering(spark):
     from carbondata_spark.store import CarbonStore
 
