@@ -1,0 +1,119 @@
+"""Scale-safe exact global ranking and ntile bucketing.
+
+A window like ``row_number() OVER (ORDER BY ...)`` or ``ntile(n) OVER
+(ORDER BY ...)`` with no PARTITION BY forces every row through ONE
+sort partition — the canonical scale killer (flagged on the decile
+operator in round 4). The classic distributed remedy computes the same
+exact ranks with one parallel range shuffle:
+
+1. ``repartitionByRange(P, keys)`` — each partition holds a contiguous
+   key range, partition ids ascend with the ranges (RangePartitioner).
+2. ``sortWithinPartitions(keys)`` — P independent parallel sorts.
+3. ``monotonically_increasing_id()`` — evaluated AFTER the sort (Spark
+   never reorders a nondeterministic projection across a sort), its
+   value decomposes arithmetically into (partition id, 0-based offset
+   within the partition): pid = id >> 33, local = id & (2^33 - 1).
+4. Per-partition row counts — a map-combined aggregate over the SAME
+   exchange (ReusedExchange: the range shuffle runs once; the counts
+   branch reads it without re-sorting) — cumulated into offsets on a
+   P-row frame, broadcast-joined back on pid.
+5. global rank = offset + local + 1.
+
+The order key must be a TOTAL order (append a unique id as the last
+key) — with ties the ranks would depend on partition placement.
+
+Reference note: the reference bounds ordered results instead of solving
+distributed ranking (DetailWithOrderByQueryExecutor merges sorted
+blocklet streams under INMEMORY_REOCRD_SIZE,
+core/.../executor/impl/DetailWithOrderByQueryExecutor.java:36) — this
+module is the Spark-native generalization that keeps exact global
+semantics at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+RANK_COL = "global_rank"
+_PID_BITS = 33  # monotonically_increasing_id: pid << 33 | row offset
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    partitions: int | None = None,
+    rank_col: str = RANK_COL,
+) -> DataFrame:
+    """Exact 1-based global rank in ``order_cols`` order without a
+    single-partition sort. ``order_cols`` must be a total order (no
+    ties) — append a unique id column as the final key.
+
+    Besides ``rank_col`` the result carries ``_total`` (the global row
+    count, same value on every row) so rank consumers like ntile can
+    bucket without a second count job; drop it if unused."""
+    if rank_col in df.columns:
+        raise ValueError(f"input already has a column named {rank_col!r}")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(partitions, *order_cols)
+    sorted_part = ranged.sortWithinPartitions(*order_cols).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    pid = F.shiftright(F.col("_mid"), _PID_BITS)
+    local = F.col("_mid").bitwiseAND(F.lit((1 << _PID_BITS) - 1))
+
+    # Counts come from the same range exchange (no sort on this branch);
+    # the cumulative-offset window runs over ONE partition of at most
+    # `partitions` rows — driver-scale state, not data-scale.
+    counts = ranged.groupBy(F.spark_partition_id().alias("_pid")).agg(
+        F.count("*").alias("_cnt")
+    )
+    ow = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = counts.select(
+        "_pid",
+        (F.sum("_cnt").over(ow) - F.col("_cnt")).alias("_off"),
+        F.sum("_cnt").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).alias("_total"),
+    )
+    joined = sorted_part.withColumn("_pid", pid).join(
+        F.broadcast(offsets), "_pid"
+    )
+    return (
+        joined.withColumn(rank_col, F.col("_off") + local + 1)
+        .drop("_mid", "_pid", "_off")
+    )
+
+
+def _ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
+    """ntile(n) bucket of a 1-based rank among ``total`` rows — the SQL
+    standard split: the first (total mod n) buckets hold ceil(total/n)
+    rows, the rest floor(total/n)."""
+    q = F.floor(total / n)
+    rem = total % n
+    thresh = rem * (q + 1)
+    small = F.when(q == 0, rank)  # fewer rows than buckets: one row each
+    return small.otherwise(
+        F.when(rank <= thresh, F.floor((rank - 1) / (q + 1)) + 1).otherwise(
+            rem + F.floor((rank - thresh - 1) / q) + 1
+        )
+    ).cast("int")
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    bucket_col: str = "bucket",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` via the distributed
+    rank — bit-identical to the window form, no global sort."""
+    ranked = with_global_rank(df, order_cols, partitions, rank_col="_grank")
+    out = ranked.withColumn(
+        bucket_col, _ntile_from_rank(F.col("_grank"), F.col("_total"), n)
+    )
+    return out.drop("_grank", "_total")

@@ -347,20 +347,21 @@ def p_pack_sequences(spark, sf_dir):
            CAST(max(n_chars) AS BIGINT) AS max_chars
     FROM scored GROUP BY decile
     """,
-    doc="Quality-decile bucketing via ntile(10) (deterministic total "
-    "order: score then id) — the bucketing step of curriculum/quality "
-    "mixing; completes the window-function surface (rank family + "
-    "running frames + RANGE frames + ntile). Note: a global ntile needs "
-    "a single-partition sort — for 100-TB corpora use the "
-    "percentile-threshold form (p_quality_percentile_cut) instead; this "
-    "operator is for bounded scored samples.",
+    doc="Quality-decile bucketing, exact ntile(10) semantics "
+    "(deterministic total order: score then id) — the bucketing step of "
+    "curriculum/quality mixing. Computed via the DISTRIBUTED rank "
+    "(operators/ranking.py: range shuffle + parallel in-partition "
+    "sorts + tiny offset cumsum), not a global window — the r4 "
+    "scale-killer (single-partition ntile sort) is gone; the oracle "
+    "still pins bit-identical ntile semantics. "
+    "p_quality_percentile_cut remains the cheaper one-threshold form.",
 )
 def p_quality_deciles(spark, sf_dir):
-    from pyspark.sql import Window as W
+    from carbondata_spark.operators.ranking import with_global_ntile
 
     docs = t(spark, sf_dir, "documents")
-    scored = docs.withColumn(
-        "decile", F.ntile(10).over(W.orderBy("n_chars", "doc_id"))
+    scored = with_global_ntile(
+        docs, ["n_chars", "doc_id"], 10, bucket_col="decile"
     )
     return scored.groupBy("decile").agg(
         F.count("*").alias("n_docs"),

@@ -1,0 +1,88 @@
+"""Distributed exact ranking (operators/ranking.py): equivalence with
+the single-partition window forms, the q=0 ntile edge, guards, and the
+plan shape that makes it scale-safe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # skewed, shuffled values with a unique tiebreak id
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 977).alias("v"),  # many ties in v
+    )
+    return df.repartition(16).cache()
+
+
+def test_global_rank_matches_window_row_number(spark, scored):
+    from carbondata_spark.operators.ranking import with_global_rank
+
+    got = {
+        r.k: r.global_rank
+        for r in with_global_rank(scored, ["v", "k"]).collect()
+    }
+    want = {
+        r.k: r.rn
+        for r in scored.withColumn(
+            "rn", F.row_number().over(W.orderBy("v", "k"))
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n", [3, 7, 10])
+def test_global_ntile_matches_window_ntile(spark, scored, n):
+    from carbondata_spark.operators.ranking import with_global_ntile
+
+    got = {
+        r.k: r.bucket
+        for r in with_global_ntile(scored, ["v", "k"], n).collect()
+    }
+    want = {
+        r.k: r.nt
+        for r in scored.withColumn("nt", F.ntile(n).over(W.orderBy("v", "k"))).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_fewer_rows_than_buckets(spark):
+    from carbondata_spark.operators.ranking import with_global_ntile
+
+    df = spark.createDataFrame([(i,) for i in range(4)], "k long")
+    got = sorted(
+        (r.k, r.bucket) for r in with_global_ntile(df, ["k"], 10).collect()
+    )
+    # ntile with N < n: one row per bucket, buckets 1..N
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_global_rank_rejects_existing_rank_column(spark):
+    from carbondata_spark.operators.ranking import with_global_rank
+
+    df = spark.createDataFrame([(1, 2)], "k long, global_rank long")
+    with pytest.raises(ValueError, match="global_rank"):
+        with_global_rank(df, ["k"])
+
+
+def test_deciles_plan_has_no_global_sort(spark, sf_dir):
+    """The r4 scale-killer is structurally gone: the corpus goes through
+    a range shuffle (computed ONCE — ReusedExchange feeds the counts
+    branch) and within-partition sorts only; no Sort node over the order
+    keys is global, and no window orders the full corpus."""
+    from carbondata_spark.queries import registry
+
+    df = registry()["p_quality_deciles"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(n_chars" in plan
+    assert "ReusedExchange" in plan
+    for ln in plan.splitlines():
+        if "Sort [n_chars" in ln:
+            assert ", false," in ln, f"global sort over the corpus: {ln}"
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "n_chars" not in ln, f"corpus-ordered window: {ln}"
