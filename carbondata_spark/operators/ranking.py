@@ -88,6 +88,58 @@ def with_global_rank(
     )
 
 
+def with_stratum_rank(
+    df: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    partitions: int | None = None,
+    rank_col: str = "stratum_rank",
+) -> DataFrame:
+    """Exact 1-based rank WITHIN each stratum, hot-stratum-safe.
+
+    ``row_number() OVER (PARTITION BY strata ORDER BY keys)`` sends each
+    stratum to ONE reducer — a hot stratum (think one dominant language
+    in a 100-TB corpus) serializes there. Here the range partitioner
+    keys on (strata..., order...) so a hot stratum SPANS partitions,
+    local ranks are computed per (partition, stratum) — every group
+    bounded by partition size, never stratum size — and per-stratum
+    offsets cumulate on the tiny (partition, stratum) count frame
+    (~P + #strata rows; join strategy left to AQE, which broadcasts it
+    while it is small and falls back to a co-partitioned shuffle join
+    for millions of strata). (strata + order) must be a total order —
+    append a unique id as the last order key.
+    """
+    if rank_col in df.columns:
+        raise ValueError(f"input already has a column named {rank_col!r}")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    keys = [*strata_cols, *order_cols]
+    ranged = df.repartitionByRange(partitions, *keys)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    lw = W.partitionBy("_pid", *strata_cols).orderBy(*order_cols)
+    local = with_pid.withColumn("_lr", F.row_number().over(lw))
+
+    counts = with_pid.groupBy("_pid", *strata_cols).agg(
+        F.count("*").alias("_cnt")
+    )
+    ow = (
+        W.partitionBy(*strata_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = counts.select(
+        "_pid",
+        *strata_cols,
+        (F.sum("_cnt").over(ow) - F.col("_cnt")).alias("_off"),
+    )
+    joined = local.join(offsets, ["_pid", *strata_cols])
+    return joined.withColumn(rank_col, F.col("_off") + F.col("_lr")).drop(
+        "_pid", "_lr", "_off"
+    )
+
+
 def _ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     """ntile(n) bucket of a 1-based rank among ``total`` rows — the SQL
     standard split: the first (total mod n) buckets hold ceil(total/n)

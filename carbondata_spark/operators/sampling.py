@@ -84,17 +84,20 @@ def stratified_sample(
     deterministic pseudo-random fixed-size sample per group, with the
     selection rank exposed as ``sample_rank``.
 
-    The full per-stratum window sort is this operator's documented
-    perf-weak spot: at 100 TB a hot stratum sorts all its rows to keep
-    ``n_per_stratum``. The scale path is a ``hash_sample`` pre-thin
-    before calling this. When ``warn_stratum_rows`` is set (default
-    10M), a probe warns about strata exceeding it (the fail-loud
-    precedent of near_dup_groups, advisory here because the result is
-    still correct, just expensive); pass ``None`` after pre-thinning to
-    skip the probe. The probe is one map-combined count over only the
-    strata columns — negligible next to the window sort it guards — and
-    fetches at most 5 offending strata to the driver (bounded take, not
-    a collect of data rows).
+    Ranks come from the DISTRIBUTED per-stratum rank
+    (``ranking.with_stratum_rank``), not a per-stratum window: a hot
+    stratum used to serialize through one reducer's sort (the r4
+    documented weak spot); now it spans range partitions and every sort
+    group is bounded by partition size. Results are identical (the
+    md5-then-id order is a total order).
+
+    ``hash_sample`` pre-thin is still the advised scale path: even
+    distributed, ranking every row of a 100M-row stratum to keep
+    ``n_per_stratum`` is wasted work. When ``warn_stratum_rows`` is set
+    (default 10M), a probe warns about strata exceeding it (advisory —
+    the result is correct either way); pass ``None`` after pre-thinning
+    to skip it. The probe is one map-combined count over only the
+    strata columns and fetches at most 5 offending strata to the driver.
 
     NOTE the probe is an EAGER job at call time (a warning cannot be
     emitted from a lazy plan): it executes the input's lineage once
@@ -115,18 +118,21 @@ def stratified_sample(
                 f"{tuple(r[c] for c in strata_cols)}={r['_n']} rows" for r in big
             )
             log.warning(
-                "stratified_sample: %d stratum(s) exceed %d rows (%s); the "
-                "per-stratum window sort will dominate — pre-thin with "
-                "hash_sample, then pass warn_stratum_rows=None",
+                "stratified_sample: %d stratum(s) exceed %d rows (%s); "
+                "ranking a whole stratum to keep %d rows is wasted work — "
+                "pre-thin with hash_sample, then pass warn_stratum_rows=None",
                 len(big),
                 warn_stratum_rows,
                 worst,
+                n_per_stratum,
             )
-    w = W.partitionBy(*strata_cols).orderBy(_key_hash(key_col), F.col(key_col))
-    return (
-        df.withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= n_per_stratum)
+    from carbondata_spark.operators.ranking import with_stratum_rank
+
+    hashed = df.withColumn("_skey", _key_hash(key_col))
+    ranked = with_stratum_rank(
+        hashed, strata_cols, ["_skey", key_col], rank_col="sample_rank"
     )
+    return ranked.filter(F.col("sample_rank") <= n_per_stratum).drop("_skey")
 
 
 def keep_best_dedup(

@@ -61,6 +61,36 @@ def test_global_ntile_fewer_rows_than_buckets(spark):
     assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
 
 
+def test_stratum_rank_matches_window_row_number(spark):
+    """Per-stratum distributed rank == windowed row_number, on skewed
+    strata (one stratum holds ~80% of rows — the case the per-stratum
+    window serializes and this machinery parallelizes)."""
+    from carbondata_spark.operators.ranking import with_stratum_rank
+
+    df = (
+        spark.range(0, 4000)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 5 < 4, "hot").otherwise(
+                F.concat(F.lit("s"), (F.col("id") % 7).cast("string"))
+            ).alias("g"),
+            ((F.col("id") * 1103515245) % 389).alias("v"),
+        )
+        .repartition(16)
+    )
+    got = {
+        (r.g, r.k): r.stratum_rank
+        for r in with_stratum_rank(df, ["g"], ["v", "k"]).collect()
+    }
+    want = {
+        (r.g, r.k): r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy("v", "k"))
+        ).collect()
+    }
+    assert got == want
+
+
 def test_global_rank_rejects_existing_rank_column(spark):
     from carbondata_spark.operators.ranking import with_global_rank
 
