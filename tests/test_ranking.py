@@ -106,6 +106,9 @@ def test_deciles_plan_has_no_global_sort(spark, sf_dir):
     keys is global, and no window orders the full corpus."""
     from carbondata_spark.queries import registry
 
+    # other modules may have cached `documents`; a cache-rooted plan
+    # (InMemoryTableScan) changes the exchange-reuse shape this test pins
+    spark.catalog.clearCache()
     df = registry()["p_quality_deciles"].fn(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
