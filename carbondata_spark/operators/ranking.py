@@ -14,13 +14,18 @@ exact ranks with one parallel range shuffle:
    value decomposes arithmetically into (partition id, 0-based offset
    within the partition): pid = id >> 33, local = id & (2^33 - 1).
 4. Per-partition row counts — a map-combined aggregate over the SAME
-   exchange (ReusedExchange: the range shuffle runs once; the counts
-   branch reads it without re-sorting) — cumulated into offsets on a
-   P-row frame, broadcast-joined back on pid.
+   persisted frame (the range shuffle runs and materializes once; the
+   counts branch reads it without re-sorting) — cumulated into offsets
+   on a P-row frame, broadcast-joined back on pid.
 5. global rank = offset + local + 1.
 
 The order key must be a TOTAL order (append a unique id as the last
 key) — with ties the ranks would depend on partition placement.
+
+The persisted frame is tracked per rank_col (functions.repersist), so
+composing TWO ranking calls with the same rank_col inside ONE
+DataFrame is unsupported (the second call releases the first's
+persist before it materializes); give each call a distinct rank_col.
 
 Reference note: the reference bounds ordered results instead of solving
 distributed ranking (DetailWithOrderByQueryExecutor merges sorted
@@ -35,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+from carbondata_spark.functions import repersist
 
 RANK_COL = "global_rank"
 _PID_BITS = 33  # monotonically_increasing_id: pid << 33 | row offset
@@ -58,7 +65,18 @@ def with_global_rank(
     spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(partitions, *order_cols)
+    # PERSIST the ranged frame: the ranks branch and the counts branch
+    # must see the IDENTICAL partition assignment, and that assignment
+    # is nondeterministic across physical instances (RangePartitioner
+    # samples boundaries with an RDD-id-derived seed, so two planned
+    # copies of this exchange could split boundary keys differently,
+    # silently corrupting offsets). Exchange reuse usually dedups the
+    # copies, but it is an optimizer optimization, not a semantic
+    # guarantee — the persisted frame makes the shared partitioning
+    # structural. MEMORY_AND_DISK: spills, never recomputes divergently.
+    ranged = repersist(
+        f"ranking:{rank_col}", df.repartitionByRange(partitions, *order_cols)
+    )
     sorted_part = ranged.sortWithinPartitions(*order_cols).withColumn(
         "_mid", F.monotonically_increasing_id()
     )
@@ -115,7 +133,11 @@ def with_stratum_rank(
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     keys = [*strata_cols, *order_cols]
-    ranged = df.repartitionByRange(partitions, *keys)
+    # persisted for the same branch-consistency reason as
+    # with_global_rank: both consumers must observe one partitioning
+    ranged = repersist(
+        f"ranking:{rank_col}", df.repartitionByRange(partitions, *keys)
+    )
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
 
     lw = W.partitionBy("_pid", *strata_cols).orderBy(*order_cols)
