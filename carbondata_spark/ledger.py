@@ -47,6 +47,14 @@ from typing import Callable
 PACKAGE = "carbondata_spark"
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER_PATH = os.path.join(REPO_ROOT, "driver_ledger.json")
+# Builder-asserted behavior pins (committed): query names whose RESULT
+# PATH was rewritten even though their own fn body is unchanged (the
+# rewrite lives in an operator module shared by many closures, so
+# fn_digest cannot see it — the r4 starvation class). Pinned names rank
+# like direct body edits in the changed block. update_ledger prunes a
+# pin once the query has been re-verified and its closure digest again
+# matches the worktree.
+PINS_PATH = os.path.join(REPO_ROOT, "driver_pins.json")
 
 # Always part of every closure: targets of the queries.py helper shims
 # (t -> catalog.load_table, r2 -> functions.dround).
@@ -186,11 +194,20 @@ def load_ledger() -> dict[str, dict]:
         return {}
 
 
+def load_pins() -> set[str]:
+    try:
+        with open(PINS_PATH) as f:
+            return set(json.load(f))
+    except (OSError, json.JSONDecodeError):
+        return set()
+
+
 def priority_order(
     query_modules: dict[str, str | tuple[str, str]],
     ledger: dict[str, dict] | None = None,
     read_source: Callable[[str], bytes | None] = read_source_worktree,
     headline: frozenset[str] | set[str] = frozenset(),
+    pins: set[str] | None = None,
 ) -> list[str]:
     """Derive registry iteration order from the ledger.
 
@@ -211,6 +228,8 @@ def priority_order(
     """
     if ledger is None:
         ledger = load_ledger()
+    if pins is None:
+        pins = load_pins()
     digest_cache: dict[str, str] = {}
 
     def digest(mod: str) -> str:
@@ -232,6 +251,10 @@ def priority_order(
             elif fname is not None and entry.get("fn_digest") is not None:
                 cur = fn_digest(mod, fname, read_source)
                 fn_same = 1 if cur == entry["fn_digest"] else 0
+            if name in pins:
+                # builder-asserted behavior rewrite in a shared operator
+                # module — rank like a direct body edit (see PINS_PATH)
+                fn_same = 0
             changed.append((0 if name in headline else 1, fn_same, green, i, name))
         else:
             fresh.append((int(entry.get("last_round", 0)), i, name))

@@ -96,6 +96,42 @@ def test_priority_order_fn_digest_ranks_direct_edits_first():
     assert order == ["q_direct", "q_transitive"]
 
 
+def test_priority_order_pins_rank_like_direct_edits():
+    """A builder pin (driver_pins.json) promotes a query whose fn body is
+    UNCHANGED — the rewrite lives in a shared operator module — into the
+    direct-edit block, ahead of same-green transitively-touched peers
+    (the r5 p_sample_stratified case: rank machinery rewritten in
+    sampling.py, query body identical)."""
+    files = {
+        **FILES,
+        "carbondata_spark.query_defs.mq": (
+            b"def q_pinned(spark, sf):\n    return 1\n\n"
+            b"def q_other(spark, sf):\n    return 2\n"
+        ),
+    }
+    read = _reader(files)
+    fns = {
+        n: L.fn_digest("carbondata_spark.query_defs.mq", n, read)
+        for n in ("q_pinned", "q_other")
+    }
+    ledger = {
+        n: {"last_round": 3, "last_green_round": 3, "digest": "old",
+            "fn_digest": fns[n]}
+        for n in ("q_pinned", "q_other")
+    }
+    qm = {
+        "q_other": ("carbondata_spark.query_defs.mq", "q_other"),
+        "q_pinned": ("carbondata_spark.query_defs.mq", "q_pinned"),
+    }
+    # without the pin, insertion order ties them: q_other first
+    base = L.priority_order(qm, ledger=ledger, read_source=read, pins=set())
+    assert base == ["q_other", "q_pinned"]
+    pinned = L.priority_order(
+        qm, ledger=ledger, read_source=read, pins={"q_pinned"}
+    )
+    assert pinned == ["q_pinned", "q_other"]
+
+
 def test_imports_of_ast_sees_comma_nested_and_submodule_imports():
     """The old line-regex captured only the FIRST module of a
     comma-separated import and nothing inside function bodies; the ast

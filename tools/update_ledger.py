@@ -27,10 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from carbondata_spark.ledger import (  # noqa: E402
     LEDGER_PATH,
+    PINS_PATH,
     REPO_ROOT,
     closure_digest,
     fn_digest,
+    load_pins,
     module_relpath,
+    read_source_worktree,
 )
 
 
@@ -122,6 +125,28 @@ def main() -> None:
         f.write("\n")
     n_changed = len(reg) - len(ledger)
     print(f"ledger: {len(ledger)} entries written, {n_changed} never-verified")
+
+    # Prune behavior pins that have served their purpose: once the
+    # pinned query's closure digest at its latest verified round again
+    # matches the worktree, the rewrite it flagged has been re-verified.
+    pins = load_pins()
+    if pins:
+        keep = set()
+        for name in pins:
+            entry = ledger.get(name)
+            if entry is None:
+                keep.add(name)  # never verified -> pin still pending
+                continue
+            mod = reg[name].fn.__module__ if name in reg else None
+            if mod is None:
+                continue  # query retired -> drop the pin
+            if closure_digest([mod], read_source_worktree) != entry["digest"]:
+                keep.add(name)  # still stale -> keep the pin
+        if keep != pins:
+            with open(PINS_PATH, "w") as f:
+                json.dump(sorted(keep), f, indent=1)
+                f.write("\n")
+        print(f"pins: {len(keep)} active ({len(pins) - len(keep)} pruned)")
 
 
 if __name__ == "__main__":
