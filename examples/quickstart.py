@@ -73,6 +73,30 @@ def main() -> None:
 
     with_quality_score(docs).select("doc_id", "quality_score").show(3)
 
+    # -- z-order clustering: multi-column pruning -------------------------
+    cs.sql(
+        "CREATE CUBE zdemo DIMENSIONS (region string, dev string)"
+        " MEASURES (amount double) OPTIONS('clustering'='zorder')"
+    )
+    grid = spark.range(0, 1000).select(
+        F.concat(F.lit("r"), (F.col("id") % 8).cast("string")).alias("region"),
+        F.concat(F.lit("d"), (F.col("id") % 11).cast("string")).alias("dev"),
+        (F.col("id") * 1.5).alias("amount"),
+    )
+    store.load("zdemo", grid, partitions=4)
+    print("== z-ordered cube, filter on the TRAILING sort column")
+    cs.sql("SELECT dev, round(sum(amount), 1) AS total FROM zdemo"
+           " WHERE dev = 'd3' GROUP BY dev").show()
+
+    # -- distributed exact ranking (no single-partition sort) -------------
+    from carbondata_spark.operators.ranking import with_global_ntile
+
+    print("== corpus quartiles by text length, distributed ntile")
+    with_global_ntile(
+        docs.withColumn("n_chars", F.length("text")),
+        ["n_chars", "doc_id"], 4, bucket_col="quartile",
+    ).groupBy("quartile").count().orderBy("quartile").show()
+
     spark.stop()
 
 
