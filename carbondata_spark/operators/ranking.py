@@ -22,10 +22,21 @@ exact ranks with one parallel range shuffle:
 The order key must be a TOTAL order (append a unique id as the last
 key) — with ties the ranks would depend on partition placement.
 
-The persisted frame is tracked per rank_col (functions.repersist), so
-composing TWO ranking calls with the same rank_col inside ONE
-DataFrame is unsupported (the second call releases the first's
-persist before it materializes); give each call a distinct rank_col.
+Persist lifecycle: the ranks branch and the counts branch must observe
+the IDENTICAL partition assignment, and that assignment is
+nondeterministic across physical plan instances (RangePartitioner
+samples boundaries with an RDD-id-derived seed; optimizer exchange
+reuse usually dedups the copies but is not a semantic guarantee), so
+each call persists its ranged frame (MEMORY_AND_DISK — spills, never
+recomputes divergently). Labels are unique per call and the module
+keeps only the ``_MAX_LIVE`` most recent frames alive, releasing older
+ones — so a long query sweep never pins more than a few corpora, and
+composing several ranking calls in one result is safe as long as no
+more than ``_MAX_LIVE`` of them are still unmaterialized (evicting an
+already-consumed frame is free; raise ``_MAX_LIVE`` for wider fan-in).
+Building the result executes the input lineage once for the boundary
+sample and once for the materialization — persist upstream first if
+the input itself is expensive to recompute.
 
 Reference note: the reference bounds ordered results instead of solving
 distributed ranking (DetailWithOrderByQueryExecutor merges sorted
@@ -37,14 +48,48 @@ semantics at any scale.
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from carbondata_spark.functions import repersist
-
 RANK_COL = "global_rank"
 _PID_BITS = 33  # monotonically_increasing_id: pid << 33 | row offset
+
+# Internal working columns — inputs must not collide with them (a silent
+# withColumn overwrite followed by drop would lose user data; ambiguous
+# duplicates would crash later). _total is special: with_global_rank
+# intentionally RETURNS it (see its docstring).
+_INTERNAL = ("_mid", "_pid", "_lr", "_cnt", "_off", "_total", "_sgrp")
+
+# The _MAX_LIVE most recently persisted ranged frames; older ones are
+# released (see module docstring).
+_LIVE: deque[DataFrame] = deque()
+_MAX_LIVE = 4
+
+
+def _guard_columns(df: DataFrame, rank_col: str) -> None:
+    clash = [c for c in (*_INTERNAL, rank_col) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input columns collide with ranking working columns: {clash}; "
+            "rename or drop them first"
+        )
+
+
+def _persist_ranged(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE.append(out)
+    while len(_LIVE) > _MAX_LIVE:
+        old = _LIVE.popleft()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session gone / already unpersisted
+    return out
 
 
 def with_global_rank(
@@ -60,32 +105,20 @@ def with_global_rank(
     Besides ``rank_col`` the result carries ``_total`` (the global row
     count, same value on every row) so rank consumers like ntile can
     bucket without a second count job; drop it if unused."""
-    if rank_col in df.columns:
-        raise ValueError(f"input already has a column named {rank_col!r}")
+    _guard_columns(df, rank_col)
     spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
-    # PERSIST the ranged frame: the ranks branch and the counts branch
-    # must see the IDENTICAL partition assignment, and that assignment
-    # is nondeterministic across physical instances (RangePartitioner
-    # samples boundaries with an RDD-id-derived seed, so two planned
-    # copies of this exchange could split boundary keys differently,
-    # silently corrupting offsets). Exchange reuse usually dedups the
-    # copies, but it is an optimizer optimization, not a semantic
-    # guarantee — the persisted frame makes the shared partitioning
-    # structural. MEMORY_AND_DISK: spills, never recomputes divergently.
-    ranged = repersist(
-        f"ranking:{rank_col}", df.repartitionByRange(partitions, *order_cols)
-    )
+    ranged = _persist_ranged(df.repartitionByRange(partitions, *order_cols))
     sorted_part = ranged.sortWithinPartitions(*order_cols).withColumn(
         "_mid", F.monotonically_increasing_id()
     )
     pid = F.shiftright(F.col("_mid"), _PID_BITS)
     local = F.col("_mid").bitwiseAND(F.lit((1 << _PID_BITS) - 1))
 
-    # Counts come from the same range exchange (no sort on this branch);
-    # the cumulative-offset window runs over ONE partition of at most
-    # `partitions` rows — driver-scale state, not data-scale.
+    # Counts come from the same persisted frame (no sort on this
+    # branch); the cumulative-offset window runs over ONE partition of
+    # at most `partitions` rows — driver-scale state, not data-scale.
     counts = ranged.groupBy(F.spark_partition_id().alias("_pid")).agg(
         F.count("*").alias("_cnt")
     )
@@ -126,39 +159,40 @@ def with_stratum_rank(
     while it is small and falls back to a co-partitioned shuffle join
     for millions of strata). (strata + order) must be a total order —
     append a unique id as the last order key.
+
+    NULL strata values form a stratum of their own, exactly like the
+    window form: grouping, windows, and the offsets JOIN all key on a
+    struct of the strata columns, and struct equality treats null
+    fields as equal (a bare multi-column join would silently drop
+    null-stratum rows).
     """
-    if rank_col in df.columns:
-        raise ValueError(f"input already has a column named {rank_col!r}")
+    _guard_columns(df, rank_col)
     spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     keys = [*strata_cols, *order_cols]
-    # persisted for the same branch-consistency reason as
-    # with_global_rank: both consumers must observe one partitioning
-    ranged = repersist(
-        f"ranking:{rank_col}", df.repartitionByRange(partitions, *keys)
+    ranged = _persist_ranged(df.repartitionByRange(partitions, *keys))
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_sgrp", F.struct(*strata_cols)
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
 
-    lw = W.partitionBy("_pid", *strata_cols).orderBy(*order_cols)
+    lw = W.partitionBy("_pid", "_sgrp").orderBy(*order_cols)
     local = with_pid.withColumn("_lr", F.row_number().over(lw))
 
-    counts = with_pid.groupBy("_pid", *strata_cols).agg(
-        F.count("*").alias("_cnt")
-    )
+    counts = with_pid.groupBy("_pid", "_sgrp").agg(F.count("*").alias("_cnt"))
     ow = (
-        W.partitionBy(*strata_cols)
+        W.partitionBy("_sgrp")
         .orderBy("_pid")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     offsets = counts.select(
         "_pid",
-        *strata_cols,
+        "_sgrp",
         (F.sum("_cnt").over(ow) - F.col("_cnt")).alias("_off"),
     )
-    joined = local.join(offsets, ["_pid", *strata_cols])
+    joined = local.join(offsets, ["_pid", "_sgrp"])
     return joined.withColumn(rank_col, F.col("_off") + F.col("_lr")).drop(
-        "_pid", "_lr", "_off"
+        "_pid", "_sgrp", "_lr", "_off"
     )
 
 
@@ -186,6 +220,10 @@ def with_global_ntile(
 ) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY order_cols)`` via the distributed
     rank — bit-identical to the window form, no global sort."""
+    if bucket_col in df.columns or "_grank" in df.columns:
+        raise ValueError(
+            f"input columns collide with ntile outputs: {bucket_col!r}/'_grank'"
+        )
     ranked = with_global_rank(df, order_cols, partitions, rank_col="_grank")
     out = ranked.withColumn(
         bucket_col, _ntile_from_rank(F.col("_grank"), F.col("_total"), n)

@@ -11,10 +11,12 @@ Scale notes (100 TB):
 
 - ``hash_sample``      — pure map-side filter, zero shuffle; the filter is
   a codegen'd expression pushed past the scan's column pruning.
-- ``stratified_sample`` — one shuffle keyed on the strata; per-stratum
-  top-N via row_number. For tiny N over giant strata, pre-thin with
-  ``hash_sample`` first (composition is exact because both stages order
-  by the same md5 key).
+- ``stratified_sample`` — per-stratum top-N via the DISTRIBUTED rank
+  (``ranking.with_stratum_rank``): one range shuffle on (strata, md5,
+  id) where a hot stratum spans partitions, never one reducer. For tiny
+  N over giant strata, pre-thin with ``hash_sample`` first — the ranking
+  work saved is proportional to the thinning, and composition is exact
+  because both stages order by the same md5 key.
 - ``keep_best_dedup``  — single hash aggregate with map-side combine
   (max_by), the same shape as exact dedup; no window, no sort.
 - ``token_budget_mix`` — rate-based domain mixing: per-domain token
@@ -84,6 +86,11 @@ def stratified_sample(
     deterministic pseudo-random fixed-size sample per group, with the
     selection rank exposed as ``sample_rank``.
 
+    The input must not already carry ``sample_rank`` (or the ranking
+    working columns — ``with_stratum_rank`` raises listing any clash):
+    when re-sampling a prior sample's output, drop its ``sample_rank``
+    first. NULL strata values form a stratum of their own.
+
     Ranks come from the DISTRIBUTED per-stratum rank
     (``ranking.with_stratum_rank``), not a per-stratum window: a hot
     stratum used to serialize through one reducer's sort (the r4
@@ -128,6 +135,8 @@ def stratified_sample(
             )
     from carbondata_spark.operators.ranking import with_stratum_rank
 
+    if "_skey" in df.columns:
+        raise ValueError("input column '_skey' collides with the sampling key")
     hashed = df.withColumn("_skey", _key_hash(key_col))
     ranked = with_stratum_rank(
         hashed, strata_cols, ["_skey", key_col], rank_col="sample_rank"

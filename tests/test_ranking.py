@@ -91,6 +91,41 @@ def test_stratum_rank_matches_window_row_number(spark):
     assert got == want
 
 
+def test_stratum_rank_keeps_null_strata(spark):
+    """NULL strata are a stratum of their own (window semantics). The
+    offsets join keys on a struct of the strata columns because struct
+    equality treats null fields as equal — a bare multi-column join
+    would silently drop every null-stratum row (caught in review by a
+    runtime repro; this is its regression test)."""
+    from carbondata_spark.operators.ranking import with_stratum_rank
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 5), (3, "a", 1), (4, "a", 2)],
+        "k long, g string, v long",
+    )
+    rows = with_stratum_rank(df, ["g"], ["v", "k"]).collect()
+    assert len(rows) == 4
+    got = {(r.g, r.k): r.stratum_rank for r in rows}
+    assert got == {(None, 2): 1, (None, 1): 2, ("a", 3): 1, ("a", 4): 2}
+
+
+def test_ranking_guards_working_column_collisions(spark):
+    from carbondata_spark.operators.ranking import (
+        with_global_ntile,
+        with_global_rank,
+        with_stratum_rank,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, _pid int")
+    with pytest.raises(ValueError, match="_pid"):
+        with_global_rank(df, ["k"])
+    with pytest.raises(ValueError, match="_pid"):
+        with_stratum_rank(df, ["k"], ["k"])
+    df2 = spark.createDataFrame([(1, 2)], "k long, bucket int")
+    with pytest.raises(ValueError, match="bucket"):
+        with_global_ntile(df2, ["k"], 4)
+
+
 def test_global_rank_rejects_existing_rank_column(spark):
     from carbondata_spark.operators.ranking import with_global_rank
 

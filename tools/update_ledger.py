@@ -133,13 +133,13 @@ def main() -> None:
     if pins:
         keep = set()
         for name in pins:
+            if name not in reg:
+                continue  # query retired -> drop the pin
             entry = ledger.get(name)
             if entry is None:
                 keep.add(name)  # never verified -> pin still pending
                 continue
-            mod = reg[name].fn.__module__ if name in reg else None
-            if mod is None:
-                continue  # query retired -> drop the pin
+            mod = reg[name].fn.__module__
             if closure_digest([mod], read_source_worktree) != entry["digest"]:
                 keep.add(name)  # still stale -> keep the pin
         if keep != pins:
