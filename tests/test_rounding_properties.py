@@ -108,6 +108,43 @@ def test_exact_money_summary_equals_single_phase_decimal(spark, rows):
     assert got == want
 
 
+def test_exact_money_summary_bulk_soak(spark):
+    """Vectorized complement to the hypothesis cases: 100k seeded money
+    values across 200 groups (full ±1e9 domain, all 6-decimal scales,
+    negatives), two-phase vs single-phase decimal, every group
+    bit-identical — one Spark job instead of per-example jobs, so the
+    suite affords vastly more coverage of the flagship money path."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.functions import MONEY_DEC, dround, exact_money_summary
+
+    rng = np.random.default_rng(7)
+    n = 100_000
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 200, n),
+            "v": rng.integers(-(10**15), 10**15, n) / 1e6,
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    two = exact_money_summary(
+        df, ["g"], sums={"s": F.col("v")}, avgs={"a": F.col("v")}, count_alias="c"
+    )
+    one = df.groupBy("g").agg(
+        F.round(F.sum(F.col("v").cast(MONEY_DEC)), 2).cast("double").alias("s"),
+        dround(
+            F.sum(F.col("v").cast(MONEY_DEC)).cast("double") / F.count("v"), 2
+        ).alias("a"),
+        F.count("*").alias("c"),
+    )
+    a = {r.g: (r.s, r.a, r.c) for r in two.collect()}
+    b = {r.g: (r.s, r.a, r.c) for r in one.collect()}
+    assert a == b
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(
