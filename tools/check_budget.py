@@ -1,0 +1,55 @@
+"""CI-style gate: does the current working tree overrun the driver's
+checked-prefix budget?
+
+Run after any commit that touches carbondata_spark/ source (idempotent,
+read-only). Prints the changed-block size vs the 50-row driver budget
+and exits non-zero when the overrun is unacceptable per
+ledger.budget_report: any AGED row displaced from the prefix (its hard
+signal would go >=2 rounds stale — the r4 starvation class), or more
+current-round carried-dirt rows than CARRY_ALLOWANCE (the r5 failure:
+a shared-module edit silently re-dirtied all 50 just-verified rows).
+
+Usage: python tools/check_budget.py   (from anywhere inside the repo)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from carbondata_spark.ledger import budget_report
+    from carbondata_spark.queries import registry
+
+    reg = registry()
+    rep = budget_report(
+        {n: (q.fn.__module__, q.fn.__name__) for n, q in reg.items()},
+        headline={n for n, q in reg.items() if q.headline},
+    )
+    print(
+        f"changed block: {rep['changed']} / budget {rep['budget']} "
+        f"(newest verified round: r{rep['max_round']})"
+    )
+    if rep["displaced"]:
+        print(
+            f"displaced from prefix ({len(rep['displaced'])}, "
+            f"allowance {rep['carry_allowance']}): "
+            + ", ".join(rep["displaced"])
+        )
+    if rep["aged_displaced"]:
+        print(
+            "AGED rows displaced (hard signal would go >=2 rounds stale): "
+            + ", ".join(rep["aged_displaced"])
+        )
+    if not rep["ok"]:
+        print("FAIL: prefix budget overrun — back out or narrow the edit")
+        return 1
+    print("ok")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
