@@ -28,15 +28,17 @@ nondeterministic across physical plan instances (RangePartitioner
 samples boundaries with an RDD-id-derived seed; optimizer exchange
 reuse usually dedups the copies but is not a semantic guarantee), so
 each call persists its ranged frame (MEMORY_AND_DISK — spills, never
-recomputes divergently). Labels are unique per call and the module
-keeps only the ``_MAX_LIVE`` most recent frames alive, releasing older
-ones — so a long query sweep never pins more than a few corpora, and
-composing several ranking calls in one result is safe as long as no
-more than ``_MAX_LIVE`` of them are still unmaterialized (evicting an
-already-consumed frame is free; raise ``_MAX_LIVE`` for wider fan-in).
-Building the result executes the input lineage once for the boundary
-sample and once for the materialization — persist upstream first if
-the input itself is expensive to recompute.
+recomputes divergently). The module keeps the ``_MAX_LIVE`` most
+recent frames alive and releases older ones — but ONLY frames whose
+cached buffers are actually materialized (asked of the JVM cache
+manager): unpersisting a frame that has never run frees nothing and
+severs the two branches' shared partitioning, silently corrupting
+ranks when it finally runs. Provably-lazy frames are therefore
+retained past the cap (a never-run persist holds no executor memory)
+with a loud warning if their number grows pathological. Building the
+result executes the input lineage once for the boundary sample and
+once for the materialization — persist upstream first if the input
+itself is expensive to recompute.
 
 Reference note: the reference bounds ordered results instead of solving
 distributed ranking (DetailWithOrderByQueryExecutor merges sorted
@@ -48,6 +50,7 @@ semantics at any scale.
 
 from __future__ import annotations
 
+import warnings
 from collections import deque
 
 from pyspark.sql import Column, DataFrame
@@ -56,6 +59,10 @@ from pyspark.sql import Window as W
 
 RANK_COL = "global_rank"
 _PID_BITS = 33  # monotonically_increasing_id: pid << 33 | row offset
+# row_number() is IntegerType: a (partition, stratum) group beyond
+# 2^31-1 rows would wrap negative. Partition sizes are far below this
+# by construction; the guard makes the assumption loud, not expensive.
+_ROW_NUMBER_CAP = (1 << 31) - 1
 
 # Internal working columns — inputs must not collide with them (a silent
 # withColumn overwrite followed by drop would lose user data; ambiguous
@@ -63,10 +70,14 @@ _PID_BITS = 33  # monotonically_increasing_id: pid << 33 | row offset
 # intentionally RETURNS it (see its docstring).
 _INTERNAL = ("_mid", "_pid", "_lr", "_cnt", "_off", "_total", "_sgrp")
 
-# The _MAX_LIVE most recently persisted ranged frames; older ones are
-# released (see module docstring).
+# The _MAX_LIVE most recently persisted ranged frames; older
+# MATERIALIZED ones are released (see module docstring).
 _LIVE: deque[DataFrame] = deque()
 _MAX_LIVE = 4
+# A deque full of provably-lazy frames costs no executor memory, but
+# growing far past the cap means a pathological lazy fan-in (dozens of
+# ranking calls composed into one unmaterialized result) — warn loudly.
+_LAZY_ALARM = 16
 
 
 def _guard_columns(df: DataFrame, rank_col: str) -> None:
@@ -78,15 +89,73 @@ def _guard_columns(df: DataFrame, rank_col: str) -> None:
         )
 
 
+def _buffers_loaded(df: DataFrame) -> bool | None:
+    """Has this persisted frame's cached representation actually been
+    materialized? Asked of the JVM cache manager
+    (CacheManager.lookupCachedData -> CachedRDDBuilder.
+    isCachedColumnBuffersLoaded). True also when the frame is no longer
+    in the cache at all (already unpersisted — releasing it is free).
+    None when the reflective path fails (Spark API drift): the eviction
+    policy then behaves like the pre-guard code (evict, with a warning)
+    rather than letting the deque grow on an unanswerable question."""
+    try:
+        jss = df.sparkSession._jsparkSession
+        opt = jss.sharedState().cacheManager().lookupCachedData(df._jdf)
+        if not opt.isDefined():
+            return True
+        return bool(
+            opt.get().cachedRepresentation().cacheBuilder()
+            .isCachedColumnBuffersLoaded()
+        )
+    except Exception:
+        return None
+
+
 def _persist_ranged(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE.append(out)
     while len(_LIVE) > _MAX_LIVE:
-        old = _LIVE.popleft()
+        # Oldest-first scan for an evictable (materialized) frame.
+        # Unpersisting a NEVER-RUN frame frees nothing and severs its
+        # ranks/counts branches' shared partition assignment — the
+        # silent-corruption hazard ADVICE r5 flagged — so provably-lazy
+        # frames are skipped, not evicted.
+        victim_idx = None
+        for i, cand in enumerate(_LIVE):
+            loaded = _buffers_loaded(cand)
+            if loaded is None:
+                warnings.warn(
+                    "ranking: cache-status probe failed (Spark API "
+                    "drift?); evicting oldest ranged frame without "
+                    "knowing it was materialized — if it is still part "
+                    "of an unmaterialized result, its ranks may "
+                    "recompute with divergent partitioning",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            if loaded is not False:
+                victim_idx = i
+                break
+        if victim_idx is None:
+            # Every live frame is provably unmaterialized: keep them
+            # all (zero executor memory) and alarm on pathological
+            # lazy fan-in instead of corrupting one of them.
+            if len(_LIVE) >= _LAZY_ALARM:
+                warnings.warn(
+                    f"ranking: {len(_LIVE)} unmaterialized ranked "
+                    "frames are live; materialize intermediate results "
+                    "(or raise _MAX_LIVE) to let the module release "
+                    "them",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            break
+        victim = _LIVE[victim_idx]
+        del _LIVE[victim_idx]
         try:
-            old.unpersist(blocking=False)
+            victim.unpersist(blocking=False)
         except Exception:
             pass  # session gone / already unpersisted
     return out
@@ -123,9 +192,26 @@ def with_global_rank(
         F.count("*").alias("_cnt")
     )
     ow = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # monotonically_increasing_id keeps the within-partition offset in
+    # the low 33 bits; a range partition beyond 2^33 rows would overflow
+    # into the pid bits and corrupt ranks SILENTLY. The counts frame
+    # already carries per-partition sizes — fold the guard into _off
+    # (a standalone side-effect column would be pruned away by Catalyst)
+    # so an oversized partition fails the job loudly. Evaluated on P
+    # rows: free.
+    id_cap = F.lit(1 << _PID_BITS).cast("long")
+    guarded_off = F.when(
+        F.col("_cnt") > id_cap,
+        F.raise_error(F.concat(
+            F.lit("with_global_rank: a range partition holds "),
+            F.col("_cnt").cast("string"),
+            F.lit(" rows, beyond the 2^33 row-offset capacity of "
+                  "monotonically_increasing_id; raise `partitions`"),
+        )),
+    ).otherwise(F.sum("_cnt").over(ow) - F.col("_cnt"))
     offsets = counts.select(
         "_pid",
-        (F.sum("_cnt").over(ow) - F.col("_cnt")).alias("_off"),
+        guarded_off.alias("_off"),
         F.sum("_cnt").over(W.orderBy(F.lit(1)).rowsBetween(
             W.unboundedPreceding, W.unboundedFollowing
         )).alias("_total"),
@@ -185,10 +271,23 @@ def with_stratum_rank(
         .orderBy("_pid")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # row_number() is IntegerType — a (partition, stratum) group past
+    # 2^31-1 rows would wrap negative. Same fold-into-_off pattern as
+    # with_global_rank's 2^33 guard; evaluated on ~P + #strata rows.
+    guarded_off = F.when(
+        F.col("_cnt") > F.lit(_ROW_NUMBER_CAP).cast("long"),
+        F.raise_error(F.concat(
+            F.lit("with_stratum_rank: a (partition, stratum) group "
+                  "holds "),
+            F.col("_cnt").cast("string"),
+            F.lit(" rows, beyond row_number()'s int range; raise "
+                  "`partitions`"),
+        )),
+    ).otherwise(F.sum("_cnt").over(ow) - F.col("_cnt"))
     offsets = counts.select(
         "_pid",
         "_sgrp",
-        (F.sum("_cnt").over(ow) - F.col("_cnt")).alias("_off"),
+        guarded_off.alias("_off"),
     )
     joined = local.join(offsets, ["_pid", "_sgrp"])
     return joined.withColumn(rank_col, F.col("_off") + F.col("_lr")).drop(

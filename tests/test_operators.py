@@ -457,10 +457,12 @@ def test_funnel_stage_semantics(spark):
 
 
 def test_stratified_sample_warns_on_oversized_stratum(spark, caplog):
-    """The per-stratum window sort is the documented perf-weak spot: a
-    stratum above warn_stratum_rows logs a warning naming the offender
-    (advisory fail-loud, near_dup_groups precedent); pre-thinned callers
-    pass None and get no probe."""
+    """A stratum above warn_stratum_rows logs a warning naming the
+    offender and its TRUE size (advisory fail-loud, near_dup_groups
+    precedent) — observed through the CollectMetrics node, which the
+    rank filter must not push through (else the observed max would be
+    capped at n_per_stratum); pre-thinned callers pass None and get no
+    probe."""
     import logging
 
     from carbondata_spark.operators.sampling import stratified_sample
@@ -474,14 +476,45 @@ def test_stratified_sample_warns_on_oversized_stratum(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="carbondata_spark.operators.sampling"):
         out = stratified_sample(df, ["lang"], 5, key_col="doc_id", warn_stratum_rows=100)
         n = out.count()
+        # warning is emitted by the observation-parked daemon thread
+        out._sampling_warn_thread.join(timeout=60)
+        assert not out._sampling_warn_thread.is_alive()
     assert n == 10
-    assert any(
-        "stratified_sample" in r.message and "'big'" in r.message.replace("(", "")
-        for r in caplog.records
-    ), caplog.records
+    big = [
+        r for r in caplog.records
+        if "stratified_sample" in r.message and "'big'" in r.message
+    ]
+    assert big, caplog.records
+    # the observed size is the pre-filter stratum total, not the capped
+    # post-filter count — pins that the filter did not cross the observe
+    assert "150 rows" in big[0].message
     # result identical with the probe disabled, and no warning emitted
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger="carbondata_spark.operators.sampling"):
         out2 = stratified_sample(df, ["lang"], 5, key_col="doc_id", warn_stratum_rows=None)
         assert out2.count() == 10
     assert not caplog.records
+
+
+def test_stratified_sample_launches_no_job_at_call_time(spark):
+    """r5 verdict #3: constructing the plan must launch ZERO jobs. The
+    input here raises on any task execution (poisoned UDF), so an eager
+    probe would raise inside the call; the lazy observe-based probe
+    returns a plan, and .explain still works job-free."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.operators.sampling import stratified_sample
+
+    @F.udf("string")
+    def boom(x):
+        raise RuntimeError("input lineage executed at plan time")
+
+    doomed = spark.range(10).select(
+        boom(F.col("id")).alias("doc_id"), F.lit("x").alias("lang")
+    )
+    out = stratified_sample(doomed, ["lang"], 5, key_col="doc_id")
+    out.explain()  # plan-only context: must not trigger the lineage
+    # the probe vehicle is real: executing the result DOES detonate
+    with pytest.raises(Exception, match="executed at plan time"):
+        out.count()

@@ -134,6 +134,81 @@ def test_global_rank_rejects_existing_rank_column(spark):
         with_global_rank(df, ["k"])
 
 
+def test_lazy_frames_survive_eviction_and_ranks_stay_correct(spark):
+    """Composing MORE than _MAX_LIVE ranking calls lazily into one
+    result must not silently unpersist a still-needed frame (ADVICE r5 /
+    verdict #6): provably-unmaterialized frames are retained past the
+    cap, every composed rank stays window-correct, and once frames ARE
+    materialized the cap is enforced again."""
+    from carbondata_spark.operators import ranking as R
+
+    R._LIVE.clear()
+    base = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(100)], "k long, v long"
+    )
+    results = [
+        R.with_global_rank(
+            base.withColumn("tag", F.lit(t)), ["v", "k"]
+        ).select("tag", "k", "global_rank")
+        for t in range(5)  # one more than _MAX_LIVE
+    ]
+    # the guard: all 5 ranged frames still live, none evicted-while-lazy
+    assert len(R._LIVE) == 5 > R._MAX_LIVE
+    want = {
+        r.k: r.rn
+        for r in base.withColumn(
+            "rn", F.row_number().over(W.orderBy("v", "k"))
+        ).collect()
+    }
+    union = results[0]
+    for r in results[1:]:
+        union = union.unionByName(r)
+    rows = union.collect()  # materializes all five at once
+    assert len(rows) == 500
+    for row in rows:
+        assert row.global_rank == want[row.k], f"corrupted rank: {row}"
+    # now that the frames are materialized, a sixth call evicts down to
+    # the cap again
+    R.with_global_rank(base, ["v", "k"]).collect()
+    assert len(R._LIVE) == R._MAX_LIVE
+
+
+def test_lazy_fanin_alarm_fires(spark, monkeypatch):
+    from carbondata_spark.operators import ranking as R
+
+    R._LIVE.clear()
+    monkeypatch.setattr(R, "_LAZY_ALARM", 6)
+    base = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    with pytest.warns(RuntimeWarning, match="unmaterialized"):
+        for t in range(7):
+            R.with_global_rank(base.withColumn("t", F.lit(t)), ["k"])
+    R._LIVE.clear()
+
+
+def test_global_rank_partition_overflow_guard(spark, monkeypatch):
+    """ADVICE r5: a range partition beyond 2^33 rows overflows
+    monotonically_increasing_id's offset bits and corrupts ranks
+    silently. The guard (folded into the offsets expression) must fail
+    the job loudly instead — exercised by shrinking the bit budget."""
+    from carbondata_spark.operators import ranking as R
+
+    monkeypatch.setattr(R, "_PID_BITS", 3)  # offset capacity: 8 rows
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    with pytest.raises(Exception, match="row-offset capacity"):
+        R.with_global_rank(df, ["k"], partitions=2).collect()
+
+
+def test_stratum_rank_group_overflow_guard(spark, monkeypatch):
+    from carbondata_spark.operators import ranking as R
+
+    monkeypatch.setattr(R, "_ROW_NUMBER_CAP", 5)
+    df = spark.createDataFrame(
+        [(i, "hot", i * 3 % 7) for i in range(10)], "k long, g string, v long"
+    )
+    with pytest.raises(Exception, match="row_number"):
+        R.with_stratum_rank(df, ["g"], ["v", "k"], partitions=1).collect()
+
+
 def test_deciles_plan_has_no_global_sort(spark, sf_dir):
     """The r4 scale-killer is structurally gone: the corpus goes through
     ONE materialized range shuffle (persisted — both the ranks and the
