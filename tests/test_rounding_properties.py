@@ -167,3 +167,24 @@ def test_dround_matches_duckdb_on_random_doubles(spark, values):
     want = _duck_round(values, 2)
     for i, w in enumerate(want):
         assert got[i] == w, (values[i], got[i], w)
+
+
+def test_q01_single_decimal_bench_form_bit_identical_to_registry(spark, sf_dir):
+    """The bench aux candidate `_q01_single_decimal_form` (one exchange,
+    decimal(20,0) micro-unit accumulators — the scale-SAFE single-agg
+    form; a long-only single aggregate would overflow its final merge at
+    ~4e11 rows/group) must be bit-identical to the registry's two-phase
+    q01 on real data, so the paired bench premium compares equal answers."""
+    import bench
+    from carbondata_spark.queries import registry
+
+    key = ("l_returnflag", "l_linestatus")
+    got = {
+        tuple(r[k] for k in key): r.asDict()
+        for r in bench._q01_single_decimal_form(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r[k] for k in key): r.asDict()
+        for r in registry()["q01_pricing_summary"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -148,6 +148,21 @@ def main() -> None:
                 f.write("\n")
         print(f"pins: {len(keep)} active ({len(pins) - len(keep)} pruned)")
 
+    # Round-start convenience: show where the refreshed ledger leaves the
+    # driver-prefix budget (same report as tools/check_budget.py).
+    from carbondata_spark.ledger import budget_report
+
+    rep = budget_report(
+        {n: (q.fn.__module__, q.fn.__name__) for n, q in reg.items()},
+        headline={n for n, q in reg.items() if q.headline},
+    )
+    status = "ok" if rep["ok"] else "OVERRUN"
+    print(
+        f"budget: changed {rep['changed']} / {rep['budget']} "
+        f"(displaced {len(rep['displaced'])}, aged "
+        f"{len(rep['aged_displaced'])}) -> {status}"
+    )
+
 
 if __name__ == "__main__":
     main()
