@@ -28,7 +28,10 @@ def test_dedup_exact_removes_planted_dups(spark, docs):
     dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
     with_dups = docs.unionByName(dup)
     out = dedup_exact(with_dups)
-    assert out.count() == docs.count()
+    # compare against the deduped BASE corpus, not its raw count: larger
+    # scale factors ship natural exact duplicates (sf0.1 has 8), and the
+    # planted rows must collapse into exactly that set
+    assert out.count() == dedup_exact(docs).count()
     # kept ids are the original (lower) ones
     assert out.filter(F.col("doc_id") >= 100000).count() == 0
 
