@@ -48,7 +48,8 @@ def test_dedup_exact_normalization(spark, docs):
         "n_chars",
     )
     out = dedup_exact(docs.unionByName(variant))
-    assert out.count() == docs.count()
+    # vs the deduped base corpus: larger sf fixtures carry natural dups
+    assert out.count() == dedup_exact(docs).count()
 
 
 def test_minhash_lsh_recall_vs_exact(spark, docs):
@@ -115,11 +116,14 @@ def test_simhash_dup_invariance(spark, docs):
             assert 0 <= r[f"sim{b}"] < 65536
         packed = "".join(f"{r[f'sim{b}']:04x}" for b in range(4))
         assert packed == r["simhash"]
-    # a 500-doc corpus must not collapse into a handful of signatures
-    # (the old 16-bit signature had only 65536 possible values; 64 bits
-    # makes ACCIDENTAL collisions negligible — the corpus's planted
-    # exact/near duplicates legitimately share signatures, hence 0.8)
-    assert len(set(sig.values())) > len(sig) * 0.8
+    # the corpus must not collapse into a handful of signatures (the old
+    # 16-bit signature had only 65536 possible values; 64 bits makes
+    # ACCIDENTAL collisions negligible). Planted exact/NEAR duplicates
+    # legitimately share signatures — that is simhash's purpose — and
+    # their mass grows with scale factor (sf0.01: ~4% of docs, sf0.1:
+    # ~23%), so the bound is a catastrophic-collapse guard, not a
+    # uniqueness claim.
+    assert len(set(sig.values())) > len(sig) * 0.5
 
 
 def test_simhash_pairs_equal_bruteforce(spark, docs):
