@@ -27,6 +27,13 @@ HOSTILE_TZ_QUERIES = [
     "q01_pricing_summary", # timestamp-literal filter + exact money
     "q_sessionize",        # event-time gaps over TIMESTAMP_NTZ parquet
     "q_funnel",            # ordered event steps
+    # date-heavy members of the round-6 driver prefix (the full 50-query
+    # prefix passed a one-shot hostile-session sweep in round 6; these
+    # keep the most TZ-sensitive shapes covered on every suite run)
+    "q04_order_priority",    # date-range filter + exists subquery
+    "q12_shipmode_buckets",  # multi-column date comparisons
+    "q_retention_cohorts",   # event-ts cohort bucketing
+    "q_window_range_frame",  # RANGE frame over an epoch-derived key
 ]
 
 
