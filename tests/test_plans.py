@@ -272,3 +272,46 @@ def test_set_ops_no_cartesian_and_tagged_branches(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Union" in plan
+
+
+# Scale-invariant join-shape pins for the heavy TPC-H block: the join
+# FAMILY (broadcast vs shuffle) is AQE's size-based call and legitimately
+# differs between sf0.01 and sf0.1, but the SHAPE must never degrade —
+# no cartesian product anywhere; BroadcastNestedLoopJoin only as q22's
+# 1-row scalar-threshold join (the broadcast-scalar idiom); exists/in
+# subqueries stay (anti-)semi joins; q21's fact-fact self-join stays an
+# equi-join keyed on l_orderkey.
+HEAVY_TPCH_SHAPES = {
+    "q04_order_priority": {"bnlj": 0, "needs": ["LeftSemi"]},
+    "q11_value_concentration": {"bnlj": 0, "needs": []},
+    "q13_order_distribution": {"bnlj": 0, "needs": ["LeftOuter"]},
+    "q15_top_supplier": {"bnlj": 0, "needs": []},
+    "q17_small_quantity": {"bnlj": 0, "needs": []},
+    "q18_large_orders": {"bnlj": 0, "needs": ["LeftSemi"]},
+    "q20_excess_suppliers": {"bnlj": 0, "needs": ["LeftSemi"]},
+    "q21_late_suppliers": {"bnlj": 0, "needs": []},
+    "q22_acctbal_gap": {"bnlj": 1, "needs": ["LeftAnti"]},
+    "q_correlated_exists": {"bnlj": 0, "needs": ["LeftSemi"]},
+}
+
+
+@pytest.mark.parametrize("name", sorted(HEAVY_TPCH_SHAPES))
+def test_heavy_tpch_join_shapes(spark, sf_dir, name):
+    spec = HEAVY_TPCH_SHAPES[name]
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") == spec["bnlj"], plan
+    for marker in spec["needs"]:
+        assert marker in plan, f"{name}: expected a {marker} join"
+
+
+def test_q21_self_join_is_equi_keyed_on_orderkey(spark, sf_dir):
+    """The lineitem-lineitem self-joins (other-supplier exists / no-other
+    -on-time anti) must be equi-joins on l_orderkey — any join family is
+    fine (AQE picks by size), a theta/nested-loop form is not."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q21_late_suppliers")
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[l_orderkey", plan
+    ), plan
