@@ -308,8 +308,13 @@ def budget_report(
     discovered at verdict time, a round too late. This makes it loud at
     commit time (tools/check_budget.py + test_ledger.py).
 
-    Two-tier verdict, because not all overflow is equal:
+    Three-tier verdict, because not all overflow is equal:
 
+    - ``new_displaced`` (HARD FAIL): a NEVER-VERIFIED query (no driver
+      row in any round — a registry entry added this round) sorts
+      outside the prefix. Adding a query the driver cannot reach means
+      shipping an operator with zero hard signal; the registry grew
+      past what the round's budget can absorb.
     - ``aged_displaced`` (HARD FAIL): a changed query whose last driver
       row predates the newest verified round sorts OUTSIDE the prefix —
       its hard signal would go >=2 rounds stale. This is the r4
@@ -327,16 +332,25 @@ def budget_report(
         (int(e.get("last_round", 0)) for e in ledger.values()), default=0
     )
     displaced = changed[budget:]
+    new_displaced = [
+        n for n in displaced if int(ledger.get(n, {}).get("last_round", 0)) == 0
+    ]
     aged_displaced = [
         n
         for n in displaced
-        if int(ledger.get(n, {}).get("last_round", 0)) < max_round
+        if n not in new_displaced
+        and int(ledger.get(n, {}).get("last_round", 0)) < max_round
     ]
-    ok = not aged_displaced and len(displaced) <= CARRY_ALLOWANCE
+    ok = (
+        not new_displaced
+        and not aged_displaced
+        and len(displaced) <= CARRY_ALLOWANCE
+    )
     return {
         "changed": len(changed),
         "budget": budget,
         "displaced": displaced,
+        "new_displaced": new_displaced,
         "aged_displaced": aged_displaced,
         "carry_allowance": CARRY_ALLOWANCE,
         "max_round": max_round,

@@ -298,6 +298,38 @@ def test_budget_report_two_tier_verdict():
     assert len(rep["displaced"]) == L.CARRY_ALLOWANCE + 1
 
 
+def test_budget_report_new_query_starved_is_its_own_category():
+    """A NEVER-verified query (no ledger entry / last_round 0) displaced
+    from the prefix is 'new query starved', not 'aged signal': both hard
+    fail, but the report distinguishes them so the fix is obvious
+    (shrink the registry addition vs narrow the module edit)."""
+    read = _reader(FILES)
+    db = L.closure_digest(["carbondata_spark.query_defs.mb"], read)
+    qm = {
+        "q_new": "carbondata_spark.query_defs.ma",  # no ledger entry at all
+        "q_stale": "carbondata_spark.query_defs.ma",
+        "q_fresh": "carbondata_spark.query_defs.mb",
+    }
+    ledger = {
+        "q_stale": {"last_round": 1, "last_green_round": 1, "digest": "old"},
+        "q_fresh": {"last_round": 2, "last_green_round": 2, "digest": db},
+    }
+    # budget 1: only one changed row fits; the never-verified q_new sorts
+    # FIRST in the changed block (green 0), so the aged q_stale overflows
+    rep = L.budget_report(qm, ledger=ledger, read_source=read, pins=set(),
+                          budget=1)
+    assert not rep["ok"]
+    assert rep["new_displaced"] == [] and "q_stale" in rep["aged_displaced"]
+    # budget 0: the new query itself overflows -> new_displaced, and it
+    # is NOT double-reported as aged
+    rep = L.budget_report(qm, ledger=ledger, read_source=read, pins=set(),
+                          budget=0)
+    assert not rep["ok"]
+    assert "q_new" in rep["new_displaced"]
+    assert "q_new" not in rep["aged_displaced"]
+    assert "q_stale" in rep["aged_displaced"]
+
+
 def test_live_tree_within_driver_budget():
     """The r5 verdict's budget discipline, enforced in-suite: the current
     working tree must not displace aged hard signal from the driver's

@@ -44,6 +44,11 @@ def main() -> int:
             "AGED rows displaced (hard signal would go >=2 rounds stale): "
             + ", ".join(rep["aged_displaced"])
         )
+    if rep["new_displaced"]:
+        print(
+            "NEW queries starved (never driver-verified, outside the "
+            "prefix): " + ", ".join(rep["new_displaced"])
+        )
     if not rep["ok"]:
         print("FAIL: prefix budget overrun — back out or narrow the edit")
         return 1
