@@ -26,6 +26,7 @@ the store costs no plan quality.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,18 +38,26 @@ from carbondata_spark.catalog import ensure_session_confs, load_table
 # call around the CURRENT session (the driver owns its SparkSession).
 _BUILT: dict[tuple[str, str], str] = {}
 
-# (sf_dir, app_id, table) -> (session, resolved DataFrame). The bench
-# fact tables are IMMUTABLE once built (load x2 + compact, never touched
-# again), so the manifest -> segment-paths -> parquet-relation
-# resolution can run once per app instead of on every query entry:
-# table() re-reads the manifest JSON under a file lock each call (~25 ms
-# driver time, measured), which is the right behavior for a live store
-# but pure overhead here, where it lands in every headline OLAP
-# measurement. The cached DataFrame is bound to the session that built
-# it, so the entry is only reused when the CALLING session is that same
-# object — a driver that swaps sessions within one app (newSession())
-# gets a fresh resolution against its own session, never a stale one.
-_TABLES: dict[tuple[str, str, str], tuple[SparkSession, DataFrame]] = {}
+# (sf_dir, app_id, table) -> (session, manifest stamp, resolved
+# DataFrame). The bench fact tables are expected-immutable once built
+# (load x2 + compact), so the manifest -> segment-paths ->
+# parquet-relation resolution can run once per app instead of on every
+# query entry: table() re-reads the manifest JSON under a file lock each
+# call (~25 ms driver time, measured), pure overhead in every headline
+# OLAP measurement. The entry is only reused when BOTH hold:
+#   * the CALLING session is the same object that built it (a driver
+#     that swaps sessions within one app gets a fresh resolution), and
+#   * the table's tablestatus.json stat stamp is unchanged. Every
+#     manifest commit goes through os.replace of a fresh temp file
+#     (store._atomic_write_json), so any later load/compact/
+#     delete_segments/clean_files on the same store path — from this
+#     process or another — yields a new inode/mtime and the next
+#     fact_table() call re-resolves instead of serving a stale segment
+#     set. One os.stat per query (~microseconds) prices the check.
+_TABLES: dict[
+    tuple[str, str, str],
+    tuple[SparkSession, tuple[int, int, int], DataFrame],
+] = {}
 
 _FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
 
@@ -79,15 +88,28 @@ def fact_store(spark: SparkSession, sf_dir: str):
     return CarbonStore(spark, _BUILT[key])
 
 
+def _manifest_stamp(store_path: str, table: str) -> tuple[int, int, int]:
+    """Identity of the table's current manifest commit.
+
+    tablestatus.json is only ever replaced atomically with a fresh temp
+    file, so (inode, mtime_ns, size) changes on every commit; equality
+    means the cached segment resolution is still the live one.
+    """
+    st = os.stat(os.path.join(store_path, table, "tablestatus.json"))
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+
 def fact_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``name`` through the CarbonStore scan path (facts) or raw parquet
     (everything else)."""
     ensure_session_confs(spark)
     if name not in _FACTS:
         return load_table(spark, sf_dir, name)
+    store = fact_store(spark, sf_dir)
+    stamp = _manifest_stamp(store.store_path, name)
     key = (sf_dir, spark.sparkContext.applicationId, name)
     cached = _TABLES.get(key)
-    if cached is None or cached[0] is not spark:
-        cached = (spark, fact_store(spark, sf_dir).table(name))
+    if cached is None or cached[0] is not spark or cached[1] != stamp:
+        cached = (spark, stamp, store.table(name))
         _TABLES[key] = cached
-    return cached[1]
+    return cached[2]
