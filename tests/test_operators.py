@@ -483,9 +483,8 @@ def test_stratified_sample_warns_on_oversized_stratum(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="carbondata_spark.operators.sampling"):
         out = stratified_sample(df, ["lang"], 5, key_col="doc_id", warn_stratum_rows=100)
         n = out.count()
-        # warning is emitted by the observation-parked daemon thread
-        out._sampling_warn_thread.join(timeout=60)
-        assert not out._sampling_warn_thread.is_alive()
+        # warning is emitted by the shared observation watcher thread
+        assert out._sampling_warn_done.wait(timeout=60)
     assert n == 10
     big = [
         r for r in caplog.records
@@ -525,3 +524,49 @@ def test_stratified_sample_launches_no_job_at_call_time(spark):
     # the probe vehicle is real: executing the result DOES detonate
     with pytest.raises(Exception, match="executed at plan time"):
         out.count()
+
+
+def test_stratified_sample_warn_threads_bounded(spark):
+    """r6 verdict #3: N never-materialized sampled plans must NOT park N
+    daemon threads + py4j connections. The shared watcher keeps at most
+    ONE 'stratified-sample-warn' thread alive regardless of plan count,
+    and abandoned (garbage-collected, never-run) plans drain out of its
+    registry, letting the thread exit."""
+    import gc
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.operators.sampling import _WATCHER, stratified_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+
+    def warn_threads() -> int:
+        return sum(
+            1 for t in threading.enumerate() if t.name == "stratified-sample-warn"
+        )
+
+    plans = [
+        stratified_sample(df, ["lang"], 5, key_col="doc_id", warn_stratum_rows=10)
+        for _ in range(20)
+    ]
+    events = [p._sampling_warn_done for p in plans]
+    assert _WATCHER.pending_count() >= 20
+    assert warn_threads() <= 1  # one shared watcher, not one thread per plan
+    # abandon every plan unmaterialized: the registry must drain and every
+    # probe resolve, instead of parking forever
+    del plans
+    gc.collect()
+    for ev in events:
+        assert ev.wait(timeout=30), "abandoned probe never resolved"
+    deadline = time.monotonic() + 30
+    while warn_threads() > 0 and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert warn_threads() == 0, "watcher thread survived an empty registry"
+    # the watcher restarts for later callers: a materialized plan resolves
+    out = stratified_sample(df, ["lang"], 5, key_col="doc_id", warn_stratum_rows=10)
+    out.count()
+    assert out._sampling_warn_done.wait(timeout=30)
