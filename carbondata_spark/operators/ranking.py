@@ -79,6 +79,10 @@ _MAX_LIVE = 4
 # ranking calls composed into one unmaterialized result) — warn loudly.
 _LAZY_ALARM = 16
 
+# once-per-process latch for the cache-probe drift warning (the probe is
+# retried per frame — drift would otherwise warn on every eviction scan)
+_PROBE_DRIFT_WARNED = False
+
 
 def _guard_columns(df: DataFrame, rank_col: str) -> None:
     clash = [c for c in (*_INTERNAL, rank_col) if c in df.columns]
@@ -96,8 +100,13 @@ def _buffers_loaded(df: DataFrame) -> bool | None:
     isCachedColumnBuffersLoaded). True also when the frame is no longer
     in the cache at all (already unpersisted — releasing it is free).
     None when the reflective path fails (Spark API drift): the eviction
-    policy then behaves like the pre-guard code (evict, with a warning)
-    rather than letting the deque grow on an unanswerable question."""
+    policy then FAILS CLOSED — the frame is retained like a
+    provably-lazy one (bounded by the ``_LAZY_ALARM`` warning), because
+    retention cost is bounded and rank corruption is not. A red-on-drift
+    unit test (tests/test_ranking.py) pins that this probe answers
+    non-None on the session under test, so an upgrade that breaks the
+    reflective path turns the suite red instead of silently degrading
+    the guard."""
     try:
         jss = df.sparkSession._jsparkSession
         opt = jss.sharedState().cacheManager().lookupCachedData(df._jdf)
@@ -126,21 +135,30 @@ def _persist_ranged(df: DataFrame) -> DataFrame:
         for i, cand in enumerate(_LIVE):
             loaded = _buffers_loaded(cand)
             if loaded is None:
-                warnings.warn(
-                    "ranking: cache-status probe failed (Spark API "
-                    "drift?); evicting oldest ranged frame without "
-                    "knowing it was materialized — if it is still part "
-                    "of an unmaterialized result, its ranks may "
-                    "recompute with divergent partitioning",
-                    RuntimeWarning,
-                    stacklevel=3,
-                )
-            if loaded is not False:
+                # Unanswerable probe (Spark API drift): fail CLOSED —
+                # retain the frame exactly like a provably-lazy one
+                # instead of risking the silent-rank-corruption this
+                # guard exists to prevent. Warn once per process; the
+                # drift itself is caught red by tests/test_ranking.py.
+                global _PROBE_DRIFT_WARNED
+                if not _PROBE_DRIFT_WARNED:
+                    _PROBE_DRIFT_WARNED = True
+                    warnings.warn(
+                        "ranking: cache-status probe failed (Spark API "
+                        "drift?); retaining ranged frames instead of "
+                        "evicting — memory growth is bounded by the "
+                        "lazy-frame alarm, rank corruption would not be",
+                        RuntimeWarning,
+                        stacklevel=3,
+                    )
+                continue
+            if loaded:
                 victim_idx = i
                 break
         if victim_idx is None:
-            # Every live frame is provably unmaterialized: keep them
-            # all (zero executor memory) and alarm on pathological
+            # Every live frame is provably unmaterialized (or its
+            # status unanswerable): keep them all (zero executor
+            # memory for lazy frames) and alarm on pathological
             # lazy fan-in instead of corrupting one of them.
             if len(_LIVE) >= _LAZY_ALARM:
                 warnings.warn(

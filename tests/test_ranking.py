@@ -227,3 +227,28 @@ def test_deciles_plan_has_no_global_sort(spark, sf_dir):
             assert ", false," in ln, f"global sort over the corpus: {ln}"
         if "Window" in ln and "windowspecdefinition" in ln:
             assert "n_chars" not in ln, f"corpus-ordered window: {ln}"
+
+
+def test_buffers_loaded_probe_answers_on_live_session(spark):
+    """Red-on-drift pin for the reflective JVM path the eviction guard
+    rides (_jsparkSession.sharedState().cacheManager()...
+    isCachedColumnBuffersLoaded). If a Spark upgrade breaks it, the
+    guard silently degrades to retain-and-warn at runtime — this test
+    makes that drift a suite failure instead. Asserts the full truth
+    table: False for a persisted-never-run frame, True after an action
+    materializes it, True again once unpersisted (released frames are
+    free to evict)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.operators.ranking import _buffers_loaded
+
+    df = spark.range(1000).select((F.col("id") * 2).alias("v"))
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        assert _buffers_loaded(cached) is False  # registered, never run
+        cached.count()
+        assert _buffers_loaded(cached) is True  # materialized
+    finally:
+        cached.unpersist(blocking=True)
+    assert _buffers_loaded(cached) is True  # out of the cache: free
