@@ -45,18 +45,35 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "America/New_York")
         .getOrCreate()
     )
+    # getOrCreate can silently hand back a pre-existing same-process
+    # session whose confs (including the hostile timezone) were set
+    # differently — which would quietly weaken the "fresh hostile
+    # session" guarantee this tool exists to provide. Refuse to sweep on
+    # a session that is not actually hostile.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "America/New_York":
+        print(
+            f"FATAL: session timezone is {tz!r}, not the hostile "
+            "America/New_York — getOrCreate reused an existing session; "
+            "run this tool in its own process"
+        )
+        spark.stop()
+        return 2
     con = duckdb_connection(sf_dir)
     bad: list[str] = []
-    for i, name in enumerate(prefix):
-        try:
-            r = run_query_diff(spark, con, sf_dir, name)
-            status = "ok" if r.ok else f"FAIL {r.detail[:200]}"
-            ok = r.ok
-        except Exception as e:  # noqa: BLE001 — report, keep sweeping
-            status, ok = f"ERROR {type(e).__name__}: {e}", False
-        if not ok:
-            bad.append(name)
-        print(f"[{i + 1:2d}/{len(prefix)}] {name}: {status}", flush=True)
+    try:
+        for i, name in enumerate(prefix):
+            try:
+                r = run_query_diff(spark, con, sf_dir, name)
+                status = "ok" if r.ok else f"FAIL {r.detail[:200]}"
+                ok = r.ok
+            except Exception as e:  # noqa: BLE001 — report, keep sweeping
+                status, ok = f"ERROR {type(e).__name__}: {e}", False
+            if not ok:
+                bad.append(name)
+            print(f"[{i + 1:2d}/{len(prefix)}] {name}: {status}", flush=True)
+    finally:
+        spark.stop()
     print("RESULT:", "ALL GREEN" if not bad else f"RED: {bad}")
     return 1 if bad else 0
 
