@@ -31,14 +31,28 @@ def build_ivf_index(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    loads: int = 1,
 ) -> None:
-    """Materialize centroids + bucketed assignment as store tables."""
+    """Materialize centroids + bucketed assignment as store tables.
+
+    ``loads > 1`` splits the assignment ingest into that many segment
+    loads (disjoint ``vid % loads`` slices) followed by a compaction —
+    the production shape of an incrementally-built index, and the path
+    the driver-facing ``p_sim_ivf_knn`` row keeps honest: a segment
+    union or compaction bug that drops or duplicates one assignment row
+    changes the search result hash.
+    """
     cents = train_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
     cents_t = f"{index_name}_centroids"
     if cents_t in store.tables():
         store.drop_table(cents_t)
     store.create_table(cents_t, cents.schema, sort_columns=[])
     store.load(cents_t, cents)
+    # Assign against the MATERIALIZED centroids (the ones searches will
+    # read), not the lazy k-means lineage: float aggregation order is
+    # not deterministic across recomputations, so re-deriving centroids
+    # per load could bucket the same vector differently between loads.
+    cents = store.table(cents_t)
 
     data = corpus.select(
         F.col(id_col).alias("vid"), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
@@ -51,7 +65,16 @@ def build_ivf_index(
     # repartition by cid so each bucket lands contiguously; with
     # df.write.partitionBy the buckets would be separate directories —
     # here row-group clustering on cid gives the same pruning via stats
-    store.load(assign_t, assigned.repartition("cid"), partitions=None)
+    if loads <= 1:
+        store.load(assign_t, assigned.repartition("cid"), partitions=None)
+    else:
+        for i in range(loads):
+            store.load(
+                assign_t,
+                assigned.filter(F.pmod(F.col("vid"), F.lit(loads)) == i).repartition("cid"),
+                partitions=None,
+            )
+        store.compact(assign_t)
 
 
 def search_ivf_index(
@@ -62,7 +85,17 @@ def search_ivf_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    decimals: int | None = None,
 ) -> DataFrame:
+    """Top-``k`` per query over the ``nprobe`` best centroid buckets.
+
+    ``nprobe >= n_centroids`` probes every bucket, making the search
+    EXACT brute-force kNN routed through the index tables — the
+    driver-row configuration (oracle = a brute-force SQL window).
+    ``decimals`` rounds the cosine (DuckDB-compatible ``dround``) BEFORE
+    ranking so the (cosine desc, neighbor_id asc) order is
+    engine-independent; None keeps full precision for recall work.
+    """
     cents = store.table(f"{index_name}_centroids")
     assigned = store.table(f"{index_name}_assign")
 
@@ -79,13 +112,18 @@ def search_ivf_index(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qvec", "cid")
     )
+    sim = cosine(F.col("qvec"), F.col("v"))
+    if decimals is not None:
+        from carbondata_spark.functions import dround
+
+        sim = dround(sim, decimals)
     scored = (
         assigned.join(probes, "cid")
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            cosine(F.col("qvec"), F.col("v")).alias("cos"),
+            sim.alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
