@@ -315,3 +315,30 @@ def test_q21_self_join_is_equi_keyed_on_orderkey(spark, sf_dir):
     assert re.search(
         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[l_orderkey", plan
     ), plan
+
+
+def test_partition_pruned_query_is_directory_pruned(spark, sf_dir):
+    """q_store_partition_pruned's filter must reach PartitionFilters
+    (directory-level pruning at planning time — Spark lists only the
+    matching hive directories), not DataFilters (row-level, after
+    reading). Composes with the 2-segment union: every per-segment scan
+    carries the partition filter."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_store_partition_pruned")
+    assert re.search(r"PartitionFilters: \[[^\]]*\(o_orderstatus[^\]]*= F\)", plan), plan
+    assert "DataFilters: []" in plan
+
+
+def test_agg_rollup_routing_reads_summary_not_fact(spark, sf_dir):
+    """q_agg_rollup_routing must be served from the materialized rollup's
+    TWO partial summary segments (incremental refresh), never the fact
+    table — equal results would hide a routing regression from the
+    driver's hash, so the serving table is pinned here."""
+    from carbondata_spark.queries import registry
+
+    df = registry()["q_agg_rollup_routing"].fn(spark, sf_dir)
+    files = df.inputFiles()
+    assert files and all("orders_fact_agg_by_prio" in f for f in files), files[:3]
+    segs = {f.split("/Segment_")[1].split("/")[0] for f in files}
+    assert segs == {"0", "1"}, segs
