@@ -34,6 +34,11 @@ HOSTILE_TZ_QUERIES = [
     "q12_shipmode_buckets",  # multi-column date comparisons
     "q_retention_cohorts",   # event-ts cohort bucketing
     "q_window_range_frame",  # RANGE frame over an epoch-derived key
+    # round-7 additions whose store builds WRITE timestamp columns
+    # (o_orderdate transits a partitioned/rollup store roundtrip); a
+    # tz-shifted write would silently survive a clean-session read
+    "q_store_partition_pruned",
+    "q_agg_rollup_routing",
 ]
 
 
