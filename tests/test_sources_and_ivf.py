@@ -73,3 +73,35 @@ def test_ivf_index_persisted_and_pruned(spark, tmp_path, sf_dir):
         e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(a.get(q, set()) & e[q]) / len(e[q]) for q in e]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_ivf_incremental_build_covers_corpus_exactly(spark, tmp_path, sf_dir):
+    """loads=N segment ingests + compaction must leave the assignment
+    table an exact partition of the corpus: every vector in exactly one
+    bucket, none dropped or duplicated — with an ODD corpus size over 3
+    loads so slice boundaries are uneven. Probe-all search through the
+    compacted index must then equal brute force row-for-row (the driver
+    row p_sim_ivf_knn pins the same at loads=2 vs the SQL oracle)."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.operators.ivf_index import build_ivf_index, search_ivf_index
+    from carbondata_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 101)
+    n = emb.count()
+    assert n % 2 == 1  # genuinely odd split
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    build_ivf_index(store, "idx", emb, n_centroids=4, loads=3)
+
+    # 3 loads collapsed to one compacted valid segment
+    valid = store.valid_segments("idx_assign")
+    assert [e.segment_id for e in valid] == [3]
+    assigned = store.table("idx_assign")
+    assert assigned.count() == n  # no drop/dup through the segment lifecycle
+    assert assigned.select("vid").distinct().count() == n
+
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    got = search_ivf_index(store, "idx", queries, k=4, nprobe=4, decimals=6)
+    want = cosine_topk(emb, queries, k=4)
+    gs = sorted(map(tuple, got.collect()))
+    ws = sorted(map(tuple, want.collect()))
+    assert gs == ws
