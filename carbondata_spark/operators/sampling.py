@@ -223,8 +223,12 @@ class _ObservationWatcher:
                 if not jrow.isEmpty():
                     try:
                         self._warn(e)
-                    finally:
-                        resolved.append(e)
+                    except Exception:
+                        # a torn-down session between the probe and the
+                        # metrics fetch must not kill the shared watcher
+                        # and strand every other pending probe
+                        pass
+                    resolved.append(e)
                 elif e["df_ref"]() is None:
                     resolved.append(e)  # abandoned before any action
             if resolved:
