@@ -157,6 +157,27 @@ def drop_aggregate_table(store: CarbonStore, fact: str, name: str) -> None:
         store.drop_table(target)
 
 
+def _coverage_current(store: CarbonStore, fact: str, name: str, live: set[int]) -> bool:
+    """True iff the summary's covered fact-segment set EQUALS the live
+    valid-segment set. Only ``load()`` refreshes rollups, so after
+    ``delete_segments``/``delete_segments_by_date``/``compact`` a summary
+    still carries pre-mutation contributions (delete: silently wrong
+    numbers; compact: coverage tags referencing retired segment ids).
+    Equality — not subset — is the sound check: a superset means deleted
+    rows still counted, a subset means new rows missing. The reference
+    cannot hit this window because it rebuilds agg tables inside every
+    load (CarbonDataLoadRDD.scala:306-345) and never query-routes to
+    them; our routing extension therefore carries its own guard.
+    Cost: O(#summary segments) manifest reads, driver-side, no scan."""
+    target = f"{fact}_agg_{name}"
+    if target not in store.tables():
+        return False
+    covered: set[int] = set()
+    for e in store.valid_segments(target):
+        covered.update(e.origin.get("fact_segments", []))
+    return covered == live
+
+
 def choose_rollup(
     store: CarbonStore,
     fact: str,
@@ -166,7 +187,11 @@ def choose_rollup(
     """The narrowest aggregate table that can answer
     groupBy(group_cols).agg(measures), or None. Shared by
     ``rewrite_aggregate`` and the SQL passthrough router
-    (CarbonSession._try_rollup_route)."""
+    (CarbonSession._try_rollup_route). A candidate whose coverage is
+    stale (fact mutated since its last refresh) is never routed to —
+    the caller falls back to the fact table until
+    ``refresh_aggregate_table`` re-syncs it."""
+    live = {e.segment_id for e in store.valid_segments(fact)}
     chosen = None
     chosen_meta = None
     for name in list_aggregate_tables(store, fact):
@@ -179,6 +204,8 @@ def choose_rollup(
             for fn in fns
         )
         if ok and (chosen is None or len(meta["group_cols"]) < len(chosen_meta["group_cols"])):
+            if not _coverage_current(store, fact, name, live):
+                continue
             chosen, chosen_meta = name, meta
     return chosen
 

@@ -429,17 +429,6 @@ def test_fact_store_cache_invalidates_on_mutation(spark, monkeypatch):
         extra.unpersist()
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN GAP (found round 7, fix staged for round 8): only "
-    "load() refreshes aggregate tables, so after delete_segments/"
-    "delete_segments_by_date/compact a routed rollup read serves the "
-    "PRE-mutation numbers until the next fact load. The staged fix — a "
-    "coverage-equality guard in choose_rollup (see the round-8 memory "
-    "patch) — was backed out of round 7 only because editing "
-    "agg_table.py dirties 15 driver-row closures past the 50-row "
-    "prefix budget; strict xfail forces round 8 to land it.",
-)
 def test_rollup_routing_self_disables_on_stale_coverage(spark, tmp_path):
     """Only load() refreshes aggregate tables; delete_segments and
     compact mutate the fact manifest without touching summaries. A stale
