@@ -5,9 +5,13 @@ and materializes the corpus ASSIGNMENT as a store table partitioned by
 centroid id, sorted within partitions by vector id. Searches then:
 
 1. score the query against the (tiny, broadcast) centroid table,
-2. read ONLY the probed centroid partitions (partition pruning on cid —
-   Spark skips entire directories, the vector-search analogue of the
-   reference's B-tree block pruning),
+2. read ONLY the probed centroid partitions: the assignment table is
+   hive-partitioned on cid, and the broadcast probe join triggers
+   Spark's dynamic partition pruning (``dynamicpruningexpression(cid
+   IN ...)`` in the scan's PartitionFilters — pinned by
+   tests/test_sources_and_ivf.py), so non-probed directories are never
+   listed or read. This is the vector-search analogue of the
+   reference's B-tree block pruning (CarbonInputFormat.java:177-201).
 3. brute-force cosine within the probed buckets, window top-k.
 
 The index is a normal store table: segments, compaction, retention all
@@ -61,10 +65,14 @@ def build_ivf_index(
     assign_t = f"{index_name}_assign"
     if assign_t in store.tables():
         store.drop_table(assign_t)
-    store.create_table(assign_t, assigned.schema, sort_columns=["cid", "vid"])
-    # repartition by cid so each bucket lands contiguously; with
-    # df.write.partitionBy the buckets would be separate directories —
-    # here row-group clustering on cid gives the same pruning via stats
+    # Hive-partition the assignment on cid (one directory per bucket,
+    # store PARTITIONER support) so a search's probe join prunes whole
+    # directories via dynamic partition pruning; vid-sorted within each
+    # bucket for row-group locality. Repartition by cid first so every
+    # bucket directory gets one file per load, not one per input task.
+    store.create_table(
+        assign_t, assigned.schema, sort_columns=["vid"], partition_columns=["cid"]
+    )
     if loads <= 1:
         store.load(assign_t, assigned.repartition("cid"), partitions=None)
     else:
@@ -95,6 +103,14 @@ def search_ivf_index(
     ``decimals`` rounds the cosine (DuckDB-compatible ``dround``) BEFORE
     ranking so the (cosine desc, neighbor_id asc) order is
     engine-independent; None keeps full precision for recall work.
+
+    At ``nprobe < n_centroids`` the probe set is broadcast, and Spark's
+    dynamic partition pruning pushes ``cid IN <probed>`` into the
+    cid-partitioned assignment scan's PartitionFilters — only
+    ~nprobe/n_centroids of the corpus directories are listed and read,
+    which is the entire point of IVF at 100 TB. (DPP requires a single
+    scan per partition layout: ``build_ivf_index`` always leaves the
+    index one compacted segment; keep it compacted after manual loads.)
     """
     cents = store.table(f"{index_name}_centroids")
     assigned = store.table(f"{index_name}_assign")
@@ -117,8 +133,11 @@ def search_ivf_index(
         from carbondata_spark.functions import dround
 
         sim = dround(sim, decimals)
+    # broadcast the (n_queries × nprobe)-row probe set: no shuffle of the
+    # corpus-sized assignment, and DPP's reuseBroadcastOnly condition is
+    # satisfied so the partition-pruning subquery reuses this broadcast
     scored = (
-        assigned.join(probes, "cid")
+        assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
