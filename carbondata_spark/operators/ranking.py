@@ -35,7 +35,12 @@ manager): unpersisting a frame that has never run frees nothing and
 severs the two branches' shared partitioning, silently corrupting
 ranks when it finally runs. Provably-lazy frames are therefore
 retained past the cap (a never-run persist holds no executor memory)
-with a loud warning if their number grows pathological. Building the
+with a loud warning if their number grows pathological. Each entry
+also weakrefs the caller-facing RESULT frame: once that is GC'd the
+entry is abandoned and drains on the next ranking call —
+materialized frames are unpersisted, lazy ones dropped beyond a small
+keep-bound (never uncached: a derived frame may still hit the cached
+plan), so abandoned never-run plans cannot accumulate (r7 verdict #3). Building the
 result executes the input lineage once for the boundary sample and
 once for the materialization — persist upstream first if the input
 itself is expensive to recompute.
@@ -71,12 +76,33 @@ _ROW_NUMBER_CAP = (1 << 31) - 1
 _INTERNAL = ("_mid", "_pid", "_lr", "_cnt", "_off", "_total", "_sgrp")
 
 # The _MAX_LIVE most recently persisted ranged frames; older
-# MATERIALIZED ones are released (see module docstring).
-_LIVE: deque[DataFrame] = deque()
+# MATERIALIZED ones are released (see module docstring). Each entry
+# pairs a STRONG ref to the internal ranged frame (required to
+# unpersist it later) with a WEAKREF to the caller-facing result built
+# from it: once the result is GC'd the entry is abandoned and drains
+# out (r7 verdict #3 — strong-ref-only entries accumulated plan
+# objects forever in a long-lived driver session). Same limitation as
+# the sampling watcher: a caller that derives a new frame from the
+# result and drops the result itself looks abandoned — which is why an
+# abandoned LAZY frame is only dropped from the deque, never
+# uncached (its cached plan may still be hit by that derived frame's
+# first run, and uncaching would sever the two branches' shared
+# partition assignment).
+class _Tracked:
+    __slots__ = ("frame", "result_ref")
+
+    def __init__(self, frame: DataFrame):
+        self.frame = frame
+        self.result_ref = None  # attached once the result frame exists
+
+
+_LIVE: deque[_Tracked] = deque()
 _MAX_LIVE = 4
 # A deque full of provably-lazy frames costs no executor memory, but
 # growing far past the cap means a pathological lazy fan-in (dozens of
-# ranking calls composed into one unmaterialized result) — warn loudly.
+# ranking calls composed into one LIVE unmaterialized result) — warn
+# loudly. Abandoned frames no longer count: they drain on the next
+# ranking call.
 _LAZY_ALARM = 16
 
 # once-per-process latch for the cache-probe drift warning (the probe is
@@ -120,11 +146,80 @@ def _buffers_loaded(df: DataFrame) -> bool | None:
         return None
 
 
+# Abandoned-but-lazy entries retained before the oldest are dropped.
+# Dropping is cheap (a lazy frame holds no executor memory) but loses
+# evictability if a frame DERIVED from the dropped result materializes
+# the cached plan later (e.g. sampling.stratified_sample returns a
+# filter over the ranked frame and drops the intermediate — its entry
+# looks abandoned while the real result is live). The bound keeps such
+# in-flight compositions tracked while bounding the pathological
+# compose-and-abandon case (r7 verdict #3).
+_ABANDONED_KEEP = 8
+
+
+def _drain_abandoned() -> None:
+    """Release entries whose caller-facing result has been GC'd.
+
+    Materialized (or already-uncached) frames are unpersisted — the
+    same risk profile as the over-cap eviction below, just earlier.
+    Lazy or drift-unanswerable frames beyond ``_ABANDONED_KEEP`` are
+    dropped from the deque WITHOUT uncaching: a frame derived from the
+    dropped result may still hit the cached plan on its first run, and
+    uncaching would sever the ranks/counts branches' shared partition
+    assignment (the silent-corruption hazard this module exists to
+    prevent). Dropping releases the Python plan object — the unbounded
+    accumulation r7 verdict #3 flagged; the JVM keeps a metadata-only
+    cache entry for a dropped lazy frame (no executor memory)."""
+    abandoned_lazy = []
+    for entry in list(_LIVE):
+        ref = entry.result_ref
+        if ref is None or ref() is not None:
+            continue  # live, or result not built yet
+        if _buffers_loaded(entry.frame):
+            try:
+                entry.frame.unpersist(blocking=False)
+            except Exception:
+                pass  # session gone / already unpersisted
+            _LIVE.remove(entry)
+        else:
+            abandoned_lazy.append(entry)
+    for entry in abandoned_lazy[: max(0, len(abandoned_lazy) - _ABANDONED_KEEP)]:
+        _LIVE.remove(entry)
+
+
+def _attach_result(frame: DataFrame, result: DataFrame) -> DataFrame:
+    """Register ``result`` as the caller-facing frame whose lifetime
+    decides when ``frame``'s tracking entry is abandoned."""
+    import weakref
+
+    for entry in _LIVE:
+        if entry.frame is frame:
+            entry.result_ref = weakref.ref(result)
+            break
+    return result
+
+
+def _rebind_result(old: DataFrame, new: DataFrame) -> DataFrame:
+    """An in-module composer (e.g. ``with_global_ntile``) derives its
+    public result from a ranking result and drops the intermediate —
+    rebind the tracking weakref to the frame the caller actually
+    holds, so the entry's lifetime follows the real result."""
+    import weakref
+
+    for entry in _LIVE:
+        ref = entry.result_ref
+        if ref is not None and ref() is old:
+            entry.result_ref = weakref.ref(new)
+            break
+    return new
+
+
 def _persist_ranged(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
+    _drain_abandoned()
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE.append(out)
+    _LIVE.append(_Tracked(out))
     while len(_LIVE) > _MAX_LIVE:
         # Oldest-first scan for an evictable (materialized) frame.
         # Unpersisting a NEVER-RUN frame frees nothing and severs its
@@ -133,7 +228,7 @@ def _persist_ranged(df: DataFrame) -> DataFrame:
         # frames are skipped, not evicted.
         victim_idx = None
         for i, cand in enumerate(_LIVE):
-            loaded = _buffers_loaded(cand)
+            loaded = _buffers_loaded(cand.frame)
             if loaded is None:
                 # Unanswerable probe (Spark API drift): fail CLOSED —
                 # retain the frame exactly like a provably-lazy one
@@ -146,8 +241,11 @@ def _persist_ranged(df: DataFrame) -> DataFrame:
                     warnings.warn(
                         "ranking: cache-status probe failed (Spark API "
                         "drift?); retaining ranged frames instead of "
-                        "evicting — memory growth is bounded by the "
-                        "lazy-frame alarm, rank corruption would not be",
+                        "evicting. Under persistent drift, MATERIALIZED "
+                        "frames whose results stay referenced are "
+                        "retained indefinitely — growth is ALARMED (the "
+                        "lazy-frame warning), not bounded; abandoned "
+                        "frames still drain when their result is GC'd",
                         RuntimeWarning,
                         stacklevel=3,
                     )
@@ -173,7 +271,7 @@ def _persist_ranged(df: DataFrame) -> DataFrame:
         victim = _LIVE[victim_idx]
         del _LIVE[victim_idx]
         try:
-            victim.unpersist(blocking=False)
+            victim.frame.unpersist(blocking=False)
         except Exception:
             pass  # session gone / already unpersisted
     return out
@@ -237,9 +335,10 @@ def with_global_rank(
     joined = sorted_part.withColumn("_pid", pid).join(
         F.broadcast(offsets), "_pid"
     )
-    return (
+    return _attach_result(
+        ranged,
         joined.withColumn(rank_col, F.col("_off") + local + 1)
-        .drop("_mid", "_pid", "_off")
+        .drop("_mid", "_pid", "_off"),
     )
 
 
@@ -308,8 +407,11 @@ def with_stratum_rank(
         guarded_off.alias("_off"),
     )
     joined = local.join(offsets, ["_pid", "_sgrp"])
-    return joined.withColumn(rank_col, F.col("_off") + F.col("_lr")).drop(
-        "_pid", "_sgrp", "_lr", "_off"
+    return _attach_result(
+        ranged,
+        joined.withColumn(rank_col, F.col("_off") + F.col("_lr")).drop(
+            "_pid", "_sgrp", "_lr", "_off"
+        ),
     )
 
 
@@ -345,4 +447,4 @@ def with_global_ntile(
     out = ranked.withColumn(
         bucket_col, _ntile_from_rank(F.col("_grank"), F.col("_total"), n)
     )
-    return out.drop("_grank", "_total")
+    return _rebind_result(ranked, out.drop("_grank", "_total"))
