@@ -37,10 +37,14 @@ ranks when it finally runs. Provably-lazy frames are therefore
 retained past the cap (a never-run persist holds no executor memory)
 with a loud warning if their number grows pathological. Each entry
 also weakrefs the caller-facing RESULT frame: once that is GC'd the
-entry is abandoned and drains on the next ranking call —
-materialized frames are unpersisted, lazy ones dropped beyond a small
+entry is abandoned — lazy entries drop from tracking beyond a small
 keep-bound (never uncached: a derived frame may still hit the cached
-plan), so abandoned never-run plans cannot accumulate (r7 verdict #3). Building the
+plan), so abandoned never-run plans cannot accumulate (r7 verdict
+#3); materialized entries stay tracked and age out through the
+``_MAX_LIVE`` cap only, because a dead result weakref does not prove
+the FRAME is unneeded — a live derived frame may still ride it (the
+r8 drain unpersisted these immediately and corrupted exactly that
+case). Building the
 result executes the input lineage once for the boundary sample and
 once for the materialization — persist upstream first if the input
 itself is expensive to recompute.
@@ -158,33 +162,53 @@ _ABANDONED_KEEP = 8
 
 
 def _drain_abandoned() -> None:
-    """Release entries whose caller-facing result has been GC'd.
+    """Drop abandoned LAZY entries beyond ``_ABANDONED_KEEP``.
 
-    Materialized (or already-uncached) frames are unpersisted — the
-    same risk profile as the over-cap eviction below, just earlier.
-    Lazy or drift-unanswerable frames beyond ``_ABANDONED_KEEP`` are
-    dropped from the deque WITHOUT uncaching: a frame derived from the
-    dropped result may still hit the cached plan on its first run, and
-    uncaching would sever the ranks/counts branches' shared partition
-    assignment (the silent-corruption hazard this module exists to
-    prevent). Dropping releases the Python plan object — the unbounded
-    accumulation r7 verdict #3 flagged; the JVM keeps a metadata-only
-    cache entry for a dropped lazy frame (no executor memory)."""
+    An entry is "abandoned" when the caller-facing result it weakrefs
+    has been GC'd — but a dead weakref does NOT mean the frame is
+    unneeded: a caller that kept only a DERIVED frame (``result.
+    filter(...)``; the suite's own union-of-five composition) looks
+    abandoned while its derived plan still rides the cached ranged
+    frame. The r8 regression unpersisted MATERIALIZED frames here the
+    moment the weakref died, uncaching frames under live derived
+    results — when such a plan re-executed, the ranks and counts
+    branches re-derived the range-partition assignment independently:
+    the silent-rank-corruption hazard this module exists to prevent
+    (and it broke the pinned ``_MAX_LIVE`` cap recency). So
+    materialized abandoned entries are left TRACKED and age out only
+    through the over-cap eviction in ``_persist_ranged``, oldest-first
+    with the cap's recency protection — executor memory stays bounded
+    by ``_MAX_LIVE`` either way. Only lazy (or drift-unanswerable)
+    abandoned entries beyond the keep-bound are dropped from the
+    deque, WITHOUT uncaching (a never-run cached plan holds no
+    executor memory; uncaching it could still sever a derived frame's
+    first run). Dropping releases the Python plan object — the
+    unbounded accumulation r7 verdict #3 flagged."""
     abandoned_lazy = []
     for entry in list(_LIVE):
         ref = entry.result_ref
         if ref is None or ref() is not None:
             continue  # live, or result not built yet
-        if _buffers_loaded(entry.frame):
-            try:
-                entry.frame.unpersist(blocking=False)
-            except Exception:
-                pass  # session gone / already unpersisted
-            _LIVE.remove(entry)
-        else:
+        if not _buffers_loaded(entry.frame):
             abandoned_lazy.append(entry)
     for entry in abandoned_lazy[: max(0, len(abandoned_lazy) - _ABANDONED_KEEP)]:
         _LIVE.remove(entry)
+
+
+def _discard(frame: DataFrame) -> None:
+    """Building a result over a freshly persisted ranged frame raised:
+    no caller-facing result exists, so the entry would keep
+    ``result_ref=None`` forever and never drain (ADVICE r8). Remove it
+    and unpersist — safe here precisely because no result was returned
+    (nothing can re-execute against a diverged partition assignment)."""
+    for entry in list(_LIVE):
+        if entry.frame is frame:
+            _LIVE.remove(entry)
+            break
+    try:
+        frame.unpersist(blocking=False)
+    except Exception:
+        pass  # session gone
 
 
 def _attach_result(frame: DataFrame, result: DataFrame) -> DataFrame:
@@ -295,6 +319,16 @@ def with_global_rank(
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     ranged = _persist_ranged(df.repartitionByRange(partitions, *order_cols))
+    try:
+        return _global_rank_over(ranged, order_cols, partitions, rank_col)
+    except BaseException:
+        _discard(ranged)
+        raise
+
+
+def _global_rank_over(
+    ranged: DataFrame, order_cols: list[str], partitions: int, rank_col: str
+) -> DataFrame:
     sorted_part = ranged.sortWithinPartitions(*order_cols).withColumn(
         "_mid", F.monotonically_increasing_id()
     )
@@ -375,6 +409,19 @@ def with_stratum_rank(
         partitions = spark.sparkContext.defaultParallelism
     keys = [*strata_cols, *order_cols]
     ranged = _persist_ranged(df.repartitionByRange(partitions, *keys))
+    try:
+        return _stratum_rank_over(ranged, strata_cols, order_cols, rank_col)
+    except BaseException:
+        _discard(ranged)
+        raise
+
+
+def _stratum_rank_over(
+    ranged: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    rank_col: str,
+) -> DataFrame:
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
         "_sgrp", F.struct(*strata_cols)
     )

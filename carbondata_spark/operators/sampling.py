@@ -120,12 +120,15 @@ def stratified_sample(
     when the probe resolves (warned, clean, or abandoned) is exposed on
     the returned DataFrame as ``_sampling_warn_done`` for tests.
     """
-    from carbondata_spark.operators.ranking import with_stratum_rank
+    from carbondata_spark.operators.ranking import (
+        _rebind_result,
+        with_stratum_rank,
+    )
 
     if "_skey" in df.columns:
         raise ValueError("input column '_skey' collides with the sampling key")
     hashed = df.withColumn("_skey", _key_hash(key_col))
-    ranked = with_stratum_rank(
+    ranked = rank_result = with_stratum_rank(
         hashed, strata_cols, ["_skey", key_col], rank_col="sample_rank"
     )
     obs = None
@@ -141,6 +144,11 @@ def stratified_sample(
             ),
         )
     out = ranked.filter(F.col("sample_rank") <= n_per_stratum).drop("_skey")
+    # The caller holds OUT, not the ranking result this derives from —
+    # rebind the ranking module's tracking weakref so the ranged frame's
+    # lifetime follows the frame actually kept (without this, the entry
+    # looks abandoned the moment rank_result goes out of scope here).
+    _rebind_result(rank_result, out)
     if obs is not None:
         out._sampling_warn_done = _WATCHER.register(
             obs, out, warn_stratum_rows, n_per_stratum
