@@ -30,30 +30,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from carbondata_spark.functions import dround
 
-def winnow_fingerprints(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    window: int = 4,
+
+def _fingerprint_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
 ) -> DataFrame:
-    """Per-document winnowing fingerprint summary:
-    (doc_id, n_fingerprints, fp_min, fp_sum).
-
-    ``k``-word grams are hashed to 32-bit ints (first 8 md5 hex chars);
-    each window of ``window`` consecutive gram hashes contributes its
-    minimum; the distinct minima are the fingerprints. Documents with
-    fewer than ``k`` words have no k-gram and report 0 fingerprints
-    (NULL min). fp_sum is the fingerprint-set sum — with fp_min and the
-    count it pins the selected set across engines without emitting an
-    array column (three scalars hash-compare cleanly driver-side).
-
-    Windows shorter than ``window`` at the tail are NOT emitted (the
-    standard guarantee needs full windows only; a document with
-    1 <= #grams < window emits the single all-grams window so short
-    docs keep a fingerprint).
-    """
+    """(doc_id, _f) — the distinct winnowing fingerprint set per doc,
+    [] for documents with fewer than ``k`` words. Shared plan prefix of
+    the summary and exploded forms."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     d = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
     m = F.size("_w") - F.lit(k - 1)  # number of k-grams
@@ -82,9 +67,99 @@ def winnow_fingerprints(
     return hashed.select(
         "doc_id",
         F.when(F.size("_h") > 0, fps).otherwise(F.array().cast("array<long>")).alias("_f"),
-    ).select(
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint summary:
+    (doc_id, n_fingerprints, fp_min, fp_sum).
+
+    ``k``-word grams are hashed to 32-bit ints (first 8 md5 hex chars);
+    each window of ``window`` consecutive gram hashes contributes its
+    minimum; the distinct minima are the fingerprints. Documents with
+    fewer than ``k`` words have no k-gram and report 0 fingerprints
+    (NULL min). fp_sum is the fingerprint-set sum — with fp_min and the
+    count it pins the selected set across engines without emitting an
+    array column (three scalars hash-compare cleanly driver-side).
+
+    Windows shorter than ``window`` at the tail are NOT emitted (the
+    standard guarantee needs full windows only; a document with
+    1 <= #grams < window emits the single all-grams window so short
+    docs keep a fingerprint).
+    """
+    return _fingerprint_sets(df, id_col, text_col, k, window).select(
         "doc_id",
         F.size("_f").alias("n_fingerprints"),
         F.array_min("_f").alias("fp_min"),
         F.aggregate("_f", F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+    )
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(doc_id, fp) — one row per distinct winnowing fingerprint per
+    document; the exploded index ``containment_pairs`` joins on."""
+    return _fingerprint_sets(df, id_col, text_col, k, window).select(
+        "doc_id", F.explode("_f").alias("fp")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Pairs (id_a < id_b) sharing >= ``min_shared`` winnowing
+    fingerprints, with the containment score
+    shared / min(|fps_a|, |fps_b|) — the detection join the fingerprints
+    exist for. Unlike Jaccard this catches a small document EMBEDDED in
+    a large one (copied paragraph, boilerplate license block).
+
+    Same scale shape as the shingle join (dedup.ngram_jaccard_pairs):
+    explode -> frequency-cap stop-fingerprints (a fingerprint in f docs
+    yields f^2 candidates; boilerplate shared corpus-wide would dominate
+    the join) -> self-equi-join on the 32-bit fp key (uniform,
+    high-cardinality shuffle) -> per-pair count -> join per-doc
+    fingerprint counts. The cap changes results, so the oracle applies
+    the identical HAVING filter; ``None`` disables it for oracle-exact
+    small-corpus runs.
+    """
+    rows = winnow_fingerprint_rows(df, id_col, text_col, k, window)
+    if max_fp_freq is not None:
+        ok = rows.groupBy("fp").count().filter(F.col("count") <= max_fp_freq).select("fp")
+        rows = rows.join(ok, "fp")
+    counts = rows.groupBy("doc_id").agg(F.count("*").alias("c"))
+    a, b = rows.alias("a"), rows.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            dround(F.col("n_shared") / F.least("ca", "cb"), 4).alias("containment"),
+        )
     )

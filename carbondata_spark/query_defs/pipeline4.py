@@ -91,10 +91,8 @@ def p_embed_hygiene(spark, sf_dir):
     return embedding_hygiene(t(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "p_text_winnow",
-    oracle=f"""
-    WITH words AS (SELECT doc_id,
+# shared winnowing oracle CTEs: per-doc fingerprint SETS (k=3, window=4)
+_WINNOW_FPS_CTES = f"""words AS (SELECT doc_id,
                           string_split_regex(trim(lower(text)), '\\s+') AS w
                    FROM documents),
     hs AS (SELECT doc_id,
@@ -109,7 +107,13 @@ def p_embed_hygiene(spark, sf_dir):
                                range(1, greatest(len(h) - 3, 1) + 1),
                                j -> list_min(h[j:j+3])))
                    END AS f
-            FROM hs)
+            FROM hs)"""
+
+
+@register(
+    "p_text_winnow",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES}
     SELECT doc_id,
            CAST(len(f) AS INT)                            AS n_fingerprints,
            CAST(list_min(f) AS BIGINT)                    AS fp_min,
@@ -125,6 +129,37 @@ def p_text_winnow(spark, sf_dir):
     from carbondata_spark.operators.winnow import winnow_fingerprints
 
     return winnow_fingerprints(t(spark, sf_dir, "documents"), k=3, window=4)
+
+
+@register(
+    "p_winnow_containment",
+    oracle=f"""
+    WITH {_WINNOW_FPS_CTES},
+    r AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+    ok AS (SELECT fp FROM r GROUP BY fp HAVING count(*) <= 1000),
+    rc AS (SELECT r.doc_id, r.fp FROM r JOIN ok USING (fp)),
+    counts AS (SELECT doc_id, count(*) AS c FROM rc GROUP BY 1),
+    shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+               FROM rc a JOIN rc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared::DOUBLE / least(ca.c, cb.c), 4) AS containment
+    FROM shared
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    """,
+    doc="Winnowing containment detection: pairs sharing >=2 fingerprints "
+    "scored by shared / min(|fps|) — catches a small document EMBEDDED "
+    "in a large one, which Jaccard dedup misses. Frequency-capped "
+    "fingerprint equi-join, same scale shape as the shingle join "
+    "(operators/winnow.py:containment_pairs).",
+)
+def p_winnow_containment(spark, sf_dir):
+    from carbondata_spark.operators.winnow import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"), k=3, window=4, min_shared=2, max_fp_freq=1000
+    )
 
 
 @register(

@@ -179,3 +179,47 @@ def test_cross_corpus_tie_breaks_to_smallest_ref(spark):
     r = out.collect()
     assert len(r) == 1 and r[0].doc_id == 20
     assert r[0].ref_id == 5 and r[0].jaccard == 1.0  # tie 5 vs 7 -> smallest
+
+
+def test_containment_catches_embedded_paragraph(spark):
+    """A small document copied INSIDE a much larger one: Jaccard is low
+    (the big doc's shingle set dwarfs the small one's) but containment
+    is ~1.0 — the case winnowing exists for."""
+    from carbondata_spark.operators.dedup import ngram_jaccard_pairs
+    from carbondata_spark.operators.winnow import containment_pairs
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"filler{i} word{i} token{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, para), (2, f"{filler} {para} {filler}")],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(df, min_shared=2, max_fp_freq=None).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment >= 0.99  # every small-doc fingerprint recurs
+    # while set-similarity dedup does NOT pair them at its threshold
+    assert ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=None).count() == 0
+
+
+def test_containment_frequency_cap_binds(spark):
+    """The stop-fingerprint cap excludes corpus-wide boilerplate from
+    candidate generation (and from the counts), exactly like the
+    shingle cap — pinned so the oracle's HAVING clause and the operator
+    can never drift apart silently."""
+    from carbondata_spark.operators.winnow import containment_pairs
+
+    boiler = "common license header shared by every single document here"
+    df = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i} words{i} extra{i} more{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # uncapped: the boilerplate fingerprints pair everything
+    assert containment_pairs(df, min_shared=1, max_fp_freq=None).count() == 15
+    # cap below the corpus size: the corpus-wide boilerplate fingerprint
+    # is excluded, so the all-pairs blowup collapses (only boundary-
+    # window fingerprints shared by few docs may remain)
+    assert containment_pairs(df, min_shared=1, max_fp_freq=5).count() < 15
+    # cap=1 keeps only single-doc fingerprints: pairs are impossible
+    assert containment_pairs(df, min_shared=1, max_fp_freq=1).count() == 0
