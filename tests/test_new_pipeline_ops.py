@@ -223,3 +223,35 @@ def test_containment_frequency_cap_binds(spark):
     assert containment_pairs(df, min_shared=1, max_fp_freq=5).count() < 15
     # cap=1 keeps only single-doc fingerprints: pairs are impossible
     assert containment_pairs(df, min_shared=1, max_fp_freq=1).count() == 0
+
+
+def test_new_ops_prune_scan_columns(spark, sf_dir):
+    """The registry forms of the round-9 operators must push column
+    pruning into the parquet scan: winnow/quantize read exactly the
+    columns they consume (a scan hauling the full documents row for a
+    2-column operator is wrong at any scale)."""
+    from carbondata_spark.queries import registry
+
+    reg = registry()
+    cases = {
+        "p_text_winnow": ("documents", {"doc_id", "text"}),
+        "p_embed_quantize": ("embeddings", {"vec_id", "embedding"}),
+        "p_embed_hygiene": ("embeddings", {"vec_id", "embedding"}),
+        "p_tokens_histogram": ("documents", {"text"}),
+    }
+    for name, (table, want_cols) in cases.items():
+        df = reg[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [
+            ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and table in ln
+        ]
+        assert scans, f"{name}: no parquet scan of {table} in plan"
+        for ln in scans:
+            schema = ln.split("ReadSchema: ")[-1]
+            read = {
+                c.split(":")[0]
+                for c in schema.split("struct<", 1)[-1].rstrip(">... ").split(",")
+                if ":" in c
+            }
+            assert read <= want_cols, f"{name} reads {read}, wants <= {want_cols}"
