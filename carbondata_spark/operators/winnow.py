@@ -33,41 +33,71 @@ from pyspark.sql import functions as F
 from carbondata_spark.functions import dround
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once per row, evaluate ``body(var)`` over it — a
+    let-binding encoded as a single-element ``transform``.
+
+    The r9 perf trap this exists for: Catalyst's CollapseProject
+    inlines a select alias into EVERY reference, and ProjectExec's
+    subexpression elimination is what dedups the copies — GenerateExec
+    (explode) has no CSE, so an exploded expression that read the
+    gram-hash array alias ~8x re-hashed the whole document ~8x per row
+    (and a reference from inside a lambda body re-evaluates per
+    ELEMENT: the original array_min(slice(_h, j, w)) window form was
+    O(m^2) md5 per document, ~190 s at sf0.1). A lambda VARIABLE, by
+    contrast, is bound exactly once per enclosing evaluation — so this
+    wrapper makes evaluate-once a structural property instead of an
+    executor-dependent optimization."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _fingerprint_sets(
     df: DataFrame, id_col: str, text_col: str, k: int, window: int
 ) -> DataFrame:
     """(doc_id, _f) — the distinct winnowing fingerprint set per doc,
     [] for documents with fewer than ``k`` words. Shared plan prefix of
-    the summary and exploded forms."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    d = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
-    m = F.size("_w") - F.lit(k - 1)  # number of k-grams
-    gram_hash = (
-        # j -> 32-bit hash of the j-th k-gram (1-based slice)
-        lambda j: F.conv(
-            F.substring(F.md5(F.array_join(F.slice("_w", j, k), " ")), 1, 8), 16, 10
-        ).cast("long")
-    )
-    hashed = d.select(
-        "doc_id",
-        F.when(
-            m >= 1, F.transform(F.sequence(F.lit(1), m), gram_hash)
-        ).otherwise(F.array().cast("array<long>")).alias("_h"),
-    )
-    # at least one window (short docs emit the all-grams window); the
-    # floor of 1 also keeps sequence() ascending on empty-gram docs,
-    # whose fps the guard below discards anyway
-    n_wins = F.greatest(F.size("_h") - F.lit(window - 1), F.lit(1))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_wins),
-            lambda j: F.array_min(F.slice("_h", j, window)),
+    the summary and exploded forms.
+
+    Cost per document is O(m·k) hashing + O(m·window) min-folding, m =
+    #k-grams: the words array and the gram-hash array each bind ONCE
+    per row (``_let``), and the sliding-window minimum is ``window - 1``
+    pairwise zip_with(least) folds over shifted slices — zip_with
+    evaluates its array arguments once per row, never per element."""
+
+    def fps_of(h: Column) -> Column:
+        n_wins = F.size(h) - F.lit(window - 1)
+        wins = F.slice(h, 1, F.greatest(n_wins, F.lit(1)))
+        for i in range(1, window):
+            wins = F.zip_with(
+                wins,
+                F.slice(h, 1 + i, F.greatest(n_wins, F.lit(1))),
+                lambda x, y: F.least(x, y),
+            )
+        return F.array_distinct(
+            F.when(n_wins >= 1, wins).otherwise(
+                # 1 <= #grams < window: the single all-grams window, so
+                # short docs keep a fingerprint
+                F.when(F.size(h) > 0, F.array(F.array_min(h))).otherwise(
+                    F.array().cast("array<long>")
+                )
+            )
         )
-    )
-    return hashed.select(
-        "doc_id",
-        F.when(F.size("_h") > 0, fps).otherwise(F.array().cast("array<long>")).alias("_f"),
-    )
+
+    def hashes_of(w: Column) -> Column:
+        m = F.size(w) - F.lit(k - 1)  # number of k-grams
+        gram_hash = (
+            # j -> 32-bit hash of the j-th k-gram (1-based slice)
+            lambda j: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(w, j, k), " ")), 1, 8), 16, 10
+            ).cast("long")
+        )
+        return F.when(
+            m >= 1, F.transform(F.sequence(F.lit(1), m), gram_hash)
+        ).otherwise(F.array().cast("array<long>"))
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    fps = _let(words, lambda w: _let(hashes_of(w), fps_of))
+    return df.select(F.col(id_col).alias("doc_id"), fps.alias("_f"))
 
 
 def winnow_fingerprints(
@@ -139,10 +169,17 @@ def containment_pairs(
     the identical HAVING filter; ``None`` disables it for oracle-exact
     small-corpus runs.
     """
+    from carbondata_spark.functions import repersist
+
     rows = winnow_fingerprint_rows(df, id_col, text_col, k, window)
     if max_fp_freq is not None:
         ok = rows.groupBy("fp").count().filter(F.col("count") <= max_fp_freq).select("fp")
         rows = rows.join(ok, "fp")
+    # rows feeds the per-doc counts AND both sides of the candidate
+    # self-join — persist so the fingerprint extraction over the corpus
+    # runs exactly once (same lifecycle as the tfidf tf frame; one
+    # compact (doc, fp) row per fingerprint, far smaller than the text)
+    rows = repersist("winnow_rows", rows)
     counts = rows.groupBy("doc_id").agg(F.count("*").alias("c"))
     a, b = rows.alias("a"), rows.alias("b")
     shared = (
