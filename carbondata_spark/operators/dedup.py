@@ -58,14 +58,24 @@ def shingles_df(
     from carbondata_spark.functions import ensure_parallelism
 
     df = ensure_parallelism(df)
-    w = words_col(text_col)
+    from carbondata_spark.operators.hof import let_once
+
+    # The words array BINDS once per row (let_once): referenced bare, the
+    # split alias would inline into the per-gram lambda below and re-split
+    # the whole document text once per shingle — measured 6x the explode
+    # cost at sf0.1 (operators/hof.py).
     # Spark's sequence(1, stop) DESCENDS into [1, 0] when stop < 1 (and
     # slice(start=0) then throws), so documents shorter than n words must
     # short-circuit to an empty shingle set BEFORE the sequence is built —
     # matching the oracle's empty range(1, len-n+1).
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
-    grams = F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    grams = let_once(
+        words_col(text_col),
+        lambda w: F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(w, i, n), " "),
+            )
+        ),
     )
     # dedup at DataFrame level (hash aggregate, codegen) — array_distinct
     # inside the row is O(len²) interpreted string comparisons

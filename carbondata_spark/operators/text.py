@@ -229,13 +229,27 @@ def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     count distincts with array_distinct): zero shuffle, scales linearly.
     Documents with fewer than ``n`` words score 0.0.
     """
+    from carbondata_spark.operators.hof import let_once
+
     w = _words(F.col(text_col))
+    # words and grams each BIND once per row (let_once): the bare split
+    # alias would inline into the per-gram lambda (re-splitting the text
+    # per n-gram), and the gram array is read three times below
+    # (operators/hof.py)
     # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so short
     # documents must short-circuit before the sequence is built
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
-    rep = F.when(F.size(w) < n, F.lit(0.0)).otherwise(
-        (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+    rep = let_once(
+        w,
+        lambda wv: F.when(F.size(wv) < n, F.lit(0.0)).otherwise(
+            let_once(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(wv) - (n - 1), F.lit(1))),
+                    lambda i: F.array_join(F.slice(wv, i, n), " "),
+                ),
+                lambda grams: (F.size(grams) - F.size(F.array_distinct(grams)))
+                / F.size(grams),
+            )
+        ),
     )
     return df.withColumn("rep_ngram_frac", dround(rep, 4)).withColumn(
         "n_ngrams", F.greatest(F.size(w) - (n - 1), F.lit(0)).cast("int")

@@ -33,22 +33,7 @@ from pyspark.sql import functions as F
 from carbondata_spark.functions import dround
 
 
-def _let(value: Column, body) -> Column:
-    """Bind ``value`` once per row, evaluate ``body(var)`` over it — a
-    let-binding encoded as a single-element ``transform``.
-
-    The r9 perf trap this exists for: Catalyst's CollapseProject
-    inlines a select alias into EVERY reference, and ProjectExec's
-    subexpression elimination is what dedups the copies — GenerateExec
-    (explode) has no CSE, so an exploded expression that read the
-    gram-hash array alias ~8x re-hashed the whole document ~8x per row
-    (and a reference from inside a lambda body re-evaluates per
-    ELEMENT: the original array_min(slice(_h, j, w)) window form was
-    O(m^2) md5 per document, ~190 s at sf0.1). A lambda VARIABLE, by
-    contrast, is bound exactly once per enclosing evaluation — so this
-    wrapper makes evaluate-once a structural property instead of an
-    executor-dependent optimization."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+from carbondata_spark.operators.hof import let_once as _let
 
 
 def _fingerprint_sets(

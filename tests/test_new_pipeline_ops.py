@@ -232,6 +232,10 @@ def test_new_ops_prune_scan_columns(spark, sf_dir):
     2-column operator is wrong at any scale)."""
     from carbondata_spark.queries import registry
 
+    # another test file may have cached a full-column frame over these
+    # tables; CacheManager substitution would then surface the cached
+    # plan's unpruned FileScan and fail the check spuriously
+    spark.catalog.clearCache()
     reg = registry()
     cases = {
         "p_text_winnow": ("documents", {"doc_id", "text"}),
