@@ -109,8 +109,14 @@ def refresh_aggregate_table(agg: AggregateTable) -> None:
     current = sorted(e.segment_id for e in store.valid_segments(meta["fact"]))
 
     covered: set[int] = set()
+    sound = True
     if target in store.tables():
         for e in store.valid_segments(target):
+            if "fact_segments" not in e.origin:
+                # a summary segment with no provenance tag (e.g. written
+                # by an older compact() that dropped origins) has unknown
+                # contributions — incremental math over it double-counts
+                sound = False
             covered.update(e.origin.get("fact_segments", []))
     else:
         summary0 = _summary_df(store, meta, segment_ids=current)
@@ -120,7 +126,7 @@ def refresh_aggregate_table(agg: AggregateTable) -> None:
         )
         return
 
-    if covered <= set(current):
+    if sound and covered <= set(current):
         new = [s for s in current if s not in covered]
         if not new:
             return
@@ -174,6 +180,8 @@ def _coverage_current(store: CarbonStore, fact: str, name: str, live: set[int]) 
         return False
     covered: set[int] = set()
     for e in store.valid_segments(target):
+        if "fact_segments" not in e.origin:
+            return False  # untagged summary segment: contributions unknown
         covered.update(e.origin.get("fact_segments", []))
     return covered == live
 

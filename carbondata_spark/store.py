@@ -108,6 +108,46 @@ class SegmentEntry:
         )
 
 
+def _merge_origins(origins: list[dict[str, Any]]) -> dict[str, Any]:
+    """Provenance for a segment that MERGES others (compaction).
+
+    Losing the tags is not cosmetic: a rollup summary segment's
+    ``fact_segments`` list is what refresh_aggregate_table and the
+    routing staleness guard read — an untagged merged segment made the
+    next refresh re-append full partials on top of the merged rows
+    (double counting) while coverage LOOKED current. So:
+
+    * ``fact_segments`` union — but only when EVERY input carries the
+      tag; a partial union would under-state coverage, and the missing
+      key makes agg_table's unsound-tag fallback rebuild instead.
+    * every other distinct origin (streaming {stream, epoch} tags) is
+      preserved under ``merged_origins`` (flattened across repeated
+      compactions) so ``has_committed_origin`` keeps answering replay
+      probes after auto_compact folded the micro-batch segments.
+    """
+    merged: dict[str, Any] = {}
+    tagged = [o for o in origins if "fact_segments" in (o or {})]
+    if origins and len(tagged) == len(origins):
+        merged["fact_segments"] = sorted(
+            {s for o in tagged for s in o["fact_segments"]}
+        )
+    prior: list[dict[str, Any]] = []
+    seen: set[str] = set()
+    for o in origins:
+        o = o or {}
+        base = {k: v for k, v in o.items() if k != "merged_origins"}
+        for cand in ([base] if base and "fact_segments" not in base else []) + list(
+            o.get("merged_origins", [])
+        ):
+            key = json.dumps(cand, sort_keys=True, default=str)
+            if key not in seen:
+                seen.add(key)
+                prior.append(cand)
+    if prior:
+        merged["merged_origins"] = prior
+    return merged
+
+
 def _atomic_write_json(path: str, payload: Any) -> None:
     tmp = f"{path}.tmp.{os.getpid()}.{time.monotonic_ns()}"
     with open(tmp, "w") as f:
@@ -323,15 +363,19 @@ class CarbonStore:
             # lexicographic's trailing-column blindness — zorder.py).
             from carbondata_spark.zorder import cluster_writer
 
-            writer = cluster_writer(writer, sort_cols, partitions)
+            writer = cluster_writer(writer, sort_cols, partitions, prefix_cols=part_cols)
         else:
             if partitions:
-                if sort_cols:
-                    writer = writer.repartitionByRange(partitions, *sort_cols)
+                # hive partition columns LEAD the range key: each value
+                # then occupies a contiguous run of tasks, so partitionBy
+                # emits ~row-share files per directory, not `partitions`
+                keys = [*part_cols, *sort_cols]
+                if keys:
+                    writer = writer.repartitionByRange(partitions, *keys)
                 else:
                     writer = writer.repartition(partitions)
             if sort_cols:
-                writer = writer.sortWithinPartitions(*sort_cols)
+                writer = writer.sortWithinPartitions(*part_cols, *sort_cols)
         w = writer.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
@@ -516,11 +560,17 @@ class CarbonStore:
 
     def has_committed_origin(self, table: str, origin: dict[str, Any]) -> bool:
         """True if a Success segment with this provenance tag exists —
-        the streaming replay-detection probe (see SegmentEntry.origin)."""
-        return any(
-            e.origin == origin and e.status == SEGMENT_SUCCESS
-            for e in self._read_status(table)
-        )
+        the streaming replay-detection probe (see SegmentEntry.origin).
+        A compacted segment answers for every origin it merged
+        (``merged_origins``): auto_compact after streaming ingest must
+        not reopen the exactly-once window for a foreachBatch retry of
+        an epoch whose original segment was just folded away."""
+        for e in self._read_status(table):
+            if e.status != SEGMENT_SUCCESS:
+                continue
+            if e.origin == origin or origin in e.origin.get("merged_origins", []):
+                return True
+        return False
 
     def _asof_segments(
         self, table: str, as_of_ts: float, meta: dict | None = None
@@ -766,6 +816,7 @@ class CarbonStore:
                     load_start_ts=time.time(),
                     load_end_ts=0.0,
                     columns=[f.name for f in T.StructType.fromJson(meta["schema"]).fields],
+                    origin=_merge_origins([e.origin for e in segs]),
                 )
             )
             self._write_status(table, entries)
@@ -777,11 +828,16 @@ class CarbonStore:
         if sort_cols and self._is_zorder(meta):
             from carbondata_spark.zorder import cluster_writer
 
-            writer = cluster_writer(writer, sort_cols, n_parts)
-        elif sort_cols:
+            writer = cluster_writer(writer, sort_cols, n_parts, prefix_cols=part_cols)
+        elif sort_cols or part_cols:
             # global range-sort across the merged data: restores clustering
-            # that interleaved loads destroyed
-            writer = writer.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
+            # that interleaved loads destroyed. Hive partition columns lead
+            # the range key — each value stays contiguous across tasks, so
+            # the partitionBy write emits ~row-share files per directory
+            # instead of up to n_parts (the one-file-per-bucket layout
+            # build_ivf_index's compaction path relies on).
+            keys = [*part_cols, *sort_cols]
+            writer = writer.repartitionByRange(n_parts, *keys).sortWithinPartitions(*keys)
         w = writer.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)

@@ -123,14 +123,24 @@ def with_zvalue(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def cluster_writer(
-    df: DataFrame, cols: list[str], partitions: int | None
+    df: DataFrame,
+    cols: list[str],
+    partitions: int | None,
+    prefix_cols: list[str] | None = None,
 ) -> DataFrame:
     """The z-order write plan: range-partition (when asked) and sort
     within partitions on the z-value, then drop it — rows land
     Morton-ordered, so every clustered column gets tight row-group
     min/max. The drop is a projection AFTER the sort; it does not
-    disturb row order."""
+    disturb row order.
+
+    ``prefix_cols`` (the table's hive partition columns) lead the range
+    key so each partition value occupies a CONTIGUOUS run of tasks:
+    without it a ``write.partitionBy`` downstream scatters every value
+    across all tasks, and each directory collects up to ``partitions``
+    files instead of ~its row share."""
     out = with_zvalue(df, cols)
+    prefix = list(prefix_cols or [])
     if partitions:
-        out = out.repartitionByRange(partitions, ZVAL_COL)
-    return out.sortWithinPartitions(ZVAL_COL).drop(ZVAL_COL)
+        out = out.repartitionByRange(partitions, *prefix, ZVAL_COL)
+    return out.sortWithinPartitions(*prefix, ZVAL_COL).drop(ZVAL_COL)

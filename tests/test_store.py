@@ -495,3 +495,108 @@ def test_rollup_routing_self_disables_on_stale_coverage(spark, tmp_path):
     out = {r["region"]: (r["sum_amt"], r["count_amt"]) for r in
            at.rewrite_aggregate(store, "f", *gm).collect()}
     assert out == {"e": (1.0, 1), "w": (6.0, 2)}
+
+
+def test_compact_summary_table_preserves_coverage_tags(spark, tmp_path):
+    """ADVICE r8 (medium): compacting a rollup SUMMARY table used to
+    erase the merged segment's fact_segments provenance — the next
+    refresh saw covered = ∅ ⊆ current and appended full partials on top
+    of the merged rows, double-counting every group while the coverage
+    guard reported covered == live. compact() now unions the merged
+    segments' tags, so refresh stays a no-op and routing stays sound."""
+    from carbondata_spark.plans import agg_table as at
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    schema = T.StructType(
+        [
+            T.StructField("region", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    store.create_table("f", schema)
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    store.load("f", mk([("e", 1.0), ("w", 2.0)]))
+    at.create_aggregate_table(store, "f", "byr", ["region"], {"amt": ["sum", "count"]})
+    store.load("f", mk([("e", 10.0)]))
+    store.load("f", mk([("w", 5.0)]))
+    gm = (["region"], {"amt": ["sum", "count"]})
+    want = {"e": (11.0, 2), "w": (7.0, 2)}
+
+    # 'alter table f_agg_byr compact' — three partial summary segments
+    # merge into one whose origin is the UNION of their coverage
+    summary = "f_agg_byr"
+    store.compact(summary)
+    segs = [e for e in store.show_segments(summary) if e["status"] == "Success"]
+    assert len(segs) == 1
+    assert segs[0]["origin"]["fact_segments"] == [0, 1, 2]
+
+    # coverage still current -> routed, refresh is a no-op, no doubling
+    assert at.choose_rollup(store, "f", *gm) == "byr"
+    at.refresh_aggregate_table(at.AggregateTable(store, "f", "byr"))
+    segs = [e for e in store.show_segments(summary) if e["status"] == "Success"]
+    assert len(segs) == 1, "refresh re-appended partials over the merged rows"
+    out = {r["region"]: (r["sum_amt"], r["count_amt"]) for r in
+           at.rewrite_aggregate(store, "f", *gm).collect()}
+    assert out == want
+    files = at.rewrite_aggregate(store, "f", *gm).inputFiles()
+    assert files and all("f_agg_byr" in p for p in files)  # routed
+
+
+def test_untagged_summary_segment_forces_full_rebuild(spark, tmp_path):
+    """A valid summary segment with NO fact_segments tag (e.g. written
+    by a pre-fix compact()) has unknown contributions: the coverage
+    guard must refuse to route and refresh must fall back to a full
+    overwrite rebuild rather than do incremental math over it."""
+    from carbondata_spark.plans import agg_table as at
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    schema = T.StructType(
+        [
+            T.StructField("region", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    store.create_table("f", schema)
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    store.load("f", mk([("e", 1.0), ("w", 2.0)]))
+    at.create_aggregate_table(store, "f", "byr", ["region"], {"amt": ["sum"]})
+    gm = (["region"], {"amt": ["sum"]})
+
+    # strip the provenance tag in the manifest (what the old compact did)
+    summary = "f_agg_byr"
+    entries = store._read_status(summary)
+    for e in entries:
+        e.origin = {}
+    store._write_status(summary, entries)
+
+    assert at.choose_rollup(store, "f", *gm) is None  # refuses to route
+    at.refresh_aggregate_table(at.AggregateTable(store, "f", "byr"))
+    segs = [e for e in store.show_segments(summary) if e["status"] == "Success"]
+    assert len(segs) == 1 and segs[0]["origin"]["fact_segments"] == [0]
+    assert at.choose_rollup(store, "f", *gm) == "byr"  # resumes post-rebuild
+    out = {r["region"]: r["sum_amt"] for r in
+           at.rewrite_aggregate(store, "f", *gm).collect()}
+    assert out == {"e": 1.0, "w": 2.0}
+
+
+def test_compact_preserves_stream_origins_for_replay(store, spark):
+    """auto_compact is advertised after streaming ingest: folding
+    micro-batch segments must not reopen the exactly-once window — the
+    merged segment answers has_committed_origin for every origin it
+    merged, flattened across REPEATED compactions."""
+    store.create_table("t", SCHEMA, sort_columns=["city"])
+    o0 = {"stream": "s", "epoch": 0}
+    o1 = {"stream": "s", "epoch": 1}
+    o2 = {"stream": "s", "epoch": 2}
+    store.load("t", make_df(spark, n=10), origin=o0)
+    store.load("t", make_df(spark, n=10, offset=10), origin=o1)
+    store.compact("t")
+    for o in (o0, o1):
+        assert store.has_committed_origin("t", o), o
+    # second generation: compact the compacted segment with a fresh epoch
+    store.load("t", make_df(spark, n=10, offset=20), origin=o2)
+    store.compact("t")
+    for o in (o0, o1, o2):
+        assert store.has_committed_origin("t", o), o
+    assert not store.has_committed_origin("t", {"stream": "s", "epoch": 9})
+    assert store.table("t").count() == 30
