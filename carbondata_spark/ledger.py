@@ -202,6 +202,18 @@ def load_pins() -> set[str]:
         return set()
 
 
+def load_debt() -> dict | None:
+    """The committed carried-dirt declaration (see DEBT_PATH), or None."""
+    try:
+        with open(DEBT_PATH) as f:
+            debt = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if not isinstance(debt, dict) or "rows" not in debt:
+        return None
+    return debt
+
+
 # The driver's correctness harness checks a fixed-size prefix of the
 # registry: 50 rows every round since r1 (CORRECTNESS_r1: 50 of 66;
 # r5: 50 of 100). Observed behavior, not a published contract — keep
@@ -214,6 +226,33 @@ DRIVER_PREFIX_BUDGET = 50
 # dirtying 2 non-headline closures to land ranking guards) while making
 # a shared-module rewrite that dirties ~all fresh closures fail loudly.
 CARRY_ALLOWANCE = 8
+# Declared-debt escape hatch for the one case the allowance cannot
+# model: a deliberate fix to a CORE module (store/catalog/functions)
+# whose closure reaches ~every query, so the changed block exceeds the
+# prefix budget no matter how the edit is sequenced — e.g. the r9
+# compaction-provenance fix to store.py dirtied 86 of 111 closures;
+# 50 is the hard per-round ceiling, so 36 current-round rows carry.
+# Rather than silently committing through a red gate (the r8 failure)
+# or shipping a known wrong-answer path for a round, the builder
+# DECLARES the carry in ``driver_debt.json`` (committed):
+#
+#     {"declared_round": 9, "reason": "...", "rows": [...36 names...]}
+#
+# budget_report honors the declaration ONLY when every condition holds:
+#   * no never-verified or aged row is displaced (hard fails stand);
+#   * the declared rows EXACTLY equal the displaced set — any further
+#     edit that changes the overflow invalidates the declaration and
+#     the gate goes red again until the builder re-declares;
+#   * the debt fits a single round's budget (next round CAN absorb it);
+#   * declared_round == newest-verified-round + 1 (a declaration only
+#     covers the round it was written in, never a later one).
+# Absorption is machine-enforced, not aspirational: the carried rows'
+# driver signal is one round stale, so next round they form the head of
+# the changed block; if anything displaces them again they become AGED
+# and the gate hard-fails. tools/update_ledger.py verifies at round
+# start that a past declaration's rows were re-verified and deletes it
+# (loud failure otherwise).
+DEBT_PATH = os.path.join(REPO_ROOT, "driver_debt.json")
 
 
 def _blocks(
@@ -300,6 +339,7 @@ def budget_report(
     headline: frozenset[str] | set[str] = frozenset(),
     pins: set[str] | None = None,
     budget: int = DRIVER_PREFIX_BUDGET,
+    debt: dict | None | str = "load",
 ) -> dict:
     """Size the changed block against the driver's checked-prefix budget.
 
@@ -323,10 +363,15 @@ def budget_report(
       signal is current (newest round) are one-round debt the next
       round can absorb — but only a bounded number of them. An
       unbounded carry is how a functions.py edit re-dirties 50 fresh
-      closures in one commit.
+      closures in one commit. EXCEPTION: a committed declaration in
+      ``driver_debt.json`` (see DEBT_PATH doc) lifts the allowance for
+      one round when the displaced set is exactly the declared one, all
+      current-round, and fits next round's budget.
     """
     if ledger is None:
         ledger = load_ledger()
+    if debt == "load":
+        debt = load_debt()
     changed, _fresh = _blocks(query_modules, ledger, read_source, headline, pins)
     max_round = max(
         (int(e.get("last_round", 0)) for e in ledger.values()), default=0
@@ -341,7 +386,16 @@ def budget_report(
         if n not in new_displaced
         and int(ledger.get(n, {}).get("last_round", 0)) < max_round
     ]
-    ok = (
+    debt_honored = bool(
+        debt
+        and not new_displaced
+        and not aged_displaced
+        and len(displaced) > CARRY_ALLOWANCE
+        and set(debt.get("rows", [])) == set(displaced)
+        and len(displaced) <= budget
+        and int(debt.get("declared_round", -1)) == max_round + 1
+    )
+    ok = debt_honored or (
         not new_displaced
         and not aged_displaced
         and len(displaced) <= CARRY_ALLOWANCE
@@ -354,5 +408,6 @@ def budget_report(
         "aged_displaced": aged_displaced,
         "carry_allowance": CARRY_ALLOWANCE,
         "max_round": max_round,
+        "declared_debt": debt_honored,
         "ok": ok,
     }

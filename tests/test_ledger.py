@@ -330,6 +330,83 @@ def test_budget_report_new_query_starved_is_its_own_category():
     assert "q_stale" in rep["aged_displaced"]
 
 
+def test_budget_report_declared_debt_escape_hatch():
+    """A core-module fix (store.py is in every closure) can dirty more
+    rows than any prefix fits — the ONLY sanctioned path is a committed
+    driver_debt.json declaring the exact displaced set. The declaration
+    must be powerless for anything except bounded, current-round,
+    exactly-as-declared carry: aged/new displacement still hard-fails,
+    a stale or mismatched declaration is ignored, and debt larger than
+    one round's budget (unabsorbable) is refused."""
+    read = _reader(FILES)
+    db = L.closure_digest(["carbondata_spark.query_defs.mb"], read)
+    # shape mirrors r9: 20 dirty current-round closures vs an 11-row
+    # budget -> 9 displaced: over the allowance (8) but absorbable (<=11)
+    n_dirty, budget = 20, 11
+    qm = {f"q_d{i:02d}": "carbondata_spark.query_defs.ma"
+          for i in range(n_dirty)}
+    ledger = {n: {"last_round": 2, "last_green_round": 2, "digest": "old"}
+              for n in qm}
+    qm["q_fresh"] = "carbondata_spark.query_defs.mb"
+    ledger["q_fresh"] = {"last_round": 2, "last_green_round": 2, "digest": db}
+
+    def rep_with(debt, budget=budget):
+        return L.budget_report(qm, ledger=ledger, read_source=read,
+                               pins=set(), budget=budget, debt=debt)
+
+    # no declaration: over-allowance carry fails (the r5/r8 rule stands)
+    base = rep_with(None)
+    assert not base["ok"]
+    displaced = set(base["displaced"])
+    assert len(displaced) == n_dirty - budget > L.CARRY_ALLOWANCE
+    # exact declaration for the round being built (max_round 2 -> r3): ok
+    rep = rep_with({"declared_round": 3, "rows": sorted(displaced)})
+    assert rep["ok"] and rep["declared_debt"]
+    # a SUBSET or SUPERSET declaration is not honored — any edit that
+    # changes the overflow set forces a fresh, deliberate declaration
+    assert not rep_with({"declared_round": 3,
+                         "rows": sorted(displaced)[:-1]})["ok"]
+    assert not rep_with({"declared_round": 3,
+                         "rows": sorted(displaced | {"q_other"})})["ok"]
+    # a declaration from a PAST round never blesses a later overrun
+    assert not rep_with({"declared_round": 2,
+                         "rows": sorted(displaced)})["ok"]
+    # debt that exceeds one round's budget cannot be absorbed next round
+    # -> refused even when declared exactly (budget 5: 15 displaced)
+    small_base = rep_with(None, budget=5)
+    assert len(small_base["displaced"]) == n_dirty - 5 > 5
+    small = rep_with({"declared_round": 3,
+                      "rows": sorted(small_base["displaced"])}, budget=5)
+    assert not small["declared_debt"] and not small["ok"]
+    # an AGED row in the displaced set is never excusable by declaration
+    victim = sorted(displaced)[0]
+    ledger[victim]["last_round"] = 1
+    rep = rep_with({"declared_round": 3, "rows": sorted(displaced)})
+    assert not rep["ok"] and victim in rep["aged_displaced"]
+    ledger[victim]["last_round"] = 2
+    # nor is a NEVER-verified row: 12 new registry entries vs budget 11
+    # pushes one new row out even though new rows head the changed block
+    qm2 = {f"q_new{i:02d}": "carbondata_spark.query_defs.ma"
+           for i in range(12)}
+    qm2.update({f"q_d{i:02d}": "carbondata_spark.query_defs.ma"
+                for i in range(8)})
+    ledger2 = {f"q_d{i:02d}":
+               {"last_round": 2, "last_green_round": 2, "digest": "old"}
+               for i in range(8)}
+    qm2["q_fresh"] = "carbondata_spark.query_defs.mb"
+    ledger2["q_fresh"] = {"last_round": 2, "last_green_round": 2,
+                          "digest": db}
+    base2 = L.budget_report(qm2, ledger=ledger2, read_source=read,
+                            pins=set(), budget=budget, debt=None)
+    assert base2["new_displaced"]  # a new row fell out
+    assert len(base2["displaced"]) <= budget  # absorbable-sized...
+    rep = L.budget_report(qm2, ledger=ledger2, read_source=read, pins=set(),
+                          budget=budget,
+                          debt={"declared_round": 3,
+                                "rows": sorted(base2["displaced"])})
+    assert not rep["ok"] and not rep["declared_debt"]  # ...still refused
+
+
 def test_live_tree_within_driver_budget():
     """The r5 verdict's budget discipline, enforced in-suite: the current
     working tree must not displace aged hard signal from the driver's

@@ -50,9 +50,18 @@ def main() -> int:
             "prefix): " + ", ".join(rep["new_displaced"])
         )
     if not rep["ok"]:
-        print("FAIL: prefix budget overrun — back out or narrow the edit")
+        print(
+            "FAIL: prefix budget overrun — back out, narrow the edit, or "
+            "(core-module fix only) declare the carry in driver_debt.json"
+        )
         return 1
-    print("ok")
+    if rep["declared_debt"]:
+        print(
+            f"ok (declared debt: {len(rep['displaced'])} current-round rows "
+            "carry to next round's prefix — see driver_debt.json)"
+        )
+    else:
+        print("ok")
     return 0
 
 

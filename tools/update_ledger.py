@@ -148,6 +148,47 @@ def main() -> None:
                 f.write("\n")
         print(f"pins: {len(keep)} active ({len(pins) - len(keep)} pruned)")
 
+    # Declared-debt absorption check (see ledger.DEBT_PATH doc): a past
+    # round's driver_debt.json must be CLEARED by re-verification, never
+    # silently outlived. While rotation sits at the declaration round the
+    # debt is pending (its rows head the new changed block); once a later
+    # round has been rotated in, every declared row must have a driver row
+    # from after the declaration — then the file is deleted. Anything else
+    # is a loud failure (and those rows are aged now, so the budget gate
+    # below hard-fails too).
+    from carbondata_spark.ledger import DEBT_PATH, load_debt
+
+    debt = load_debt()
+    if debt:
+        declared = int(debt.get("declared_round", -1))
+        newest = max(rounds.values(), default=0)
+        # Declared while building round N (whose driver run checks the
+        # prefix the debt was displaced FROM), so the debt rows' own
+        # verification lands in round N+1's driver run.
+        if newest <= declared:
+            print(
+                f"debt: declared for r{declared}, pending "
+                f"({len(debt.get('rows', []))} rows carry into r{declared + 1})"
+            )
+        else:
+            unabsorbed = [
+                n
+                for n in debt.get("rows", [])
+                if n in reg and rounds.get(n, 0) <= declared
+            ]
+            if unabsorbed:
+                print(
+                    f"debt: FAILURE — r{declared} declaration NOT absorbed; "
+                    f"{len(unabsorbed)} rows still lack a post-declaration "
+                    "driver row: " + ", ".join(unabsorbed)
+                )
+            else:
+                os.remove(DEBT_PATH)
+                print(
+                    f"debt: r{declared} declaration fully absorbed "
+                    f"({len(debt.get('rows', []))} rows re-verified) — cleared"
+                )
+
     # Round-start convenience: show where the refreshed ledger leaves the
     # driver-prefix budget (same report as tools/check_budget.py).
     from carbondata_spark.ledger import budget_report
