@@ -13,6 +13,7 @@ import carbondata_spark.query_defs.events_q  # noqa: F401
 import carbondata_spark.query_defs.olap2  # noqa: F401
 import carbondata_spark.query_defs.olap3  # noqa: F401
 import carbondata_spark.query_defs.olap4  # noqa: F401
+import carbondata_spark.query_defs.olap5  # noqa: F401
 import carbondata_spark.query_defs.pipeline  # noqa: F401
 import carbondata_spark.query_defs.pipeline2  # noqa: F401
 import carbondata_spark.query_defs.pipeline3  # noqa: F401
