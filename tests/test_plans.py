@@ -282,7 +282,9 @@ def test_set_ops_no_cartesian_and_tagged_branches(spark, sf_dir):
 # subqueries stay (anti-)semi joins; q21's fact-fact self-join stays an
 # equi-join keyed on l_orderkey.
 HEAVY_TPCH_SHAPES = {
+    "q02_min_cost_supplier": {"bnlj": 0, "needs": []},
     "q04_order_priority": {"bnlj": 0, "needs": ["LeftSemi"]},
+    "q09_product_type_profit": {"bnlj": 0, "needs": []},
     "q11_value_concentration": {"bnlj": 0, "needs": []},
     "q13_order_distribution": {"bnlj": 0, "needs": ["LeftOuter"]},
     "q15_top_supplier": {"bnlj": 0, "needs": []},
@@ -342,3 +344,40 @@ def test_agg_rollup_routing_reads_summary_not_fact(spark, sf_dir):
     assert files and all("orders_fact_agg_by_prio" in f for f in files), files[:3]
     segs = {f.split("/Segment_")[1].split("/")[0] for f in files}
     assert segs == {"0", "1"}, segs
+
+
+def test_q02_part_filter_prunes_lineitem_before_agg(spark, sf_dir):
+    """Q2's scale plan: the part size/type filter reaches the part scan,
+    the surviving keys broadcast-prune lineitem BEFORE the (partkey,
+    suppkey) min aggregate, and the whole query needs only two hash
+    exchanges (supply agg + per-part window) — aggregating the unpruned
+    fact table first would shuffle every lineitem row at 100 TB."""
+    plan = plan_of(spark, sf_dir, "q02_min_cost_supplier")
+    # filters pushed to the part scan (the printed filter list truncates,
+    # so match the size-range prefix like the q06 pin does)
+    assert "GreaterThanOrEqual(p_size,10)" in plan
+    assert "LessThanOrEqual(p_size,20)" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "TakeOrderedAndProject" in plan  # top-100 without a global sort
+    # the fact-side agg consumes the broadcast-pruned join, not a raw
+    # scan: in the top-down tree print, a BroadcastHashJoin must sit
+    # BETWEEN the partial_min aggregate and the lineitem scan it feeds
+    agg_pos = plan.index("partial_min")
+    li_pos = plan.index("lineitem.parquet")
+    assert agg_pos < li_pos
+    assert "BroadcastHashJoin" in plan[agg_pos:li_pos], plan[agg_pos:li_pos]
+
+
+def test_q09_filtered_part_broadcast_and_pushdown(spark, sf_dir):
+    """Q9's scale plan: the p_name LIKE filter is pushed into the part
+    scan and only the two bounded inputs (filtered part, nation) carry
+    broadcast hints — supplier/orders join strategy stays AQE's size-based
+    call; a forced broadcast of either would OOM at 100x scale."""
+    from carbondata_spark.queries import registry
+
+    df = registry()["q09_product_type_profit"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2  # part + nation only
+    plan = plan_of(spark, sf_dir, "q09_product_type_profit")
+    assert "StringContains(p_name,bolt)" in plan  # LIKE pushed to scan
+    assert "partial_sum" in plan  # map-side combine under the final agg
