@@ -186,6 +186,31 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         return minhash_lsh_pairs(docs, threshold=0.5, hash_fn="xxhash64")
 
+    def _bloom_unpruned_form(spark, sf_dir):
+        """q_store_bloom_pruned's point lookup WITHOUT manifest pruning —
+        table().filter(isin) reads all four residue segments where the
+        registry form's scan(isin) bloom-prunes to the two that can hold
+        the keys. delta = registry(pruned) - unpruned: NEGATIVE is the
+        measured saving of the manifest bloom on a needle-in-haystack
+        read (the fraction read scales with segment count at 100 TB)."""
+        from pyspark.sql import functions as F
+
+        from carbondata_spark.functions import dround
+        from carbondata_spark.query_defs.store_q import _bloom_store
+
+        store = _bloom_store(spark, sf_dir)
+        return (
+            store.table("orders_r")
+            .filter(F.col("o_orderkey").isin([1, 6, 4242]))
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                dround(F.col("o_totalprice"), 2).alias("totalprice"),
+            )
+            .orderBy("o_orderkey")
+        )
+
     # (aux alt name, alt fn, registry counterpart, premium name)
     pairs = [
         ("q01_double_form", _q01_double_form, "q01_pricing_summary",
@@ -198,6 +223,8 @@ def main() -> None:
          "minhash_md5_portability_premium"),
         ("q03_raw_parquet_form", _q03_raw_parquet_form, "q03_shipping_priority",
          "q03_store_routing_premium"),
+        ("bloom_unpruned_form", _bloom_unpruned_form, "q_store_bloom_pruned",
+         "bloom_point_lookup_saving"),
     ]
     for _, fn, *_rest in pairs:
         fn(spark, sf_dir).collect()  # warmup: codegen/JIT, page cache

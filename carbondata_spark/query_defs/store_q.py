@@ -458,3 +458,64 @@ def q_store_zorder(spark, sf_dir):
             dsum(F.col("l_extendedprice")).alias("total"),
         )
     )
+
+
+# (sf_dir, app_id) -> store_path for the bloom point-lookup build.
+_BUILT_B: dict[tuple[str, str], str] = {}
+
+
+def _bloom_store(spark: SparkSession, sf_dir: str):
+    """Build (once per process+session) ``orders_r``: orders split into
+    4 segments by o_orderkey RESIDUE with ``bloom_columns=o_orderkey`` —
+    every segment's zone map spans the whole key domain (range pruning
+    keeps all four), but each key lives in exactly one segment, which
+    only the manifest bloom can prove (bloom.py; the access path the
+    reference served with its in-blocklet inverted index,
+    query/filter/executer/IncludeFilterExecuterImpl.java)."""
+    from carbondata_spark.store import CarbonStore
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if key in _BUILT_B:
+        return CarbonStore(spark, _BUILT_B[key])
+
+    path = tempfile.mkdtemp(prefix="carbondata_bloom_")
+    store = CarbonStore(spark, path)
+    orders = t(spark, sf_dir, "orders")
+    store.create_table(
+        "orders_r", orders.schema, properties={"bloom_columns": "o_orderkey"}
+    )
+    for r in range(4):
+        store.load("orders_r", orders.filter(F.col("o_orderkey") % 4 == r))
+    _BUILT_B[key] = path
+    return store
+
+
+@register(
+    "q_store_bloom_pruned",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderkey IN (1, 6, 4242)
+    ORDER BY o_orderkey
+    """,
+    doc="Manifest-bloom point lookup under the hard gate: orders split "
+    "into 4 residue segments (every zone map spans the full key domain "
+    "— range pruning keeps all four), scan(isin=[1, 6, 4242]) prunes by "
+    "the per-segment o_orderkey blooms to the residue segments that can "
+    "hold the keys, and the result must equal the unpruned filter over "
+    "raw parquet — a single false NEGATIVE (dropped segment) loses a "
+    "row and breaks the hash.",
+)
+def q_store_bloom_pruned(spark, sf_dir):
+    store = _bloom_store(spark, sf_dir)
+    return (
+        store.scan("orders_r", column="o_orderkey", isin=[1, 6, 4242])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            dround(F.col("o_totalprice"), 2).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -68,6 +68,12 @@ class SegmentEntry:
     # reference's driver-side B-tree block pruning,
     # CarbonInputFormat.java:177-201)
     stats: dict[str, list] = field(default_factory=dict)
+    # per-bloom-column {col: {"m", "k", "bits"}} — manifest bloom filters
+    # for POINT-lookup segment pruning on high-cardinality columns whose
+    # values interleave across segments (zone maps can't prune those; the
+    # reference used its in-blocklet inverted index for this access path).
+    # Opt-in via the table property ``bloom_columns``; see bloom.py.
+    blooms: dict[str, dict] = field(default_factory=dict)
     # provenance tag, e.g. {"stream": query_name, "epoch": epoch_id} —
     # lets streaming replays detect an already-committed micro-batch
     # (exactly-once table contents across foreachBatch retries)
@@ -89,6 +95,7 @@ class SegmentEntry:
             "load_end_ts": self.load_end_ts,
             "columns": self.columns,
             "stats": self.stats,
+            "blooms": self.blooms,
             "origin": self.origin,
             "invalidated_ts": self.invalidated_ts,
         }
@@ -103,6 +110,7 @@ class SegmentEntry:
             load_end_ts=d["load_end_ts"],
             columns=d.get("columns", []),
             stats=d.get("stats", {}),
+            blooms=d.get("blooms", {}),
             origin=d.get("origin", {}),
             invalidated_ts=d.get("invalidated_ts"),
         )
@@ -382,6 +390,7 @@ class CarbonStore:
         w.parquet(seg_dir)
         rows = self.spark.read.parquet(seg_dir).count()  # footer-only count
         stats = self._collect_segment_stats(seg_dir, sort_cols)
+        blooms = self._collect_segment_blooms(seg_dir, meta)
 
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
@@ -401,6 +410,7 @@ class CarbonStore:
                     e.rows = rows
                     e.load_end_ts = commit_ts
                     e.stats = stats
+                    e.blooms = blooms
             self._write_status(table, entries)
 
         if refresh_aggregates:
@@ -462,12 +472,31 @@ class CarbonStore:
                         acc[c] = [min(acc[c][0], mn), max(acc[c][1], mx)]
         return {c: v for c, v in acc.items() if c not in unknown}
 
+    def _collect_segment_blooms(self, seg_dir: str, meta: dict) -> dict[str, dict]:
+        """Manifest bloom filters for the table's ``bloom_columns``
+        property, computed over the just-written segment (a column-pruned
+        parquet read — bounded metadata, like the zone-map footers; see
+        bloom.py for the hash-parity and saturation design)."""
+        from carbondata_spark.bloom import compute_segment_blooms
+
+        cols = [
+            c.strip()
+            for c in meta.get("properties", {}).get("bloom_columns", "").split(",")
+            if c.strip()
+        ]
+        if not cols:
+            return {}
+        df = self.spark.read.parquet(seg_dir)
+        return compute_segment_blooms(df, cols)
+
     def scan(
         self,
         table: str,
         column: str | None = None,
         ge: Any = None,
         le: Any = None,
+        eq: Any = None,
+        isin: list | None = None,
         as_of_ts: float | None = None,
     ) -> DataFrame:
         """Segment-pruned scan: skip whole segments whose manifest
@@ -475,11 +504,29 @@ class CarbonStore:
         residual filter. Equivalent results to ``table().filter(...)``;
         at scale the pruned segments are never even listed.
 
-        ``as_of_ts`` composes zone-map pruning with time travel: the
-        candidate set is the historical segment set at that instant.
+        ``eq`` / ``isin`` are POINT lookups: each candidate segment is
+        tested against its manifest zone map AND (when the table declares
+        ``bloom_columns``) its bloom filter — so a needle-in-haystack key
+        on a column whose values interleave across segments (where every
+        segment's [min,max] spans the whole domain) still prunes to the
+        segment(s) that may contain it. Bloom misses are probabilistic
+        only toward keeping a segment (false positives read extra data);
+        a pruned segment provably lacks the value, so results always
+        equal ``table().filter(col.isin(...))``.
+
+        ``as_of_ts`` composes pruning with time travel: the candidate set
+        is the historical segment set at that instant.
         """
+        if eq is not None and isin is not None:
+            raise ValueError("pass eq or isin, not both")
+        if eq is not None:
+            isin = [eq]
+        if isin is not None and (ge is not None or le is not None):
+            raise ValueError("point lookup (eq/isin) excludes range bounds (ge/le)")
         if column is None:
             return self.table(table, as_of_ts=as_of_ts)
+        if isin is not None:
+            return self._point_scan(table, column, list(isin), as_of_ts)
 
         def norm_bound(v):
             import datetime
@@ -514,6 +561,65 @@ class CarbonStore:
         if le is not None:
             df = df.filter(F.col(column) <= F.lit(le))
         return df
+
+    def _point_scan(
+        self,
+        table: str,
+        column: str,
+        values: list,
+        as_of_ts: float | None,
+    ) -> DataFrame:
+        """scan()'s eq/isin path: zone-map + bloom segment pruning, then
+        the residual isin filter (which Catalyst pushes into the
+        surviving parquet scans as an In filter)."""
+        from carbondata_spark.bloom import might_contain, probe_positions
+
+        def norm_bound(v):
+            import datetime
+
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.strftime("%Y-%m-%d %H:%M:%S")
+            return v
+
+        meta = self._read_schema(table)
+        dtype = next(
+            (
+                f.dataType
+                for f in T.StructType.fromJson(meta["schema"]).fields
+                if f.name == column
+            ),
+            None,
+        )
+        if as_of_ts is not None:
+            candidates = self._asof_segments(table, as_of_ts)
+        else:
+            candidates = self.valid_segments(table)
+        norm_vals = [norm_bound(v) for v in values]
+        # probe positions are per (m, k) geometry; segments loaded at the
+        # same cardinality share one geometry, so this is usually ONE tiny
+        # local Spark job, cached across segments
+        pos_cache: dict[tuple[int, int], list[list[int]]] = {}
+        keep: list[int] = []
+        for e in candidates:
+            rng = e.stats.get(column)
+            if rng is not None:
+                mn, mx = rng
+                if not any(mn <= v <= mx for v in norm_vals):
+                    continue  # zone map: every probe value outside [min,max]
+            bloom = e.blooms.get(column)
+            if bloom is not None and dtype is not None:
+                geom = (bloom["m"], bloom["k"])
+                if geom not in pos_cache:
+                    pos_cache[geom] = probe_positions(
+                        self.spark, column, dtype, values, bloom["m"], bloom["k"]
+                    )
+                if not any(
+                    might_contain(bloom, ps) for ps in pos_cache[geom]
+                ):
+                    continue  # bloom: no probe value can be in this segment
+            keep.append(e.segment_id)
+        df = self.table(table, segment_ids=keep, as_of_ts=as_of_ts)
+        return df.filter(F.col(column).isin(values))
 
     def _conform(self, df: DataFrame, target: T.StructType) -> DataFrame:
         """Project/cast a DataFrame to the table schema (load-side of the
@@ -843,6 +949,11 @@ class CarbonStore:
             w = w.partitionBy(*part_cols)
         w.parquet(seg_dir)
         rows = self.spark.read.parquet(seg_dir).count()
+        # The merged segment is freshly range-sorted: recompute its zone
+        # map and blooms so compaction IMPROVES prunability instead of
+        # silently losing it (a statless segment is kept by every scan).
+        merged_stats = self._collect_segment_stats(seg_dir, sort_cols)
+        merged_blooms = self._collect_segment_blooms(seg_dir, meta)
         old_ids = {e.segment_id for e in segs}
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
@@ -874,6 +985,8 @@ class CarbonStore:
                     e.status = SEGMENT_SUCCESS
                     e.rows = rows
                     e.load_end_ts = commit_ts
+                    e.stats = merged_stats
+                    e.blooms = merged_blooms
             self._write_status(table, entries)
         return new_id
 
@@ -914,6 +1027,13 @@ class CarbonStore:
             kept = [f for f in schema.fields if f.name not in names]
             meta["schema"] = json.loads(T.StructType(kept).json())
             meta["sort_columns"] = [c for c in meta["sort_columns"] if c not in names]
+            bloom_cols = [
+                c.strip()
+                for c in meta.get("properties", {}).get("bloom_columns", "").split(",")
+                if c.strip() and c.strip() not in names
+            ]
+            if meta.get("properties", {}).get("bloom_columns"):
+                meta["properties"]["bloom_columns"] = ",".join(bloom_cols)
             meta["evolution"].append(
                 {"ts": time.time(), "added": [], "removed": list(names), "defaults": {}}
             )

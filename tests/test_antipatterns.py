@@ -28,6 +28,12 @@ ARROW_BATCH_ALLOWED = {
 # toPandas ships the whole result to the driver: only the local oracle
 # differential harness (mirrors the driver's own compare) may do it.
 TOPANDAS_ALLOWED = {"oracle.py"}
+# .collect() is banned as a DATA path; bloom.py's collects are bounded
+# METADATA by construction — collect_set(bit position) is capped at the
+# bitset size (2^23 bits) per column regardless of row count, and the
+# probe collects k positions per lookup literal. Same class as the
+# parquet footer min/max reads feeding the manifest zone maps.
+COLLECT_ALLOWED = {"bloom.py"}
 # .rdd drops out of Catalyst; the only sanctioned use is the
 # partition-count metadata probe in functions.repartition_if_narrow.
 RDD_ALLOWED = {"functions/__init__.py"}
@@ -60,7 +66,7 @@ def _scan():
         with open(path, "rb") as f:
             tree = ast.parse(f.read())
         for attr, line in _method_calls(tree):
-            if attr == "collect":
+            if attr == "collect" and rel not in COLLECT_ALLOWED:
                 hits["collect"].append((rel, attr, line))
             elif attr == "toPandas" and rel not in TOPANDAS_ALLOWED:
                 hits["toPandas"].append((rel, attr, line))

@@ -1,0 +1,174 @@
+"""Manifest bloom filters: point-lookup segment pruning (bloom.py +
+store.scan(eq/isin)).
+
+The scenario zone maps cannot serve: segments split by a key RESIDUE, so
+every segment's [min, max] spans the whole key domain — range pruning
+keeps everything, but the bloom proves which segment(s) a key can live
+in. The reference covered this access path with its in-blocklet inverted
+index; here it's manifest metadata, no index table, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="module")
+def bloom_store(spark, tmp_path_factory, sf_dir):
+    """orders loaded as 4 residue-split segments with a bloom on
+    o_orderkey: each key lives in exactly one segment, but every
+    segment's zone map spans the whole key range."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.store import CarbonStore
+
+    path = str(tmp_path_factory.mktemp("bloomstore"))
+    store = CarbonStore(spark, path)
+    orders = load_table(spark, sf_dir, "orders")
+    store.create_table(
+        "orders_r",
+        orders.schema,
+        properties={"bloom_columns": "o_orderkey"},
+    )
+    for r in range(4):
+        store.load("orders_r", orders.filter(F.col("o_orderkey") % 4 == r))
+    return store, orders
+
+
+def test_blooms_recorded_per_segment(bloom_store):
+    store, _ = bloom_store
+    for e in store.valid_segments("orders_r"):
+        b = e.blooms.get("o_orderkey")
+        assert b is not None and b["m"] >= 1 << 10 and b["k"] >= 1
+        assert b["bits"]  # non-empty bitset
+
+
+def test_point_scan_prunes_to_one_segment(bloom_store):
+    """eq on a single key must read (at most, modulo deterministic FPs)
+    one residue segment's files — and exactly match the unpruned
+    filter."""
+    store, orders = bloom_store
+    key = 7  # residue 3
+    pruned = store.scan("orders_r", column="o_orderkey", eq=key)
+    expected = orders.filter(F.col("o_orderkey") == key)
+    assert pruned.count() == expected.count() == 1
+    files = pruned.inputFiles()
+    segs = {f.split("/Segment_")[1].split("/")[0] for f in files}
+    # 4 segments hold ~disjoint key sets; the bloom keeps the true one
+    # plus at most rare false positives — never all four (zone maps alone
+    # would keep all four)
+    assert len(segs) < 4
+    assert "3" in segs  # the segment that actually holds key 7
+
+
+def test_point_scan_isin_multi_residue(bloom_store):
+    store, orders = bloom_store
+    keys = [1, 6]  # residues 1 and 2
+    pruned = store.scan("orders_r", column="o_orderkey", isin=keys)
+    expected = orders.filter(F.col("o_orderkey").isin(keys))
+    assert sorted(r.o_orderkey for r in pruned.select("o_orderkey").collect()) == sorted(
+        r.o_orderkey for r in expected.select("o_orderkey").collect()
+    )
+    segs = {f.split("/Segment_")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert {"1", "2"} <= segs and len(segs) < 4
+
+
+def test_point_scan_no_false_negatives_exhaustive(bloom_store):
+    """Every 97th key across the whole domain: the pruned scan must find
+    exactly the rows the raw filter finds — a bloom may only ever KEEP
+    extra segments, never drop a true one."""
+    store, orders = bloom_store
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    keys = list(range(0, int(hi) + 1, 97))
+    pruned_n = store.scan("orders_r", column="o_orderkey", isin=keys).count()
+    expected_n = orders.filter(F.col("o_orderkey").isin(keys)).count()
+    assert pruned_n == expected_n
+
+
+def test_point_scan_residual_filter_pushed(bloom_store):
+    """The residual In filter must reach the surviving parquet scan."""
+    store, _ = bloom_store
+    df = store.scan("orders_r", column="o_orderkey", isin=[1, 6])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(o_orderkey" in plan, plan
+
+
+def test_string_column_bloom_and_eq(spark, tmp_path, sf_dir):
+    """Blooms work on string keys (hash parity via the shared Spark
+    exprs), through scan(eq=...)."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "s"))
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "ckey", F.concat(F.lit("C#"), F.col("c_custkey"))
+    )
+    store.create_table("cust", cust.schema, properties={"bloom_columns": "ckey"})
+    store.load("cust", cust.filter(F.col("c_custkey") % 2 == 0))
+    store.load("cust", cust.filter(F.col("c_custkey") % 2 == 1))
+    got = store.scan("cust", column="ckey", eq="C#41")
+    assert got.count() == 1
+    segs = {f.split("/Segment_")[1].split("/")[0] for f in got.inputFiles()}
+    assert segs == {"1"}  # odd custkeys live in segment 1
+
+
+def test_compaction_recomputes_stats_and_blooms(spark, tmp_path, sf_dir):
+    """compact() must leave the merged segment with a fresh zone map AND
+    fresh blooms — a statless merged segment would silently stop pruning
+    forever after."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "c"))
+    orders = load_table(spark, sf_dir, "orders")
+    store.create_table(
+        "o", orders.schema, properties={"bloom_columns": "o_orderkey"}
+    )
+    store.load("o", orders.filter(F.col("o_orderkey") % 2 == 0))
+    store.load("o", orders.filter(F.col("o_orderkey") % 2 == 1))
+    store.compact("o")
+    segs = store.valid_segments("o")
+    assert len(segs) == 1
+    merged = segs[0]
+    assert merged.blooms.get("o_orderkey"), "compaction dropped the bloom"
+    assert merged.stats, "compaction dropped the zone map"
+    # the merged bloom still answers point lookups with zero misses
+    n = store.scan("o", column="o_orderkey", eq=5).count()
+    assert n == orders.filter(F.col("o_orderkey") == 5).count() == 1
+
+
+def test_saturation_stores_no_bloom(spark):
+    """A column whose cardinality would blow past MAX_BITS stores NO
+    bloom (the segment is kept by every probe — correct, just not
+    pruned) rather than a saturated filter."""
+    from carbondata_spark import bloom as B
+
+    assert B._size_bits(10) == B.MIN_BITS
+    assert B._size_bits((B.MAX_BITS // B.BITS_PER_DISTINCT) + 1) is None
+
+
+def test_bloom_rejects_mixed_point_and_range(bloom_store):
+    store, _ = bloom_store
+    with pytest.raises(ValueError):
+        store.scan("orders_r", column="o_orderkey", eq=1, isin=[2])
+    with pytest.raises(ValueError):
+        store.scan("orders_r", column="o_orderkey", eq=1, ge=0)
+
+
+def test_point_scan_composes_with_time_travel(bloom_store):
+    """eq pruning over the historical segment set: keys loaded after the
+    as-of instant are invisible."""
+    store, orders = bloom_store
+    segs = sorted(store.valid_segments("orders_r"), key=lambda e: e.segment_id)
+    ts_after_two = segs[1].load_end_ts + 1e-4
+    # key 7 (residue 3) was loaded in segment 3 — AFTER the as-of instant
+    n = store.scan(
+        "orders_r", column="o_orderkey", eq=7, as_of_ts=ts_after_two
+    ).count()
+    assert n == 0
+    # key 4 (residue 0) was already live
+    n = store.scan(
+        "orders_r", column="o_orderkey", eq=4, as_of_ts=ts_after_two
+    ).count()
+    assert n == 1
