@@ -172,3 +172,42 @@ def test_point_scan_composes_with_time_travel(bloom_store):
         "orders_r", column="o_orderkey", eq=4, as_of_ts=ts_after_two
     ).count()
     assert n == 1
+
+
+def test_streaming_segments_get_blooms(spark, tmp_path, sf_dir):
+    """stream_load commits micro-batches through store.load, so a table
+    that declares bloom_columns gets a bloom per STREAMED segment too —
+    point lookups prune streaming ingest exactly like batch loads."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.store import CarbonStore
+    from carbondata_spark.streaming.ingest import stream_load
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    sample = load_table(spark, sf_dir, "orders").limit(500)
+    sample.filter(F.col("o_orderkey") % 2 == 0).write.parquet(str(src_dir / "f0"))
+    sample.filter(F.col("o_orderkey") % 2 == 1).write.parquet(str(src_dir / "f1"))
+
+    store = CarbonStore(spark, str(tmp_path / "store"))
+    store.create_table(
+        "orders_live",
+        sample.schema,
+        sort_columns=["o_orderdate"],
+        properties={"bloom_columns": "o_orderkey"},
+    )
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    q = stream_load(store, "orders_live", stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    segs = store.valid_segments("orders_live")
+    assert segs and all(e.blooms.get("o_orderkey") for e in segs)
+    key = int(sample.agg(F.min("o_orderkey")).first()[0])
+    got = store.scan("orders_live", column="o_orderkey", eq=key)
+    assert got.count() == 1
+    if len(segs) > 1:  # availableNow may fuse both files into one batch
+        read = {f.split("/Segment_")[1].split("/")[0] for f in got.inputFiles()}
+        assert len(read) < len(segs)
