@@ -269,6 +269,24 @@ class CarbonStore:
         for pc in partition_columns or []:
             if pc not in schema.fieldNames():
                 raise ValueError(f"partition column {pc} not in schema")
+        # bloom_columns must exist (a typo would silently never compute a
+        # filter) and must not be float/double: IEEE -0.0 == 0.0 compares
+        # equal but hashes differently, so a float bloom could produce a
+        # FALSE NEGATIVE — a dropped row, not just a missed prune.
+        field_types = {f.name: f.dataType for f in schema.fields}
+        for bc in [
+            c.strip()
+            for c in properties.get("bloom_columns", "").split(",")
+            if c.strip()
+        ]:
+            if bc not in field_types:
+                raise ValueError(f"bloom column {bc} not in schema")
+            if isinstance(field_types[bc], (T.FloatType, T.DoubleType)):
+                raise ValueError(
+                    f"bloom column {bc} is floating-point: -0.0/0.0 "
+                    "hash-equality divergence could drop rows — use an "
+                    "integral, string, decimal, or date/timestamp key"
+                )
         meta = {
             "name": table,
             "schema": json.loads(schema.json()),

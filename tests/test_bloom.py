@@ -211,3 +211,24 @@ def test_streaming_segments_get_blooms(spark, tmp_path, sf_dir):
     if len(segs) > 1:  # availableNow may fuse both files into one batch
         read = {f.split("/Segment_")[1].split("/")[0] for f in got.inputFiles()}
         assert len(read) < len(segs)
+
+
+def test_create_table_validates_bloom_columns(spark, tmp_path):
+    """Typo'd bloom columns fail at CREATE (a silent no-op filter would
+    look like pruning while never pruning); float/double keys are refused
+    outright — IEEE -0.0 == 0.0 compares equal but hashes differently, so
+    a float bloom could FALSE-NEGATIVE a real row."""
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "v"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="not in schema"):
+        store.create_table("a", schema, properties={"bloom_columns": "nope"})
+    with pytest.raises(ValueError, match="floating-point"):
+        store.create_table("b", schema, properties={"bloom_columns": "score"})
+    store.create_table("c", schema, properties={"bloom_columns": "id"})  # ok
