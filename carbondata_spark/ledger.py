@@ -214,6 +214,41 @@ def load_debt() -> dict | None:
     return debt
 
 
+def debt_absorption_status(
+    debt: dict,
+    rounds: dict[str, int],
+    registered: set[str],
+) -> tuple[str, list[str]]:
+    """Classify a declaration against the rotated ledger's per-query
+    newest driver rounds. Returns (state, unabsorbed_rows) where state is
+
+    * ``"pending"`` — rotation still sits at (or before) the declaration
+      round: the declared rows' own verification lands in the NEXT
+      round's driver run; nothing to enforce yet;
+    * ``"absorbed"`` — every declared row still in the registry has a
+      driver row from AFTER the declaration round: the carry was repaid
+      and the declaration file should be deleted;
+    * ``"violated"`` — a later round has been rotated in but some
+      declared rows still lack a post-declaration driver row: the debt
+      was silently outlived (the budget gate's aged-displacement check
+      hard-fails on these same rows, but this check reports the breach
+      by name at round start rather than at the next commit).
+
+    Pure (no filesystem): tools/update_ledger.py acts on the verdict,
+    tests/test_ledger.py pins the three states.
+    """
+    declared = int(debt.get("declared_round", -1))
+    newest = max(rounds.values(), default=0)
+    if newest <= declared:
+        return "pending", []
+    unabsorbed = [
+        n
+        for n in debt.get("rows", [])
+        if n in registered and rounds.get(n, 0) <= declared
+    ]
+    return ("violated" if unabsorbed else "absorbed"), unabsorbed
+
+
 # The driver's correctness harness checks a fixed-size prefix of the
 # registry: 50 rows every round since r1 (CORRECTNESS_r1: 50 of 66;
 # r5: 50 of 100). Observed behavior, not a published contract — keep

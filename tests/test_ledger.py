@@ -455,3 +455,30 @@ def test_live_registry_order_honors_ledger_invariants():
     assert flags == sorted(flags, reverse=True)
     fresh_rounds = [ledger[n]["last_round"] for n, c in zip(order, flags) if not c]
     assert fresh_rounds == sorted(fresh_rounds)
+
+
+def test_debt_absorption_status_three_states():
+    """The declared-carry lifecycle (see ledger.DEBT_PATH doc), pinned as
+    a pure function: pending while rotation sits at the declaration
+    round, absorbed once every declared row has a post-declaration driver
+    row (deregistered rows don't block absorption), violated — by name —
+    when a later round rotated in without repaying the carry."""
+    debt = {"declared_round": 9, "rows": ["q_a", "q_b", "q_gone"]}
+    reg = {"q_a", "q_b"}  # q_gone was deregistered since the declaration
+
+    # rotation still at the declaration round: nothing to enforce yet
+    state, rows = L.debt_absorption_status(debt, {"q_a": 9, "q_b": 8}, reg)
+    assert state == "pending" and rows == []
+    # a later round rotated in and every registered declared row has a
+    # post-declaration driver row -> absorbed (delete the declaration)
+    state, rows = L.debt_absorption_status(debt, {"q_a": 10, "q_b": 10}, reg)
+    assert state == "absorbed" and rows == []
+    # a later round rotated in but q_b still certifies r<=9 -> violation,
+    # reported by name
+    state, rows = L.debt_absorption_status(
+        debt, {"q_a": 10, "q_b": 9, "q_other": 10}, reg
+    )
+    assert state == "violated" and rows == ["q_b"]
+    # a declared row with NO driver row at all is also a violation
+    state, rows = L.debt_absorption_status(debt, {"q_a": 10, "q_other": 10}, reg)
+    assert state == "violated" and rows == ["q_b"]

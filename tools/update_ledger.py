@@ -156,38 +156,32 @@ def main() -> None:
     # from after the declaration — then the file is deleted. Anything else
     # is a loud failure (and those rows are aged now, so the budget gate
     # below hard-fails too).
-    from carbondata_spark.ledger import DEBT_PATH, load_debt
+    from carbondata_spark.ledger import DEBT_PATH, debt_absorption_status, load_debt
 
     debt = load_debt()
     if debt:
         declared = int(debt.get("declared_round", -1))
-        newest = max(rounds.values(), default=0)
-        # Declared while building round N (whose driver run checks the
-        # prefix the debt was displaced FROM), so the debt rows' own
-        # verification lands in round N+1's driver run.
-        if newest <= declared:
+        state, unabsorbed = debt_absorption_status(debt, rounds, set(reg))
+        if state == "pending":
+            # Declared while building round N (whose driver run checks the
+            # prefix the debt was displaced FROM), so the debt rows' own
+            # verification lands in round N+1's driver run.
             print(
                 f"debt: declared for r{declared}, pending "
                 f"({len(debt.get('rows', []))} rows carry into r{declared + 1})"
             )
+        elif state == "violated":
+            print(
+                f"debt: FAILURE — r{declared} declaration NOT absorbed; "
+                f"{len(unabsorbed)} rows still lack a post-declaration "
+                "driver row: " + ", ".join(unabsorbed)
+            )
         else:
-            unabsorbed = [
-                n
-                for n in debt.get("rows", [])
-                if n in reg and rounds.get(n, 0) <= declared
-            ]
-            if unabsorbed:
-                print(
-                    f"debt: FAILURE — r{declared} declaration NOT absorbed; "
-                    f"{len(unabsorbed)} rows still lack a post-declaration "
-                    "driver row: " + ", ".join(unabsorbed)
-                )
-            else:
-                os.remove(DEBT_PATH)
-                print(
-                    f"debt: r{declared} declaration fully absorbed "
-                    f"({len(debt.get('rows', []))} rows re-verified) — cleared"
-                )
+            os.remove(DEBT_PATH)
+            print(
+                f"debt: r{declared} declaration fully absorbed "
+                f"({len(debt.get('rows', []))} rows re-verified) — cleared"
+            )
 
     # Round-start convenience: show where the refreshed ledger leaves the
     # driver-prefix budget (same report as tools/check_budget.py).
