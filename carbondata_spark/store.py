@@ -313,7 +313,7 @@ class CarbonStore:
     def describe(self, table: str) -> dict[str, Any]:
         meta = self._read_schema(table)
         segs = self._read_status(table)
-        return {
+        out = {
             "name": table,
             "schema": T.StructType.fromJson(meta["schema"]).simpleString(),
             "sort_columns": meta["sort_columns"],
@@ -322,6 +322,30 @@ class CarbonStore:
             "total_rows": sum(s.rows for s in segs if s.status == SEGMENT_SUCCESS),
             "evolution_entries": len(meta["evolution"]),
         }
+        live = [s for s in segs if s.status == SEGMENT_SUCCESS]
+        bloom_cols = sorted({c for s in live for c in s.blooms})
+        if bloom_cols:
+            import base64 as _b64
+
+            # fill ratio = set bits / m: the filter's health metric — a
+            # fill near 1.0 means the segment outgrew its sizing and the
+            # bloom prunes (almost) nothing; ~0.5 is the design point
+            health: dict[str, dict] = {}
+            for c in bloom_cols:
+                fills = []
+                for s in live:
+                    b = s.blooms.get(c)
+                    if not b:
+                        continue
+                    bits = _b64.b64decode(b["bits"])
+                    ones = sum(bin(x).count("1") for x in bits)
+                    fills.append(ones / b["m"])
+                health[c] = {
+                    "segments_with_bloom": len(fills),
+                    "max_fill": round(max(fills), 4) if fills else None,
+                }
+            out["bloom_health"] = health
+        return out
 
     def schema(self, table: str) -> T.StructType:
         return T.StructType.fromJson(self._read_schema(table)["schema"])

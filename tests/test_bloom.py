@@ -232,3 +232,15 @@ def test_create_table_validates_bloom_columns(spark, tmp_path):
     with pytest.raises(ValueError, match="floating-point"):
         store.create_table("b", schema, properties={"bloom_columns": "score"})
     store.create_table("c", schema, properties={"bloom_columns": "id"})  # ok
+
+
+def test_describe_reports_bloom_health(bloom_store):
+    """describe() surfaces per-column bloom health (max fill ratio across
+    segments) — the observable that says whether the filters are still
+    selective or have outgrown their sizing."""
+    store, _ = bloom_store
+    d = store.describe("orders_r")
+    h = d["bloom_health"]["o_orderkey"]
+    assert h["segments_with_bloom"] == 4
+    # sized at ~10 bits/distinct: fill stays well under saturation
+    assert 0 < h["max_fill"] < 0.6
