@@ -329,3 +329,50 @@ def token_budget_mix(
         .filter(_key_frac(id_col) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights at alpha = 0.5 (the
+    sqrt-of-mass rule GPT-3-style multilingual mixes use): weight_d =
+    sqrt(n_d) / sum_d' sqrt(n_d'), flattening the domain distribution so
+    head domains stop drowning tail ones.
+
+    One row per domain: (domain, n_tokens, weight rounded to 6,
+    oversample = weight * total_tokens / n_tokens rounded to 4).
+    ``oversample`` > 1 means the mix REPEATS the domain (tail upweighted
+    past one epoch), < 1 means it subsamples — exactly the rate
+    ``token_budget_mix`` would be fed to realize the mix (budget_d =
+    weight_d * total).
+
+    alpha is fixed at 0.5 rather than a parameter because sqrt is the
+    one power IEEE-754 guarantees correctly rounded — pow(x, alpha)
+    may differ in the last ulp between the JVM and the oracle engine's
+    libm, and this module's contract is bit-identical arithmetic before
+    rounding. Plan: one partial-aggregated shuffle of #domains rows,
+    then a #domains-row unpartitioned window for the normalizing sum —
+    trivially small at any corpus size (domains, not documents).
+    """
+    from pyspark.sql import Window as W
+
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    totals = (
+        df.withColumn("_nt", ntok.cast("long"))
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum("_nt").alias("n_tokens"))
+    )
+    w = W.partitionBy()
+    sq = F.sqrt(F.col("n_tokens").cast("double"))
+    weight = sq / F.sum(sq).over(w)
+    total = F.sum(F.col("n_tokens").cast("double")).over(w)
+    from carbondata_spark.functions import dround
+
+    return totals.select(
+        "domain",
+        "n_tokens",
+        dround(weight, 6).alias("weight"),
+        dround(weight * total / F.col("n_tokens").cast("double"), 4).alias("oversample"),
+    )
