@@ -203,13 +203,26 @@ def load_pins() -> set[str]:
 
 
 def load_debt() -> dict | None:
-    """The committed carried-dirt declaration (see DEBT_PATH), or None."""
+    """The committed carried-dirt declaration (see DEBT_PATH), or None.
+
+    Shape-validated, not just parse-validated: downstream consumers call
+    ``int(debt["declared_round"])`` and iterate ``debt["rows"]`` — a
+    declaration with ``declared_round: "nine"`` or a non-list ``rows``
+    must read as *invalid* (None -> allowance applies), not crash the
+    budget gate with an unhandled exception."""
     try:
         with open(DEBT_PATH) as f:
             debt = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
     if not isinstance(debt, dict) or "rows" not in debt:
+        return None
+    if not isinstance(debt.get("declared_round"), int) or isinstance(
+        debt.get("declared_round"), bool
+    ):
+        return None
+    rows = debt["rows"]
+    if not isinstance(rows, list) or not all(isinstance(r, str) for r in rows):
         return None
     return debt
 
@@ -265,13 +278,14 @@ CARRY_ALLOWANCE = 8
 # model: a deliberate fix to a CORE module (store/catalog/functions)
 # whose closure reaches ~every query, so the changed block exceeds the
 # prefix budget no matter how the edit is sequenced — e.g. the r9
-# compaction-provenance fix to store.py dirtied 86 of 111 closures;
-# 50 is the hard per-round ceiling, so 36 current-round rows carry.
+# compaction-provenance fix to store.py dirtied 86 of 114 closures;
+# 50 is the hard per-round ceiling, so the current-round remainder
+# carries (the exact row list lives in driver_debt.json, not here).
 # Rather than silently committing through a red gate (the r8 failure)
 # or shipping a known wrong-answer path for a round, the builder
 # DECLARES the carry in ``driver_debt.json`` (committed):
 #
-#     {"declared_round": 9, "reason": "...", "rows": [...36 names...]}
+#     {"declared_round": 9, "reason": "...", "rows": [...]}
 #
 # budget_report honors the declaration ONLY when every condition holds:
 #   * no never-verified or aged row is displaced (hard fails stand);

@@ -482,3 +482,53 @@ def test_debt_absorption_status_three_states():
     # a declared row with NO driver row at all is also a violation
     state, rows = L.debt_absorption_status(debt, {"q_a": 10, "q_other": 10}, reg)
     assert state == "violated" and rows == ["q_b"]
+
+
+def test_load_debt_rejects_ill_shaped_declarations(tmp_path, monkeypatch):
+    """A declaration that parses as JSON but is the wrong SHAPE must read
+    as invalid (None -> the normal allowance applies), not crash the
+    budget gate downstream: consumers call int(declared_round) and
+    iterate rows. (ADVICE r9.)"""
+    import json as _json
+
+    path = tmp_path / "driver_debt.json"
+    monkeypatch.setattr(L, "DEBT_PATH", str(path))
+
+    def write(obj):
+        path.write_text(_json.dumps(obj))
+
+    good = {"declared_round": 9, "rows": ["q_a"]}
+    write(good)
+    assert L.load_debt() == good
+    # declared_round not an int (or a bool masquerading as one)
+    write({"declared_round": "nine", "rows": ["q_a"]})
+    assert L.load_debt() is None
+    write({"declared_round": True, "rows": ["q_a"]})
+    assert L.load_debt() is None
+    write({"rows": ["q_a"]})  # missing entirely
+    assert L.load_debt() is None
+    # rows not a list of strings
+    write({"declared_round": 9, "rows": "q_a"})
+    assert L.load_debt() is None
+    write({"declared_round": 9, "rows": ["q_a", 7]})
+    assert L.load_debt() is None
+    # and the gate consumes the invalid declaration without crashing:
+    # budget_report(debt=None-equivalent) falls back to the allowance
+    write({"declared_round": "nine", "rows": ["q_a"]})
+    rep = L.budget_report({}, ledger={}, read_source=lambda m: None,
+                          pins=set(), budget=1, debt=L.load_debt())
+    assert rep["ok"] and not rep["declared_debt"]
+
+
+def test_update_ledger_exits_nonzero_on_violated_debt():
+    """tools/update_ledger.py promises a LOUD failure when a declaration
+    is outlived; loud must include the process exit code (ADVICE r9).
+    Source-level pin (running main() needs git + the full registry):
+    the violated branch sets the failure flag and main's return feeds
+    sys.exit."""
+    from pathlib import Path
+
+    src = Path(L.REPO_ROOT, "tools", "update_ledger.py").read_text()
+    assert 'failed = True' in src.split('elif state == "violated":')[1].split("else:")[0]
+    assert "return 1 if failed else 0" in src
+    assert "sys.exit(main())" in src

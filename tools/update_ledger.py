@@ -101,7 +101,12 @@ def last_rounds() -> tuple[dict[str, int], dict[str, int]]:
     return latest, latest_green
 
 
-def main() -> None:
+def main() -> int:
+    """Returns a process exit code: 0 normally, 1 when a past debt
+    declaration was VIOLATED (its rows outlived re-verification). The
+    ledger docstring promises absorption is machine-enforced with a loud
+    failure — loud must mean a nonzero exit so scripted/CI invocations
+    can detect the breach, exactly like tools/check_budget.py."""
     from carbondata_spark.queries import registry
 
     commits = round_commits()
@@ -158,6 +163,7 @@ def main() -> None:
     # below hard-fails too).
     from carbondata_spark.ledger import DEBT_PATH, debt_absorption_status, load_debt
 
+    failed = False
     debt = load_debt()
     if debt:
         declared = int(debt.get("declared_round", -1))
@@ -171,6 +177,7 @@ def main() -> None:
                 f"({len(debt.get('rows', []))} rows carry into r{declared + 1})"
             )
         elif state == "violated":
+            failed = True
             print(
                 f"debt: FAILURE — r{declared} declaration NOT absorbed; "
                 f"{len(unabsorbed)} rows still lack a post-declaration "
@@ -197,7 +204,8 @@ def main() -> None:
         f"(displaced {len(rep['displaced'])}, aged "
         f"{len(rep['aged_displaced'])}) -> {status}"
     )
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
