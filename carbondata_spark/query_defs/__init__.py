@@ -20,6 +20,7 @@ import carbondata_spark.query_defs.pipeline3  # noqa: F401
 import carbondata_spark.query_defs.pipeline4  # noqa: F401
 import carbondata_spark.query_defs.pipeline5  # noqa: F401
 import carbondata_spark.query_defs.ivf_q  # noqa: F401
+import carbondata_spark.query_defs.lifecycle_q  # noqa: F401
 import carbondata_spark.query_defs.routing_q  # noqa: F401
 import carbondata_spark.query_defs.scalars  # noqa: F401
 import carbondata_spark.query_defs.store_q  # noqa: F401

@@ -225,3 +225,42 @@ def test_stream_dedup_streaming_path(spark, tmp_path):
     assert [(r.user_id, r.event_type) for r in got] == [(7, "click"), (7, "click"), (8, "view")]
     slots = {str(r.slot) for r in got if r.user_id == 7}
     assert len(slots) == 2  # the two distinct minutes survived, the replay died
+
+
+# ---------------------------------------------------------------------------
+# lifecycle_q: the maintenance-cycle registry row leaves the store in the
+# state the docstring claims (one compacted survivor, deleted load GC'd)
+# ---------------------------------------------------------------------------
+
+
+def test_lifecycle_compacted_store_state(spark, sf_dir):
+    from carbondata_spark.query_defs.lifecycle_q import _compacted_store
+
+    store = _compacted_store(spark, sf_dir)
+    segs = store.show_segments("orders_l")
+    # clean_files GC'd the deleted load AND the compacted inputs: the
+    # manifest lists exactly the one surviving merged segment
+    assert [(s["segment_id"], s["status"]) for s in segs] == [(3, "Success")], segs
+    # zone-map survives the merge (sort_columns=[o_orderkey])
+    assert "o_orderkey" in segs[0]["stats"]
+    # row conservation: compacted table == the two surviving loads
+    from carbondata_spark.queries import t
+    from pyspark.sql import functions as F
+
+    expect = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 != 1).count()
+    assert store.table("orders_l").count() == expect
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from carbondata_spark.functions import salted_join
+
+    big = spark.range(0, 10_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("v")
+    )  # one pathological key
+    small = spark.createDataFrame([(1, "hot")], "k int, name string")
+    out = salted_join(big, small, on=["k"], n_salts=8)
+    assert out.count() == 10_000  # replication x filter is lossless
+    # the join key actually includes the salt (8-way spread), visible in
+    # the physical plan's join condition
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
