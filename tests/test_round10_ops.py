@@ -264,3 +264,37 @@ def test_salted_join_spreads_hot_key(spark):
     # the physical plan's join condition
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_round10_ops_prune_scan_columns(spark, sf_dir):
+    """The registry forms of the round-10 operators must push column
+    pruning into the parquet scan (same contract as the round-9 pin in
+    test_new_pipeline_ops.py)."""
+    from carbondata_spark.queries import registry
+
+    spark.catalog.clearCache()
+    reg = registry()
+    cases = {
+        "p_ngram_topk": ("documents", {"doc_id", "text"}),
+        "p_dedup_span_commonality": ("documents", {"doc_id", "text"}),
+        "p_mix_temperature": ("documents", {"lang", "text"}),
+        "p_sim_adc_topk": ("embeddings", {"vec_id", "embedding"}),
+        "q_stream_dedup": ("events", {"user_id", "event_type", "ts"}),
+        "q_skew_salted_join": ("lineitem", {"l_suppkey", "l_quantity"}),
+    }
+    for name, (table, want_cols) in cases.items():
+        df = reg[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = [
+            ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and table in ln
+        ]
+        assert scans, f"{name}: no parquet scan of {table} in plan"
+        for ln in scans:
+            schema = ln.split("ReadSchema: ")[-1]
+            read = {
+                c.split(":")[0]
+                for c in schema.split("struct<", 1)[-1].rstrip(">... ").split(",")
+                if ":" in c
+            }
+            assert read <= want_cols, f"{name} reads {read}, wants <= {want_cols}"
