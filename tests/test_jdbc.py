@@ -21,7 +21,12 @@ DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 @pytest.fixture(scope="module")
 def derby_url(spark, tmp_path_factory):
-    db = tmp_path_factory.mktemp("derby") / "db"
+    home = tmp_path_factory.mktemp("derby")
+    # keep derby.log out of the process cwd (it is gitignored, but a
+    # clean tree beats an ignored stray); must be set before the engine
+    # boots in this JVM — a no-op if the metastore booted Derby already
+    spark._jvm.System.setProperty("derby.system.home", str(home))
+    db = home / "db"
     url = f"jdbc:derby:{db};create=true"
     # write the fixture table once: 100 rows, int key + string + double
     df = spark.range(0, 100).select(
