@@ -312,7 +312,9 @@ def token_budget_mix(
     so one hot domain cannot serialize the job the way a window-cumsum
     formulation would.
     """
-    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    from carbondata_spark.operators.dedup import words_col
+
+    ntok = F.size(words_col(text_col))
     toks = df.withColumn("n_tokens", ntok.cast("long"))
     totals = toks.groupBy(domain_col).agg(F.sum("n_tokens").alias("_total"))
     budget_col = F.create_map(
@@ -356,9 +358,12 @@ def temperature_mix_weights(
     then a #domains-row unpartitioned window for the normalizing sum —
     trivially small at any corpus size (domains, not documents).
     """
-    from pyspark.sql import Window as W
+    from carbondata_spark.functions import dround
+    from carbondata_spark.operators.dedup import words_col
 
-    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # ONE definition of the whitespace token count (shared with the
+    # oracle convention len(string_split_regex(trim(text), '\s+')))
+    ntok = F.size(words_col(text_col))
     totals = (
         df.withColumn("_nt", ntok.cast("long"))
         .groupBy(F.col(domain_col).alias("domain"))
@@ -368,8 +373,6 @@ def temperature_mix_weights(
     sq = F.sqrt(F.col("n_tokens").cast("double"))
     weight = sq / F.sum(sq).over(w)
     total = F.sum(F.col("n_tokens").cast("double")).over(w)
-    from carbondata_spark.functions import dround
-
     return totals.select(
         "domain",
         "n_tokens",

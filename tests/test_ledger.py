@@ -532,3 +532,15 @@ def test_update_ledger_exits_nonzero_on_violated_debt():
     assert 'failed = True' in src.split('elif state == "violated":')[1].split("else:")[0]
     assert "return 1 if failed else 0" in src
     assert "sys.exit(main())" in src
+
+
+def test_ill_shaped_debt_file_is_loud_not_silent(tmp_path, monkeypatch):
+    """load_debt returning None while the FILE exists must not silently
+    drop the absorption check: update_ledger prints a FAILURE and exits
+    nonzero (source-level pin, companion to the exit-code pin above)."""
+    from pathlib import Path
+
+    src = Path(L.REPO_ROOT, "tools", "update_ledger.py").read_text()
+    assert "debt is None and os.path.exists(DEBT_PATH)" in src
+    block = src.split("debt is None and os.path.exists(DEBT_PATH)")[1].split("if debt:")[0]
+    assert "failed = True" in block

@@ -9,8 +9,6 @@ degradation)."""
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import functions as F
 
 
@@ -186,8 +184,6 @@ def test_adc_topk_plan_broadcasts_queries(spark, sf_dir):
 
 
 def test_stream_dedup_streaming_path(spark, tmp_path):
-    import time
-
     from carbondata_spark.streaming.ingest import stream_dedup
 
     src = str(tmp_path / "src")

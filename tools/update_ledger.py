@@ -165,6 +165,16 @@ def main() -> int:
 
     failed = False
     debt = load_debt()
+    if debt is None and os.path.exists(DEBT_PATH):
+        # a declaration file EXISTS but failed shape validation: treating
+        # it as "no debt" would silently drop the absorption check the
+        # ledger docstring promises — fail as loudly as a violation
+        failed = True
+        print(
+            f"debt: FAILURE — {os.path.basename(DEBT_PATH)} exists but is "
+            "ill-shaped (declared_round must be an int, rows a list of "
+            "strings); fix or remove the declaration"
+        )
     if debt:
         declared = int(debt.get("declared_round", -1))
         state, unabsorbed = debt_absorption_status(debt, rounds, set(reg))
