@@ -94,6 +94,7 @@ def search_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int | None = None,
+    probe_join: str = "broadcast",
 ) -> DataFrame:
     """Top-``k`` per query over the ``nprobe`` best centroid buckets.
 
@@ -111,7 +112,21 @@ def search_ivf_index(
     which is the entire point of IVF at 100 TB. (DPP requires a single
     scan per partition layout: ``build_ivf_index`` always leaves the
     index one compacted segment; keep it compacted after manual loads.)
+
+    ``probe_join`` picks the probe-to-assignment join strategy. The
+    default ``"broadcast"`` ships the (n_queries x nprobe)-row probe set
+    (qvec included) to every executor — right for interactive batches,
+    and the only mode that feeds DPP. For MILLION-query offline batches
+    the probe set outgrows any broadcast budget; ``"shuffle"`` joins on
+    the cid key instead: the corpus-sized assignment shuffles ONCE on
+    cid (amortized over the whole query batch) and no executor ever
+    holds the full probe set. Partition pruning is deliberately lost —
+    at that query volume nearly every bucket is probed by some query
+    anyway, so directory pruning has nothing left to prune. Results are
+    identical; only the plan changes (tests pin both).
     """
+    if probe_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"probe_join must be 'broadcast' or 'shuffle', got {probe_join!r}")
     cents = store.table(f"{index_name}_centroids")
     assigned = store.table(f"{index_name}_assign")
 
@@ -136,8 +151,10 @@ def search_ivf_index(
     # broadcast the (n_queries × nprobe)-row probe set: no shuffle of the
     # corpus-sized assignment, and DPP's reuseBroadcastOnly condition is
     # satisfied so the partition-pruning subquery reuses this broadcast
+    # (shuffle mode: see the probe_join docstring trade-off)
+    probes_j = F.broadcast(probes) if probe_join == "broadcast" else probes
     scored = (
-        assigned.join(F.broadcast(probes), "cid")
+        assigned.join(probes_j, "cid")
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",

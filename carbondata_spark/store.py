@@ -323,7 +323,11 @@ class CarbonStore:
             "evolution_entries": len(meta["evolution"]),
         }
         live = [s for s in segs if s.status == SEGMENT_SUCCESS]
-        bloom_cols = sorted({c for s in live for c in s.blooms})
+        # segments written before an ALTER DROP may still carry blooms
+        # for the dropped column; health is reported only for columns in
+        # the CURRENT schema
+        fields = {f.name for f in T.StructType.fromJson(meta["schema"]).fields}
+        bloom_cols = sorted({c for s in live for c in s.blooms if c in fields})
         if bloom_cols:
             import base64 as _b64
 
@@ -566,6 +570,12 @@ class CarbonStore:
         if isin is not None and (ge is not None or le is not None):
             raise ValueError("point lookup (eq/isin) excludes range bounds (ge/le)")
         if column is None:
+            if isin is not None or ge is not None or le is not None:
+                # silently returning the unfiltered table here would hand
+                # a caller expecting a point lookup the WHOLE table —
+                # wrong results, not just wasted IO; mirror the guards
+                # above and fail loudly instead
+                raise ValueError("eq/isin/ge/le require column=")
             return self.table(table, as_of_ts=as_of_ts)
         if isin is not None:
             return self._point_scan(table, column, list(isin), as_of_ts)

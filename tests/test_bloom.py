@@ -244,3 +244,36 @@ def test_describe_reports_bloom_health(bloom_store):
     assert h["segments_with_bloom"] == 4
     # sized at ~10 bits/distinct: fill stays well under saturation
     assert 0 < h["max_fill"] < 0.6
+
+
+def test_scan_predicates_without_column_raise(bloom_store):
+    """scan(eq=...) / scan(isin=[...]) / scan(ge=...) with column=None
+    used to pass validation and silently return the WHOLE table —
+    wrong results for a caller expecting a point lookup. Mirrors the
+    eq+isin / eq+range guards. (ADVICE r9.)"""
+    store, _ = bloom_store
+    for kwargs in ({"eq": 1}, {"isin": [1, 2]}, {"ge": 0}, {"le": 10}):
+        with pytest.raises(ValueError, match="require column"):
+            store.scan("orders_r", **kwargs)
+    # a bare scan with no predicate is still the whole-table read
+    assert store.scan("orders_r").count() == store.table("orders_r").count()
+
+
+def test_bloom_health_drops_with_dropped_column(spark, tmp_path, sf_dir):
+    """ALTER DROP leaves old segments' bloom entries on disk (segments
+    are immutable), but describe() must not report health for a column
+    that no longer exists in the schema. (ADVICE r9.)"""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path))
+    orders = load_table(spark, sf_dir, "orders")
+    store.create_table(
+        "o_drop", orders.schema, properties={"bloom_columns": "o_orderkey,o_custkey"}
+    )
+    store.load("o_drop", orders.limit(500))
+    assert set(store.describe("o_drop")["bloom_health"]) == {"o_orderkey", "o_custkey"}
+    store.alter_drop_columns("o_drop", ["o_custkey"])
+    d = store.describe("o_drop")
+    assert set(d["bloom_health"]) == {"o_orderkey"}
+    assert "o_custkey" not in d["schema"]
