@@ -125,10 +125,32 @@ def search_ivf_index(
     anyway, so directory pruning has nothing left to prune. Results are
     identical; only the plan changes (tests pin both).
     """
-    if probe_join not in ("broadcast", "shuffle"):
-        raise ValueError(f"probe_join must be 'broadcast' or 'shuffle', got {probe_join!r}")
     cents = store.table(f"{index_name}_centroids")
     assigned = store.table(f"{index_name}_assign")
+    return _topk_over_buckets(
+        cents, assigned, queries, k, nprobe, id_col, vec_col, decimals, probe_join
+    )
+
+
+def _topk_over_buckets(
+    cents: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    decimals: int | None,
+    probe_join: str,
+) -> DataFrame:
+    """The probe + bucket-scan + top-k engine shared by the float index
+    (``search_ivf_index``) and the int8 ADC index
+    (``operators/ivf_adc.search_ivf_adc_index``): ``assigned`` must
+    expose (cid, vid, v double-array) — for ADC, v is the dequantize
+    expression over stored codes, a projection the cid PartitionFilters
+    pass straight through, so DPP prunes identically."""
+    if probe_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"probe_join must be 'broadcast' or 'shuffle', got {probe_join!r}")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -70,6 +70,11 @@ def adc_topk(
     Ties broken by neighbor id, as in ``cosine_topk`` — the exact
     operator this one trades a little recall against for 4x less corpus
     memory; tests pin the rank agreement on the test corpus.
+
+    Contract (same as ``cosine_topk``): ``queries`` must be SMALL — it
+    is unconditionally broadcast so the corpus never shuffles; a
+    million-query batch belongs on the IVF path
+    (``search_ivf_index(probe_join="shuffle")``), not here.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")

@@ -20,12 +20,14 @@ DuckDB differential gate.
 
 Build artifacts (store tables, JSON/ORC dumps) are cached per
 (process, sf_dir, Spark app) exactly like store_q's store build, so the
-driver pays each round-trip once.
+driver pays each round-trip once; the trees are registered with
+``_tmpdirs.mkdtemp`` and removed at process exit (ADVICE r10 — they
+used to leak per run).
 """
 
 from __future__ import annotations
 
-import tempfile
+from carbondata_spark.query_defs._tmpdirs import mkdtemp
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -50,7 +52,7 @@ def _compacted_store(spark: SparkSession, sf_dir: str):
     if key in _BUILT:
         return CarbonStore(spark, _BUILT[key])
 
-    path = tempfile.mkdtemp(prefix="carbondata_lifecycle_")
+    path = mkdtemp(prefix="carbondata_lifecycle_")
     store = CarbonStore(spark, path)
     orders = t(spark, sf_dir, "orders")
     store.create_table("orders_l", orders.schema, sort_columns=["o_orderkey"])
@@ -122,7 +124,7 @@ def q_skew_salted_join(spark, sf_dir):
 def _json_path(spark: SparkSession, sf_dir: str) -> str:
     key = _cache_key("json", spark, sf_dir)
     if key not in _BUILT:
-        path = tempfile.mkdtemp(prefix="carbondata_json_") + "/documents"
+        path = mkdtemp(prefix="carbondata_json_") + "/documents"
         t(spark, sf_dir, "documents").write.mode("overwrite").json(path)
         _BUILT[key] = path
     return _BUILT[key]
@@ -158,7 +160,7 @@ def _orc_path(spark: SparkSession, sf_dir: str) -> str:
     if key not in _BUILT:
         from carbondata_spark.sources.formats import write_orc
 
-        path = tempfile.mkdtemp(prefix="carbondata_orc_") + "/events"
+        path = mkdtemp(prefix="carbondata_orc_") + "/events"
         write_orc(
             t(spark, sf_dir, "events").select("event_id", "event_type", "value"), path
         )

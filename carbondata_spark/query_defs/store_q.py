@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import datetime
 import os
-import tempfile
+from carbondata_spark.query_defs._tmpdirs import mkdtemp
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -55,7 +55,7 @@ def _orders_store(spark: SparkSession, sf_dir: str):
     if key in _BUILT:
         return CarbonStore(spark, _BUILT[key])
 
-    path = tempfile.mkdtemp(prefix="carbondata_storeq_")
+    path = mkdtemp(prefix="carbondata_storeq_")
     store = CarbonStore(spark, path)
     orders = t(spark, sf_dir, "orders")
 
@@ -226,7 +226,7 @@ def q_complex_sql_load(spark, sf_dir):
 
     key = (sf_dir, spark.sparkContext.applicationId, "complex_sql")
     if key not in _BUILT:
-        base = tempfile.mkdtemp(prefix="carbondata_complexsql_")
+        base = mkdtemp(prefix="carbondata_complexsql_")
         csv_dir = os.path.join(base, "csv")
         orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
         # route = "1:<price>$2:<price*0.5>" — double→string→double
@@ -304,7 +304,7 @@ def q_cube_ddl(spark, sf_dir):
 
     key = (sf_dir, spark.sparkContext.applicationId, "cube_ddl")
     if key not in _BUILT:
-        base = tempfile.mkdtemp(prefix="carbondata_cubeddl_")
+        base = mkdtemp(prefix="carbondata_cubeddl_")
         cs = CarbonSession(spark, CarbonStore(spark, base))
         cs.sql(
             "CREATE CUBE orders_cube"
@@ -352,7 +352,7 @@ def q_store_time_travel(spark, sf_dir):
 
     key = (sf_dir, spark.sparkContext.applicationId, "time_travel")
     if key not in _BUILT:
-        base = tempfile.mkdtemp(prefix="carbondata_timetravel_")
+        base = mkdtemp(prefix="carbondata_timetravel_")
         store = CarbonStore(spark, base)
         orders = t(spark, sf_dir, "orders")
         store.create_table("orders_tt", orders.schema)
@@ -414,7 +414,7 @@ def _zorder_store(spark: SparkSession, sf_dir: str):
     if key in _BUILT_Z:
         return CarbonStore(spark, _BUILT_Z[key])
 
-    path = tempfile.mkdtemp(prefix="carbondata_zorder_")
+    path = mkdtemp(prefix="carbondata_zorder_")
     store = CarbonStore(spark, path)
     li = t(spark, sf_dir, "lineitem")
     store.create_table(
@@ -478,7 +478,7 @@ def _bloom_store(spark: SparkSession, sf_dir: str):
     if key in _BUILT_B:
         return CarbonStore(spark, _BUILT_B[key])
 
-    path = tempfile.mkdtemp(prefix="carbondata_bloom_")
+    path = mkdtemp(prefix="carbondata_bloom_")
     store = CarbonStore(spark, path)
     orders = t(spark, sf_dir, "orders")
     store.create_table(

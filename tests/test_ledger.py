@@ -520,27 +520,80 @@ def test_load_debt_rejects_ill_shaped_declarations(tmp_path, monkeypatch):
     assert rep["ok"] and not rep["declared_debt"]
 
 
-def test_update_ledger_exits_nonzero_on_violated_debt():
-    """tools/update_ledger.py promises a LOUD failure when a declaration
-    is outlived; loud must include the process exit code (ADVICE r9).
-    Source-level pin (running main() needs git + the full registry):
-    the violated branch sets the failure flag and main's return feeds
-    sys.exit."""
+def _debt_check(tmp_path, monkeypatch, content: str | None, rounds, registered):
+    """Drive tools/update_ledger.debt_check against a scratch DEBT_PATH
+    (ADVICE r10: test the exit-code BEHAVIOR, not source strings)."""
+    import tempfile
     from pathlib import Path
 
-    src = Path(L.REPO_ROOT, "tools", "update_ledger.py").read_text()
-    assert 'failed = True' in src.split('elif state == "violated":')[1].split("else:")[0]
-    assert "return 1 if failed else 0" in src
-    assert "sys.exit(main())" in src
+    import tools.update_ledger as ul
+
+    path = Path(tempfile.mkdtemp(dir=tmp_path)) / "driver_debt.json"
+    monkeypatch.setattr(L, "DEBT_PATH", str(path))
+    if content is not None:
+        path.write_text(content)
+    failed, messages = ul.debt_check(rounds, registered)
+    return failed, messages, path
+
+
+def test_update_ledger_exits_nonzero_on_violated_debt(tmp_path, monkeypatch):
+    """tools/update_ledger promises a LOUD failure when a declaration is
+    outlived (ADVICE r9): a declared row with no post-declaration driver
+    row after a later round rotated in -> failed=True (main() feeds this
+    straight into the process exit code). The pending and absorbed states
+    stay non-failing, and absorption deletes the declaration file."""
+    import json
+
+    decl = json.dumps({"declared_round": 9, "rows": ["q_a", "q_b"]})
+    # violated: r10 rotated in, but q_a's newest driver row is still <= r9
+    failed, messages, path = _debt_check(
+        tmp_path, monkeypatch, decl,
+        rounds={"q_a": 9, "q_b": 10, "q_other": 10},
+        registered={"q_a", "q_b", "q_other"},
+    )
+    assert failed
+    assert any("FAILURE" in m and "q_a" in m for m in messages)
+    assert path.exists()  # a violated declaration is never silently removed
+
+    # pending: rotation still at the declaration round -> nothing to enforce
+    failed, messages, path = _debt_check(
+        tmp_path, monkeypatch, decl,
+        rounds={"q_a": 9, "q_b": 9},
+        registered={"q_a", "q_b"},
+    )
+    assert not failed and any("pending" in m for m in messages)
+    assert path.exists()
+
+    # absorbed: every declared row re-verified after r9 -> cleared + deleted
+    failed, messages, path = _debt_check(
+        tmp_path, monkeypatch, decl,
+        rounds={"q_a": 10, "q_b": 10},
+        registered={"q_a", "q_b"},
+    )
+    assert not failed and any("absorbed" in m for m in messages)
+    assert not path.exists()
+
+    # main() wires failed into the exit code contract
+    import tools.update_ledger as ul
+    import inspect
+
+    assert "sys.exit(main())" in inspect.getsource(ul)
 
 
 def test_ill_shaped_debt_file_is_loud_not_silent(tmp_path, monkeypatch):
     """load_debt returning None while the FILE exists must not silently
-    drop the absorption check: update_ledger prints a FAILURE and exits
-    nonzero (source-level pin, companion to the exit-code pin above)."""
-    from pathlib import Path
+    drop the absorption check: debt_check fails with an ill-shaped
+    message (behavioral companion to the violated-debt test above)."""
+    failed, messages, path = _debt_check(
+        tmp_path, monkeypatch, '{"declared_round": "nine", "rows": ["q_a"]}',
+        rounds={"q_a": 10}, registered={"q_a"},
+    )
+    assert failed
+    assert any("ill-shaped" in m for m in messages)
+    assert path.exists()  # fix-or-remove is the human's call, not ours
 
-    src = Path(L.REPO_ROOT, "tools", "update_ledger.py").read_text()
-    assert "debt is None and os.path.exists(DEBT_PATH)" in src
-    block = src.split("debt is None and os.path.exists(DEBT_PATH)")[1].split("if debt:")[0]
-    assert "failed = True" in block
+    # and NO file at all is simply clean — no failure, no messages
+    failed, messages, _ = _debt_check(
+        tmp_path, monkeypatch, None, rounds={"q_a": 10}, registered={"q_a"}
+    )
+    assert not failed and messages == []

@@ -252,3 +252,69 @@ def test_buffers_loaded_probe_answers_on_live_session(spark):
     finally:
         cached.unpersist(blocking=True)
     assert _buffers_loaded(cached) is True  # out of the cache: free
+
+
+def test_abandoned_lazy_entries_stay_bounded_in_long_sessions(spark):
+    """r10 verdict #3 (the last open question from the r8 regression
+    family): a long-lived driver session that composes MANY stratified
+    samples must not accumulate unbounded tracked entries between
+    materializations. Two regimes, all frames kept deliberately LAZY
+    (nothing is ever collected):
+
+    1. compose-and-drop — each sample's result is discarded
+       immediately; the abandoned-lazy drain keeps the deque at
+       ``_ABANDONED_KEEP`` + the in-flight entry, every iteration;
+    2. compose-and-hold past ``_LAZY_ALARM`` — the deque legitimately
+       grows (live results are never dropped) and the alarm fires
+       loudly; once the results are released and ANY ranking call runs,
+       the deque drains back to the keep-bound.
+    """
+    import gc
+    import warnings
+
+    from carbondata_spark.operators import ranking as R
+    from carbondata_spark.operators.sampling import stratified_sample
+
+    R._LIVE.clear()
+    base = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "doc_id long, grp long"
+    )
+
+    # regime 1: compose-and-drop stays bounded at every step
+    for t in range(R._LAZY_ALARM + 5):
+        stratified_sample(
+            base.withColumn("t", F.lit(t)), ["grp"], 2,
+            warn_stratum_rows=None,
+        )  # result dropped immediately -> abandoned once the next call drains
+        assert len(R._LIVE) <= R._ABANDONED_KEEP + 1, (
+            f"abandoned-lazy accumulation at iteration {t}: "
+            f"{len(R._LIVE)} tracked entries"
+        )
+
+    # regime 2: holding > _LAZY_ALARM live lazy results grows the deque
+    # (correct: none is abandoned) and fires the loud alarm
+    held = []
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for t in range(R._LAZY_ALARM + 2):
+            held.append(
+                stratified_sample(
+                    base.withColumn("h", F.lit(t)), ["grp"], 2,
+                    warn_stratum_rows=None,
+                )
+            )
+    assert len(R._LIVE) > R._LAZY_ALARM
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "unmaterialized" in str(w.message)
+        for w in caught
+    )
+
+    # release everything; the next ranking call drains the deque back
+    # down without needing any materialization
+    held.clear()
+    gc.collect()
+    R.with_global_rank(base, ["doc_id"])
+    assert len(R._LIVE) <= R._ABANDONED_KEEP + 1, (
+        f"deque did not drain after release: {len(R._LIVE)} entries"
+    )
+    R._LIVE.clear()

@@ -101,6 +101,56 @@ def last_rounds() -> tuple[dict[str, int], dict[str, int]]:
     return latest, latest_green
 
 
+def debt_check(rounds: dict[str, int], registered: set[str]) -> tuple[bool, list[str]]:
+    """The declared-debt absorption gate, extracted from main() so tests
+    can drive it by BEHAVIOR (exit-code contract) instead of pinning
+    source strings: returns (failed, messages). Reads the declaration
+    via ledger.load_debt()/DEBT_PATH (monkeypatchable), deletes the file
+    when the debt is fully absorbed, and fails LOUDLY — ill-shaped file
+    or violated declaration -> failed=True, which main() turns into a
+    nonzero process exit."""
+    from carbondata_spark import ledger as _ledger
+
+    failed = False
+    messages: list[str] = []
+    debt = _ledger.load_debt()
+    if debt is None and os.path.exists(_ledger.DEBT_PATH):
+        # a declaration file EXISTS but failed shape validation: treating
+        # it as "no debt" would silently drop the absorption check the
+        # ledger docstring promises — fail as loudly as a violation
+        failed = True
+        messages.append(
+            f"debt: FAILURE — {os.path.basename(_ledger.DEBT_PATH)} exists "
+            "but is ill-shaped (declared_round must be an int, rows a list "
+            "of strings); fix or remove the declaration"
+        )
+    if debt:
+        declared = int(debt.get("declared_round", -1))
+        state, unabsorbed = _ledger.debt_absorption_status(debt, rounds, registered)
+        if state == "pending":
+            # Declared while building round N (whose driver run checks the
+            # prefix the debt was displaced FROM), so the debt rows' own
+            # verification lands in round N+1's driver run.
+            messages.append(
+                f"debt: declared for r{declared}, pending "
+                f"({len(debt.get('rows', []))} rows carry into r{declared + 1})"
+            )
+        elif state == "violated":
+            failed = True
+            messages.append(
+                f"debt: FAILURE — r{declared} declaration NOT absorbed; "
+                f"{len(unabsorbed)} rows still lack a post-declaration "
+                "driver row: " + ", ".join(unabsorbed)
+            )
+        else:
+            os.remove(_ledger.DEBT_PATH)
+            messages.append(
+                f"debt: r{declared} declaration fully absorbed "
+                f"({len(debt.get('rows', []))} rows re-verified) — cleared"
+            )
+    return failed, messages
+
+
 def main() -> int:
     """Returns a process exit code: 0 normally, 1 when a past debt
     declaration was VIOLATED (its rows outlived re-verification). The
@@ -161,44 +211,9 @@ def main() -> int:
     # from after the declaration — then the file is deleted. Anything else
     # is a loud failure (and those rows are aged now, so the budget gate
     # below hard-fails too).
-    from carbondata_spark.ledger import DEBT_PATH, debt_absorption_status, load_debt
-
-    failed = False
-    debt = load_debt()
-    if debt is None and os.path.exists(DEBT_PATH):
-        # a declaration file EXISTS but failed shape validation: treating
-        # it as "no debt" would silently drop the absorption check the
-        # ledger docstring promises — fail as loudly as a violation
-        failed = True
-        print(
-            f"debt: FAILURE — {os.path.basename(DEBT_PATH)} exists but is "
-            "ill-shaped (declared_round must be an int, rows a list of "
-            "strings); fix or remove the declaration"
-        )
-    if debt:
-        declared = int(debt.get("declared_round", -1))
-        state, unabsorbed = debt_absorption_status(debt, rounds, set(reg))
-        if state == "pending":
-            # Declared while building round N (whose driver run checks the
-            # prefix the debt was displaced FROM), so the debt rows' own
-            # verification lands in round N+1's driver run.
-            print(
-                f"debt: declared for r{declared}, pending "
-                f"({len(debt.get('rows', []))} rows carry into r{declared + 1})"
-            )
-        elif state == "violated":
-            failed = True
-            print(
-                f"debt: FAILURE — r{declared} declaration NOT absorbed; "
-                f"{len(unabsorbed)} rows still lack a post-declaration "
-                "driver row: " + ", ".join(unabsorbed)
-            )
-        else:
-            os.remove(DEBT_PATH)
-            print(
-                f"debt: r{declared} declaration fully absorbed "
-                f"({len(debt.get('rows', []))} rows re-verified) — cleared"
-            )
+    failed, debt_messages = debt_check(rounds, set(reg))
+    for line in debt_messages:
+        print(line)
 
     # Round-start convenience: show where the refreshed ledger leaves the
     # driver-prefix budget (same report as tools/check_budget.py).
@@ -208,7 +223,13 @@ def main() -> int:
         {n: (q.fn.__module__, q.fn.__name__) for n, q in reg.items()},
         headline={n for n, q in reg.items() if q.headline},
     )
-    status = "ok" if rep["ok"] else "OVERRUN"
+    # The last printed line must agree with the exit code: a debt
+    # failure above would otherwise end a failing run with "-> ok"
+    # (budget_report ran with the ill-shaped/violated debt ignored).
+    if failed:
+        status = "FAILURE (debt)"
+    else:
+        status = "ok" if rep["ok"] else "OVERRUN"
     print(
         f"budget: changed {rep['changed']} / {rep['budget']} "
         f"(displaced {len(rep['displaced'])}, aged "
