@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from carbondata_spark.store import CarbonStore
+from carbondata_spark.store import SEGMENT_SUCCESS, CarbonStore
 
 _TYPES = {
     "string": T.StringType(),
@@ -140,6 +140,158 @@ class CarbonSession:
                 for e in segs
             ]
             return self._rows(rows, "segment_id long, status string, rows long, load_start string")
+
+        # Reference-exact CUBE statement forms (CarbonSqlParser.scala:
+        # showLoads:1096, deleteLoadsByID:1102, deleteLoadsByDate:1110,
+        # cleanFiles:1120, dropCubeOrTable:856, showAggregateTables:836,
+        # createAggregateTable:182, showCube/showAllCubes:842-854): a
+        # reference user's statements run verbatim. The store is
+        # single-namespace, so the optional `schema.` qualifier every
+        # form allows is accepted and ignored, and IN <schema> filters
+        # are no-ops over the one namespace.
+        m = re.fullmatch(
+            r"show loads for cube (?:\w+\.)?(\w+)(?: limit (\d+))?", s, _I
+        )
+        if m:
+            segs = self.store.show_segments(m.group(1))
+            if m.group(2) is not None:
+                # LIMIT n = the n most recent loads, newest first
+                segs = sorted(segs, key=lambda e: -e["segment_id"])[: int(m.group(2))]
+            rows = [
+                {
+                    "segment_id": e["segment_id"],
+                    "status": e["status"],
+                    "rows": e["rows"],
+                    "load_start": datetime.fromtimestamp(
+                        e["load_start_ts"], tz=timezone.utc
+                    ).isoformat(),
+                }
+                for e in segs
+            ]
+            return self._rows(rows, "segment_id long, status string, rows long, load_start string")
+
+        m = re.fullmatch(r"delete load ([\d,\s]+) from cube (?:\w+\.)?(\w+)", s, _I)
+        if m:
+            ids = [int(x) for x in m.group(1).replace(" ", "").split(",") if x]
+            n = self.store.delete_segments(m.group(2), ids)
+            return self._rows([{"deleted": n}], "deleted long")
+
+        m = re.fullmatch(
+            r"delete from cube (?:\w+\.)?(\w+) where (\w+) before '([^']+)'", s, _I
+        )
+        if m:
+            table, field = m.group(1), m.group(2)
+            # the reference validates the field is a time dimension of the
+            # cube before deleting whole loads by date
+            # (CarbonSqlParser.scala:1110-1118); mirror that instead of
+            # silently accepting a typo'd column
+            schema_fields = {f.name.lower() for f in self.store.schema(table).fields}
+            if field.lower() not in schema_fields and field.lower() != "starttime":
+                raise ValueError(
+                    f"DELETE FROM CUBE: {field} is not a column of {table} "
+                    "(or the pseudo-column STARTTIME)"
+                )
+            ts = datetime.fromisoformat(m.group(3)).replace(tzinfo=timezone.utc).timestamp()
+            n = self.store.delete_segments_by_date(table, ts)
+            return self._rows([{"deleted": n}], "deleted long")
+
+        m = re.fullmatch(r"clean files for cube (?:\w+\.)?(\w+)", s, _I)
+        if m:
+            removed = self.store.clean_files(m.group(1))
+            return self._rows([{"removed_segment": r} for r in removed], "removed_segment long")
+
+        m = re.fullmatch(r"drop cube if exists (?:\w+\.)?(\w+)", s, _I)
+        if m:
+            if m.group(1) in self.store.tables():
+                self.store.drop_table(m.group(1))
+                return self._rows([{"dropped": m.group(1)}], "dropped string")
+            return self._rows([], "dropped string")
+
+        m = re.fullmatch(
+            r"drop aggregate table (?:if exists )?(?:\w+\.)?(\w+)", s, _I
+        )
+        if m:
+            from carbondata_spark.plans.agg_table import (
+                drop_aggregate_table,
+                list_aggregate_tables,
+            )
+
+            name = m.group(1)
+            if_exists = "if exists" in s.lower()
+            for fact in self.store.tables():
+                if name in list_aggregate_tables(self.store, fact):
+                    drop_aggregate_table(self.store, fact, name)
+                    return self._rows([{"dropped": name}], "dropped string")
+            if if_exists:
+                return self._rows([], "dropped string")
+            raise ValueError(f"aggregate table {name} not found on any cube")
+
+        m = re.fullmatch(r"show aggregate tables(?: in \w+)?", s, _I)
+        if m:
+            from carbondata_spark.plans.agg_table import list_aggregate_tables
+
+            rows = [
+                {"fact_table": fact, "aggregate_table": n}
+                for fact in self.store.tables()
+                for n in list_aggregate_tables(self.store, fact)
+            ]
+            return self._rows(rows, "fact_table string, aggregate_table string")
+
+        m = re.fullmatch(
+            r"create aggregatetable (.+) from cube (?:\w+\.)?(\w+)", s, _I
+        )
+        if m:
+            from carbondata_spark.plans.agg_table import (
+                create_aggregate_table,
+                list_aggregate_tables,
+            )
+
+            fact = m.group(2)
+            group_cols: list[str] = []
+            measures: dict[str, list[str]] = {}
+            for item in _split_cols(m.group(1)):
+                item = item.strip()
+                fm = re.fullmatch(r"(\w+)\s*\(\s*(\w+)\s*\)", item)
+                if fm:
+                    measures.setdefault(fm.group(2), []).append(fm.group(1).lower())
+                elif re.fullmatch(r"\w+", item):
+                    group_cols.append(item)
+                else:
+                    raise ValueError(f"CREATE AGGREGATETABLE: cannot parse {item!r}")
+            # the reference auto-names its aggregate tables; pick the
+            # first free autoN on this fact
+            existing = set(list_aggregate_tables(self.store, fact))
+            i = 0
+            while f"auto{i}" in existing:
+                i += 1
+            name = f"auto{i}"
+            create_aggregate_table(self.store, fact, name, group_cols, measures)
+            return self._rows([{"created": name}], "created string")
+
+        m = re.fullmatch(r"show (?:all )?cubes(?: in \w+)?( detail)?", s, _I)
+        if m and m.group(1):
+            rows = []
+            for t in self.store.tables():
+                segs = self.store.show_segments(t)
+                ok = [e for e in segs if e["status"] == SEGMENT_SUCCESS]
+                rows.append(
+                    {
+                        "cube_name": t,
+                        "valid_segments": len(ok),
+                        "rows": sum(e["rows"] or 0 for e in ok),
+                    }
+                )
+            return self._rows(rows, "cube_name string, valid_segments long, rows long")
+        if m:
+            return self._rows(
+                [{"cube_name": t} for t in self.store.tables()], "cube_name string"
+            )
+
+        if re.fullmatch(r"show (?:schemas|databases)", s, _I):
+            return self._rows([{"namespace": "default"}], "namespace string")
+        if re.fullmatch(r"use \w+", s, _I):
+            # single-namespace store: USE is accepted for script parity
+            return self._rows([{"ok": True}], "ok boolean")
 
         m = re.fullmatch(r"delete segments ([\d,\s]+) from table (\w+)", s, _I)
         if m:
@@ -235,7 +387,9 @@ class CarbonSession:
                 [{"new_segment": new_id if new_id is not None else -1}], "new_segment long"
             )
 
-        m = re.fullmatch(r"describe (?:formatted )?(\w+)", s, _I)
+        # DESC is a full alias and EXTENDED a display variant in the
+        # reference (describeTable, CarbonSqlParser.scala:1006-1021)
+        m = re.fullmatch(r"(?:describe|desc) (?:formatted |extended )?(?:\w+\.)?(\w+)", s, _I)
         if m:
             d = self.store.describe(m.group(1))
             return self._rows(
@@ -287,11 +441,6 @@ class CarbonSession:
         if m:
             self.store.drop_table(m.group(1))
             return self._rows([{"dropped": m.group(1)}], "dropped string")
-
-        if re.fullmatch(r"show cubes", s, _I):
-            return self._rows(
-                [{"cube_name": t} for t in self.store.tables()], "cube_name string"
-            )
 
         m = re.fullmatch(
             r"create table (\w+) \((.+?)\)"

@@ -1,0 +1,135 @@
+"""Reference-exact CUBE statement forms (CarbonSqlParser.scala): every
+statement a reference user types — FOR CUBE / FROM CUBE management,
+SHOW LOADS ... LIMIT, DELETE LOAD, retention by date, IF EXISTS drops,
+auto-named CREATE AGGREGATETABLE, SHOW CUBES DETAIL, DESC aliases,
+schema qualifiers — must run verbatim against CarbonSession."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbondata_spark.sql import CarbonSession
+from carbondata_spark.store import CarbonStore
+
+
+@pytest.fixture()
+def cs(spark, tmp_path):
+    sess = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    sess.sql(
+        "CREATE CUBE sales DIMENSIONS (city string, ts timestamp) "
+        "MEASURES (amount double)"
+    )
+    df = spark.createDataFrame(
+        [(f"c{i % 3}", f"2020-01-0{1 + i % 5} 00:00:00", float(i)) for i in range(12)],
+        "city string, ts string, amount double",
+    ).select("city", F.col("ts").cast("timestamp").alias("ts"), "amount")
+    for _ in range(3):
+        sess.store.load("sales", df)
+    return sess
+
+
+def test_show_loads_for_cube_with_limit(cs):
+    all_rows = cs.sql("SHOW LOADS FOR CUBE sales").collect()
+    assert [r["segment_id"] for r in all_rows] == [0, 1, 2]
+    # LIMIT n = the n most recent loads, newest first
+    top = cs.sql("SHOW LOADS FOR CUBE sales LIMIT 2").collect()
+    assert [r["segment_id"] for r in top] == [2, 1]
+    # the schema qualifier every reference form allows is accepted
+    q = cs.sql("SHOW LOADS FOR CUBE default.sales LIMIT 1").collect()
+    assert [r["segment_id"] for r in q] == [2]
+
+
+def test_delete_load_from_cube(cs):
+    assert cs.sql("DELETE LOAD 0,2 FROM CUBE sales").collect()[0]["deleted"] == 2
+    left = cs.sql("SHOW LOADS FOR CUBE sales").collect()
+    assert [r["segment_id"] for r in left if r["status"] == "Success"] == [1]
+    assert cs.sql("SELECT count(*) AS n FROM sales").collect()[0]["n"] == 12
+
+
+def test_delete_from_cube_before_date(cs):
+    import time
+
+    cutoff = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(time.time() + 3600))
+    n = cs.sql(f"DELETE FROM CUBE sales WHERE ts BEFORE '{cutoff}'").collect()[0][
+        "deleted"
+    ]
+    assert n == 3  # all three loads started before one hour from now
+    # a typo'd field is rejected, not silently accepted (the reference
+    # validates the field against the cube's time dimensions)
+    with pytest.raises(ValueError, match="not a column"):
+        cs.sql("DELETE FROM CUBE sales WHERE nope BEFORE '2020-01-01T00:00:00'")
+
+
+def test_clean_files_for_cube(cs):
+    cs.sql("DELETE LOAD 0 FROM CUBE sales")
+    removed = cs.sql("CLEAN FILES FOR CUBE sales").collect()
+    assert [r["removed_segment"] for r in removed] == [0]
+
+
+def test_drop_cube_if_exists(cs):
+    assert cs.sql("DROP CUBE IF EXISTS nope").count() == 0  # no raise
+    cs.sql("DROP CUBE IF EXISTS sales")
+    assert "sales" not in cs.store.tables()
+    with pytest.raises(Exception):
+        cs.sql("DROP CUBE sales")  # without IF EXISTS a missing cube raises
+
+
+def test_create_aggregatetable_from_cube_auto_named(cs):
+    created = cs.sql(
+        "CREATE AGGREGATETABLE city, sum(amount), count(amount) FROM CUBE sales"
+    ).collect()[0]["created"]
+    assert created == "auto0"
+    # a second one gets the next free name
+    assert (
+        cs.sql("CREATE AGGREGATETABLE city, max(amount) FROM CUBE sales")
+        .collect()[0]["created"]
+        == "auto1"
+    )
+    rows = cs.sql("SHOW AGGREGATE TABLES").collect()
+    assert {(r["fact_table"], r["aggregate_table"]) for r in rows} == {
+        ("sales", "auto0"),
+        ("sales", "auto1"),
+    }
+    # the per-fact form still works and agrees
+    per = cs.sql("SHOW AGGREGATE TABLES FOR TABLE sales").collect()
+    assert {r["aggregate_table"] for r in per} == {"auto0", "auto1"}
+    # the rollup it created routes a matching GROUP BY correctly
+    out = cs.sql(
+        "SELECT city, sum(amount) AS total FROM sales GROUP BY city ORDER BY city"
+    ).collect()
+    want = {"c0": 3 * (0 + 3 + 6 + 9), "c1": 3 * (1 + 4 + 7 + 10), "c2": 3 * (2 + 5 + 8 + 11)}
+    assert {r["city"]: r["total"] for r in out} == want
+    # an unparseable attribute is a loud error
+    with pytest.raises(ValueError, match="cannot parse"):
+        cs.sql("CREATE AGGREGATETABLE city + 1 FROM CUBE sales")
+
+
+def test_drop_aggregate_table_if_exists(cs):
+    cs.sql("CREATE AGGREGATETABLE city, sum(amount) FROM CUBE sales")
+    assert cs.sql("DROP AGGREGATE TABLE auto0").collect()[0]["dropped"] == "auto0"
+    assert cs.sql("SHOW AGGREGATE TABLES").count() == 0
+    assert cs.sql("DROP AGGREGATE TABLE IF EXISTS auto0").count() == 0  # no raise
+    with pytest.raises(ValueError, match="not found"):
+        cs.sql("DROP AGGREGATE TABLE auto0")
+
+
+def test_show_cubes_forms(cs):
+    for stmt in ("SHOW CUBES", "SHOW ALL CUBES", "SHOW CUBES IN default"):
+        assert [r["cube_name"] for r in cs.sql(stmt).collect()] == ["sales"]
+    det = cs.sql("SHOW CUBES DETAIL").collect()
+    assert det[0]["cube_name"] == "sales"
+    assert det[0]["valid_segments"] == 3 and det[0]["rows"] == 36
+
+
+def test_describe_aliases(cs):
+    base = {r["property"]: r["value"] for r in cs.sql("DESCRIBE sales").collect()}
+    for stmt in ("DESC sales", "DESCRIBE EXTENDED sales", "DESC FORMATTED default.sales"):
+        d = {r["property"]: r["value"] for r in cs.sql(stmt).collect()}
+        assert d == base
+
+
+def test_namespace_statements(cs):
+    assert cs.sql("SHOW SCHEMAS").collect()[0]["namespace"] == "default"
+    assert cs.sql("SHOW DATABASES").collect()[0]["namespace"] == "default"
+    assert cs.sql("USE default").collect()[0]["ok"] is True
