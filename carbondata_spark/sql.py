@@ -341,14 +341,55 @@ class CarbonSession:
             return self._rows([{"created": name}], "created string")
 
         m = re.fullmatch(
-            r"load data (?:local )?inpath '([^']+)' into table (\w+)"
+            r"load data (?:local )?inpath '([^']+)'( overwrite)? "
+            r"into (?:table|cube) (?:\w+\.)?(\w+)"
             r"(?: options\s*\((.+)\))?",
             s,
             _I,
         )
         if m:
-            seg_id = self._load_data(m.group(1), m.group(2), _parse_options(m.group(3)))
+            # OVERWRITE atomically invalidates all prior segments in the
+            # same manifest commit (loadDataNew,
+            # CarbonSqlParser.scala:795-805 isOverwrite)
+            seg_id = self._load_data(
+                m.group(1),
+                m.group(3),
+                _parse_options(m.group(4)),
+                mode="overwrite" if m.group(2) else "append",
+            )
             return self._rows([{"segment_id": seg_id}], "segment_id long")
+
+        # The legacy star-schema load (loadData,
+        # CarbonSqlParser.scala:779-793): LOAD DATA FACT FROM 'path'
+        # [OVERWRITE] INTO CUBE x [OPTIONS|PARTITIONDATA (...)] [FIELDS
+        # TERMINATED BY 'd']. The flat-table model folds dimensions into
+        # the fact (SURVEY.md §1), so DIMENSION FROM is rejected loudly
+        # rather than half-loaded.
+        if re.match(r"load data fact from ", s, _I):
+            if re.search(r" dimension from ", s, _I):
+                raise ValueError(
+                    "LOAD DATA ... DIMENSION FROM is not supported: the "
+                    "flat-table model folds dimensions into the fact table "
+                    "(load them as columns of the fact CSV instead)"
+                )
+            m = re.fullmatch(
+                r"load data fact from '([^']+)'( overwrite)? into cube (?:\w+\.)?(\w+)"
+                r"(?: (?:options|partitiondata)\s*\((.+?)\))?"
+                r"(?: fields terminated by '([^']+)')?",
+                s,
+                _I,
+            )
+            if m:
+                opts = _parse_options(m.group(4))
+                if m.group(5):
+                    opts.setdefault("delimiter", m.group(5))
+                seg_id = self._load_data(
+                    m.group(1),
+                    m.group(3),
+                    opts,
+                    mode="overwrite" if m.group(2) else "append",
+                )
+                return self._rows([{"segment_id": seg_id}], "segment_id long")
 
         m = re.fullmatch(r"clean files for table (\w+)", s, _I)
         if m:
@@ -528,7 +569,9 @@ class CarbonSession:
 
     # -- LOAD DATA ---------------------------------------------------------
 
-    def _load_data(self, path: str, table: str, opts: dict[str, str]) -> int:
+    def _load_data(
+        self, path: str, table: str, opts: dict[str, str], mode: str = "append"
+    ) -> int:
         """LOAD DATA INPATH → one segment. Options (reference surface):
         DELIMITER, QUOTECHAR, ESCAPECHAR, FILEHEADER, MULTILINE,
         COMPLEX_DELIMITER_LEVEL_1/2, BAD_RECORDS_ACTION
@@ -595,7 +638,7 @@ class CarbonSession:
                     delim1=opts.get("complex_delimiter_level_1", "$"),
                     delim2=opts.get("complex_delimiter_level_2", ":"),
                 )
-        return self.store.load(table, df)
+        return self.store.load(table, df, mode=mode)
 
     # -- rollup routing ----------------------------------------------------
 

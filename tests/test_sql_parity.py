@@ -133,3 +133,36 @@ def test_namespace_statements(cs):
     assert cs.sql("SHOW SCHEMAS").collect()[0]["namespace"] == "default"
     assert cs.sql("SHOW DATABASES").collect()[0]["namespace"] == "default"
     assert cs.sql("USE default").collect()[0]["ok"] is True
+
+
+def test_load_data_overwrite_and_cube_forms(cs, spark, tmp_path):
+    """loadDataNew's OVERWRITE + INTO CUBE (CarbonSqlParser.scala:795-805)
+    and the legacy star-schema form LOAD DATA FACT FROM ... INTO CUBE
+    with FIELDS TERMINATED BY (:779-793). DIMENSION FROM is rejected
+    loudly (flat-table model)."""
+    csv1 = tmp_path / "one.csv"
+    csv1.write_text("city,ts,amount\nx,2021-01-01 00:00:00,5.0\n")
+    seg = cs.sql(
+        f"LOAD DATA INPATH '{csv1}' INTO CUBE sales"
+    ).collect()[0]["segment_id"]
+    assert seg == 3  # appended after the fixture's three loads
+    assert cs.sql("SELECT count(*) AS n FROM sales").collect()[0]["n"] == 37
+
+    # OVERWRITE atomically replaces all prior segments
+    seg = cs.sql(
+        f"LOAD DATA INPATH '{csv1}' OVERWRITE INTO TABLE sales"
+    ).collect()[0]["segment_id"]
+    assert cs.sql("SELECT count(*) AS n FROM sales").collect()[0]["n"] == 1
+    ok = [r for r in cs.sql("SHOW LOADS FOR CUBE sales").collect() if r["status"] == "Success"]
+    assert [r["segment_id"] for r in ok] == [seg]
+
+    # legacy fact-load form with a custom field terminator
+    csv2 = tmp_path / "two.csv"
+    csv2.write_text("city|ts|amount\ny|2021-01-02 00:00:00|7.0\nz|2021-01-03 00:00:00|9.0\n")
+    cs.sql(f"LOAD DATA FACT FROM '{csv2}' INTO CUBE default.sales FIELDS TERMINATED BY '|'")
+    assert cs.sql("SELECT count(*) AS n FROM sales").collect()[0]["n"] == 3
+
+    with pytest.raises(ValueError, match="DIMENSION FROM"):
+        cs.sql(
+            f"LOAD DATA FACT FROM '{csv2}' DIMENSION FROM city:'/tmp/d.csv' INTO CUBE sales"
+        )
