@@ -428,15 +428,41 @@ class CarbonSession:
                 [{"new_segment": new_id if new_id is not None else -1}], "new_segment long"
             )
 
-        # DESC is a full alias and EXTENDED a display variant in the
-        # reference (describeTable, CarbonSqlParser.scala:1006-1021)
-        m = re.fullmatch(r"(?:describe|desc) (?:formatted |extended )?(?:\w+\.)?(\w+)", s, _I)
+        # DESC is a full alias; plain DESCRIBE lists COLUMNS (the
+        # reference routes it to Spark's DescribeCommand,
+        # CarbonSqlParser.scala:1006-1021 — a Hive-style (col_name,
+        # data_type, comment) listing, dims/measures annotated);
+        # EXTENDED/FORMATTED appends the detailed-table-information
+        # section (DescribeFormattedCommand) as (key, value) rows.
+        m = re.fullmatch(
+            r"(?:describe|desc)( formatted| extended)? (?:\w+\.)?(\w+)", s, _I
+        )
         if m:
-            d = self.store.describe(m.group(1))
-            return self._rows(
-                [{"property": k, "value": str(v)} for k, v in d.items()],
-                "property string, value string",
+            table = m.group(2)
+            d = self.store.describe(table)
+            dims = set(
+                (d.get("properties", {}) or {})
+                .get("dictionary_include", "")
+                .split(",")
             )
+            rows = [
+                {
+                    "col_name": f.name,
+                    "data_type": f.dataType.simpleString(),
+                    "comment": "dimension" if f.name in dims else "measure"
+                    if dims != {""} else "",
+                }
+                for f in self.store.schema(table).fields
+            ]
+            if m.group(1):
+                rows.append(
+                    {"col_name": "# detailed table information", "data_type": "", "comment": ""}
+                )
+                rows += [
+                    {"col_name": k, "data_type": str(v), "comment": ""}
+                    for k, v in d.items()
+                ]
+            return self._rows(rows, "col_name string, data_type string, comment string")
 
         m = re.fullmatch(r"drop table (\w+)", s, _I)
         if m:

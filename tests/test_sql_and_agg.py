@@ -32,7 +32,12 @@ def test_sql_lifecycle(cs, spark):
     cs.sql("ALTER TABLE emp COMPACT")
     cleaned = cs.sql("CLEAN FILES FOR TABLE emp").collect()
     assert len(cleaned) >= 1
-    desc = {r["property"]: r["value"] for r in cs.sql("DESCRIBE emp").collect()}
+    cols = [(r["col_name"], r["data_type"]) for r in cs.sql("DESCRIBE emp").collect()]
+    assert cols == [("id", "bigint"), ("city", "string"), ("salary", "double")]
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in cs.sql("DESCRIBE FORMATTED emp").collect()
+    }
     assert desc["name"] == "emp"
     cs.sql("DROP TABLE emp")
     assert cs.sql("SHOW TABLES").count() == 0

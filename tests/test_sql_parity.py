@@ -123,10 +123,21 @@ def test_show_cubes_forms(cs):
 
 
 def test_describe_aliases(cs):
-    base = {r["property"]: r["value"] for r in cs.sql("DESCRIBE sales").collect()}
-    for stmt in ("DESC sales", "DESCRIBE EXTENDED sales", "DESC FORMATTED default.sales"):
-        d = {r["property"]: r["value"] for r in cs.sql(stmt).collect()}
-        assert d == base
+    """Plain DESCRIBE lists columns Hive-style with dimension/measure
+    annotations (the reference routes it to DescribeCommand);
+    EXTENDED/FORMATTED appends the detailed-table-information rows."""
+    base = cs.sql("DESCRIBE sales").collect()
+    assert [(r["col_name"], r["data_type"], r["comment"]) for r in base] == [
+        ("city", "string", "dimension"),
+        ("ts", "timestamp", "dimension"),
+        ("amount", "double", "measure"),
+    ]
+    assert cs.sql("DESC sales").collect() == base
+    for stmt in ("DESCRIBE EXTENDED sales", "DESC FORMATTED default.sales"):
+        rows = cs.sql(stmt).collect()
+        assert rows[: len(base)] == base  # columns first, verbatim
+        detail = {r["col_name"]: r["data_type"] for r in rows[len(base) + 1 :]}
+        assert detail["name"] == "sales" and detail["segments"] == "3"
 
 
 def test_namespace_statements(cs):
