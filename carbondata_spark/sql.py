@@ -478,14 +478,19 @@ class CarbonSession:
         # CarbonDatasourceRelation.scala:194-208) via the existing
         # int_measures_as_double property hook.
         m = re.fullmatch(
-            r"create cube (\w+) dimensions \((.+?)\) measures \((.+?)\)"
+            r"create cube (if not exists )?(?:\w+\.)?(\w+)"
+            r" dimensions \((.+?)\) measures \((.+?)\)"
             r"(?: options\s*\((.+)\))?",
             s,
             _I,
         )
         if m:
-            name, dims_s, meas_s, opts_s = m.group(1), m.group(2), m.group(3), m.group(4)
-            fields, dim_names = [], []
+            exists_ok = bool(m.group(1))
+            name, dims_s, meas_s = m.group(2), m.group(3), m.group(4)
+            opts_s = m.group(5) or ""
+            if exists_ok and name in self.store.tables():
+                return self._rows([], "created string")
+            fields, dim_names, meas_names = [], [], []
             for part in _split_cols(dims_s):
                 cname, ctype = part.strip().split(None, 1)
                 fields.append(T.StructField(cname, _parse_type(ctype)))
@@ -493,15 +498,71 @@ class CarbonSession:
             for part in _split_cols(meas_s):
                 cname, ctype = part.strip().split(None, 1)
                 fields.append(T.StructField(cname, _parse_type(ctype)))
-            props = _parse_options(opts_s)
-            props.setdefault("dictionary_include", ",".join(dim_names))
+                meas_names.append(cname)
+            # The reference's structured OPTIONS clauses
+            # (CarbonSqlParser.scala — noDictionaryDims:975,
+            # aggregation:973, partitioner:983) carry bracketed payloads
+            # the flat k=v option parser cannot hold: lift them out
+            # first, parse the remainder as plain options.
+            part_cols, agg_exprs = None, None
+            props_extra: dict[str, str] = {}
+            pm = re.search(r"partitioner\s*\[(.*?)\]", opts_s, _I)
+            if pm:
+                body = pm.group(1)
+                cm = re.search(r"columns\s*=\s*\(([^)]*)\)", body, _I)
+                if cm:
+                    part_cols = [c.strip().strip("'\"") for c in cm.group(1).split(",")]
+                    unknown = [c for c in part_cols if c not in dim_names]
+                    if unknown:
+                        raise ValueError(
+                            f"PARTITIONER columns must be dimensions: {unknown}"
+                        )
+                km = re.search(r"class\s*=\s*'([^']*)'", body, _I)
+                if km:
+                    # recorded for round-tripping; hive partitioning on
+                    # the columns IS the hash-partitioner analogue here
+                    props_extra["partitioner_class"] = km.group(1)
+                nm = re.search(r"partition_count\s*=\s*(\d+)", body, _I)
+                if nm:
+                    props_extra["partition_count"] = nm.group(1)
+                opts_s = opts_s.replace(pm.group(0), "")
+            dm = re.search(r"no_dictionary\s*\(([^)]*)\)", opts_s, _I)
+            if dm:
+                props_extra["dictionary_exclude"] = ",".join(
+                    c.strip().strip("'\"") for c in dm.group(1).split(",")
+                )
+                opts_s = opts_s.replace(dm.group(0), "")
+            am = re.search(r"aggregation\s*\[(.*?)\]", opts_s, _I)
+            if am:
+                agg_exprs = am.group(1)
+                opts_s = opts_s.replace(am.group(0), "")
+            props = _parse_options(opts_s.strip().strip(",") or None)
+            props.update(props_extra)
+            excluded = set(props.get("dictionary_exclude", "").split(","))
+            props.setdefault(
+                "dictionary_include",
+                ",".join(c for c in dim_names if c not in excluded),
+            )
             props.setdefault("int_measures_as_double", "true")
             self.store.create_table(
                 name,
                 T.StructType(fields),
-                sort_columns=dim_names,
+                # a hive-partition column is constant within its
+                # directory — sort on the remaining dims
+                sort_columns=[c for c in dim_names if c not in (part_cols or [])],
+                partition_columns=part_cols,
                 properties=props,
             )
+            if agg_exprs:
+                # AGGREGATION [sum(x), ...] pre-declares the cube's
+                # rollup: an aggregate table over all dimensions,
+                # refreshed per load like any other (plans/agg_table)
+                from carbondata_spark.plans.agg_table import create_aggregate_table
+
+                measures: dict[str, list[str]] = {}
+                for fn_, col_ in re.findall(r"(\w+)\s*\(\s*(\w+)\s*\)", agg_exprs):
+                    measures.setdefault(col_, []).append(fn_.lower())
+                create_aggregate_table(self.store, name, "auto0", dim_names, measures)
             return self._rows([{"created": name}], "created string")
 
         m = re.fullmatch(r"drop cube (\w+)", s, _I)

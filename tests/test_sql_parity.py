@@ -177,3 +177,53 @@ def test_load_data_overwrite_and_cube_forms(cs, spark, tmp_path):
         cs.sql(
             f"LOAD DATA FACT FROM '{csv2}' DIMENSION FROM city:'/tmp/d.csv' INTO CUBE sales"
         )
+
+
+def test_create_cube_structured_options(spark, tmp_path):
+    """The reference's CREATE CUBE OPTIONS payloads (CarbonSqlParser:
+    noDictionaryDims:975, aggregation:973, partitioner:983) plus IF NOT
+    EXISTS: PARTITIONER columns become hive partition directories (the
+    PARTITIONER pruning analogue), NO_DICTIONARY dims are excluded from
+    dictionary_include, and AGGREGATION pre-declares an auto rollup."""
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    cs.sql(
+        "CREATE CUBE IF NOT EXISTS f DIMENSIONS (region string, uid string) "
+        "MEASURES (amount double) OPTIONS ("
+        "PARTITIONER [CLASS = 'org.example.HashPartitioner', "
+        "COLUMNS = (region), PARTITION_COUNT = 4], "
+        "NO_DICTIONARY (uid), AGGREGATION [sum(amount), count(amount)])"
+    )
+    # idempotent under IF NOT EXISTS, loud without it
+    assert cs.sql(
+        "CREATE CUBE IF NOT EXISTS f DIMENSIONS (region string) MEASURES (x int)"
+    ).count() == 0
+    with pytest.raises(Exception):
+        cs.sql("CREATE CUBE f DIMENSIONS (region string) MEASURES (x int)")
+
+    d = {r["col_name"]: r["data_type"] for r in cs.sql("DESC FORMATTED f").collect()}
+    props = d["properties"]
+    assert "partitioner_class" in props and "'partition_count': '4'" in props.replace('"', "'")
+    assert "uid" not in props.split("dictionary_include")[1].split(",")[0]
+
+    df = spark.createDataFrame(
+        [(f"r{i % 2}", f"u{i}", float(i)) for i in range(8)],
+        "region string, uid string, amount double",
+    )
+    cs.store.load("f", df)
+    # the partition column landed as hive directories -> partition
+    # pruning; and the declared rollup exists and routes
+    import os
+
+    seg0 = os.path.join(cs.store._table_dir("f"), "Fact", "Part0", "Segment_0")
+    assert any(e.startswith("region=") for e in os.listdir(seg0)), os.listdir(seg0)
+    assert [r["aggregate_table"] for r in cs.sql("SHOW AGGREGATE TABLES").collect()] == ["auto0"]
+    out = cs.sql(
+        "SELECT region, sum(amount) AS total FROM f GROUP BY region ORDER BY region"
+    ).collect()
+    assert [(r["region"], r["total"]) for r in out] == [("r0", 12.0), ("r1", 16.0)]
+    # a partitioner column that is not a dimension is rejected loudly
+    with pytest.raises(ValueError, match="must be dimensions"):
+        cs.sql(
+            "CREATE CUBE g DIMENSIONS (a string) MEASURES (v double) "
+            "OPTIONS (PARTITIONER [COLUMNS = (nope), PARTITION_COUNT = 2])"
+        )
