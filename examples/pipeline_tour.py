@@ -94,6 +94,33 @@ def main() -> None:
     print(f"ANN: top-3 x 3 queries; int8-ADC agrees with exact on "
           f"{agree.count()}/{exact_nn.count()} (4x less corpus memory)")
 
+    # -- 6. the 100 TB serving shape: quantized AND pruned ---------------
+    # codes persisted as array<tinyint> hive-partitioned on centroid id;
+    # the search dequantizes inside the probed buckets only (DPP prunes
+    # the other directories before any code array is decoded)
+    import tempfile
+
+    from carbondata_spark.operators.ivf_adc import (
+        build_ivf_adc_index,
+        search_ivf_adc_index,
+    )
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, tempfile.mkdtemp(prefix="carbon_tour_idx_"))
+    build_ivf_adc_index(store, "emb", emb, n_centroids=8)
+    pruned = search_ivf_adc_index(store, "emb", queries, k=3, nprobe=2)
+    print(f"IVF-ADC (nprobe=2/8 buckets read): {pruned.count()} neighbor rows")
+
+    # -- 7. boilerplate span scrubbing ------------------------------------
+    from carbondata_spark.operators.corpus import remove_common_spans
+
+    scrubbed = remove_common_spans(docs, n=3, min_df=3)
+    stats = scrubbed.agg(
+        F.sum("n_removed").alias("rm"), F.sum("n_tokens").alias("tot")
+    ).collect()[0]
+    print(f"span scrub (3-grams in >=3 docs): removed {stats['rm']}/{stats['tot']} "
+          "boilerplate tokens while keeping every document")
+
     print("\ndone — every step above is shuffle-bounded and UDF-free; "
           "swap sf_dir for the full corpus to run the identical plan at scale.")
 

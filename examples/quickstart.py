@@ -33,10 +33,13 @@ def main() -> None:
         csv.write(f"{i},person{i},{'shenzhen' if i % 2 else 'france'},{20 + i}\n")
     csv.close()
 
-    cs.sql("CREATE TABLE t3 (id int, name string, city string, age int) SORTED BY (city)")
-    from carbondata_spark.sources.csv import read_csv
-
-    store.load("t3", read_csv(spark, csv.name, fileheader=None))
+    # the reference example's own statements, verbatim: CREATE CUBE with
+    # dimension/measure split, then the legacy fact load INTO CUBE
+    cs.sql(
+        "CREATE CUBE t3 DIMENSIONS (id int, name string, city string) "
+        "MEASURES (age int)"
+    )
+    cs.sql(f"LOAD DATA FACT FROM '{csv.name}' INTO CUBE t3")
 
     # -- the reference's example query ------------------------------------
     print("== SELECT city, count(age) ... GROUP BY city")
@@ -45,12 +48,14 @@ def main() -> None:
         "WHERE city IN ('shenzhen','france') GROUP BY city"
     ).show()
 
-    # -- segment lifecycle -------------------------------------------------
-    store.load("t3", store.table("t3"))  # second load (doubles the data)
-    print("== SHOW SEGMENTS")
-    cs.sql("SHOW SEGMENTS FOR TABLE t3").show(truncate=False)
+    # -- segment lifecycle, reference statement forms ----------------------
+    cs.sql(f"LOAD DATA INPATH '{csv.name}' INTO CUBE t3")  # second load
+    print("== SHOW LOADS FOR CUBE (LIMIT shows the most recent)")
+    cs.sql("SHOW LOADS FOR CUBE t3 LIMIT 2").show(truncate=False)
+    print("== DESCRIBE (columns, dimension/measure annotated)")
+    cs.sql("DESC t3").show(truncate=False)
     cs.sql("ALTER TABLE t3 COMPACT").show()
-    cs.sql("CLEAN FILES FOR TABLE t3").show()
+    cs.sql("CLEAN FILES FOR CUBE t3").show()
 
     # -- schema evolution --------------------------------------------------
     store.alter_add_columns(
