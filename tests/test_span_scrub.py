@@ -84,3 +84,21 @@ def test_scrub_matches_python_replay(spark, texts, n, min_df):
     got = _run(spark, texts, n=n, min_df=min_df)
     want = _replay(texts, n, min_df)
     assert got == want, (texts, n, min_df, got, want)
+
+
+def test_scrub_plan_has_no_pairwise_join(spark, sf_dir):
+    """Scale pin: the scrub over the real documents table must stay an
+    explode -> aggregate -> keyed-join pipeline — no CartesianProduct or
+    BroadcastNestedLoopJoin anywhere in the physical plan."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.operators.corpus import remove_common_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        remove_common_spans(docs, n=3, min_df=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
