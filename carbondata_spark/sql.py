@@ -299,6 +299,32 @@ class CarbonSession:
             n = self.store.delete_segments(m.group(2), ids)
             return self._rows([{"deleted": n}], "deleted long")
 
+        # Row-level IUD over store tables (copy-on-write segment rewrite,
+        # store.delete_rows/update_rows). Ordering matters: the
+        # load-retention form `DELETE FROM CUBE x WHERE f BEFORE 'd'`
+        # matched above, so a WHERE reaching here is a row predicate.
+        m = re.fullmatch(
+            r"delete from (?:table |cube )?(?:\w+\.)?(\w+) where (.+)", s, _I
+        )
+        if m and m.group(1) in self.store.tables():
+            n = self.store.delete_rows(m.group(1), m.group(2))
+            return self._rows([{"deleted_rows": n}], "deleted_rows long")
+
+        m = re.fullmatch(
+            r"update (?:table |cube )?(?:\w+\.)?(\w+) set (.+?)(?: where (.+))?", s, _I
+        )
+        if m and m.group(1) in self.store.tables():
+            assignments: dict[str, str] = {}
+            for item in _split_cols(m.group(2)):
+                if "=" not in item:
+                    raise ValueError(f"UPDATE SET: cannot parse {item!r}")
+                c, expr = item.split("=", 1)
+                assignments[c.strip()] = expr.strip()
+            n = self.store.update_rows(
+                m.group(1), m.group(3) if m.group(3) else "true", assignments
+            )
+            return self._rows([{"updated_rows": n}], "updated_rows long")
+
         m = re.fullmatch(
             r"delete segments from table (\w+) where starttime before '([^']+)'", s, _I
         )

@@ -943,6 +943,29 @@ class CarbonStore:
             return None
         return self.compact(table, segment_ids=[e.segment_id for e in segs])
 
+    def _write_clustered(self, df, meta: dict, seg_dir: str, n_parts: int) -> None:
+        """The shared segment write shape of compact() and the row-rewrite
+        path: global range-sort (or z-order) across the data restores the
+        clustering interleaved inputs destroyed. Hive partition columns
+        lead the range key — each value stays contiguous across tasks, so
+        the partitionBy write emits ~row-share files per directory instead
+        of up to n_parts (the one-file-per-bucket layout
+        build_ivf_index's compaction path relies on)."""
+        part_cols = meta.get("partition_columns", [])
+        sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
+        writer = df
+        if sort_cols and self._is_zorder(meta):
+            from carbondata_spark.zorder import cluster_writer
+
+            writer = cluster_writer(writer, sort_cols, n_parts, prefix_cols=part_cols)
+        elif sort_cols or part_cols:
+            keys = [*part_cols, *sort_cols]
+            writer = writer.repartitionByRange(n_parts, *keys).sortWithinPartitions(*keys)
+        w = writer.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(seg_dir)
+
     def compact(
         self,
         table: str,
@@ -981,25 +1004,8 @@ class CarbonStore:
         seg_dir = self._segment_dir(table, new_id)
         part_cols = meta.get("partition_columns", [])
         sort_cols = [c for c in sort_cols if c not in part_cols]
-        writer = merged
         n_parts = partitions or max(1, sum(e.rows for e in segs) // 4_000_000)
-        if sort_cols and self._is_zorder(meta):
-            from carbondata_spark.zorder import cluster_writer
-
-            writer = cluster_writer(writer, sort_cols, n_parts, prefix_cols=part_cols)
-        elif sort_cols or part_cols:
-            # global range-sort across the merged data: restores clustering
-            # that interleaved loads destroyed. Hive partition columns lead
-            # the range key — each value stays contiguous across tasks, so
-            # the partitionBy write emits ~row-share files per directory
-            # instead of up to n_parts (the one-file-per-bucket layout
-            # build_ivf_index's compaction path relies on).
-            keys = [*part_cols, *sort_cols]
-            writer = writer.repartitionByRange(n_parts, *keys).sortWithinPartitions(*keys)
-        w = writer.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(seg_dir)
+        self._write_clustered(merged, meta, seg_dir, n_parts)
         rows = self.spark.read.parquet(seg_dir).count()
         # The merged segment is freshly range-sorted: recompute its zone
         # map and blooms so compaction IMPROVES prunability instead of
@@ -1041,6 +1047,145 @@ class CarbonStore:
                     e.blooms = merged_blooms
             self._write_status(table, entries)
         return new_id
+
+    # -- row-level DELETE / UPDATE (copy-on-write rewrite) -----------------
+
+    def delete_rows(self, table: str, predicate) -> int:
+        """Row-level DELETE: every valid segment containing matching rows
+        is rewritten WITHOUT them (copy-on-write); untouched segments are
+        not read twice or rewritten. Returns the number of rows deleted.
+
+        ``predicate``: a Column or a SQL expression string; rows where it
+        evaluates TRUE are deleted (NULL keeps the row, like SQL DELETE).
+
+        The reference era predates row-level IUD (its DELETEs are
+        whole-load: cubeSchema.scala:1678-1736); later Apache CarbonData
+        added exactly this copy-on-write shape, and a 100 TB corpus needs
+        it (e.g. targeted takedown/PII deletes). The manifest swap is
+        compact()'s: provisional segments written first, then ONE commit
+        flips every affected source to 'Compacted' and every rewrite to
+        'Success' at the same timestamp — concurrent readers see the old
+        row set or the new one, never a torn mix, and a concurrent
+        segment-state change aborts the whole rewrite (orphans GC'd by
+        clean_files).
+        """
+        return self._mutate_rows(table, predicate, None)
+
+    def update_rows(self, table: str, predicate, assignments: dict) -> int:
+        """Row-level UPDATE ... SET: matching rows get ``assignments``
+        ({column: Column|SQL-expression-string}) applied; all segment
+        rewrite/commit semantics as ``delete_rows``. Returns rows updated.
+        Assignment columns must exist in the schema (raises otherwise —
+        UPDATE never widens the schema; use alter_add_columns)."""
+        if not assignments:
+            raise ValueError("update_rows requires at least one assignment")
+        fields = {f.name for f in self.schema(table).fields}
+        unknown = [c for c in assignments if c not in fields]
+        if unknown:
+            raise ValueError(f"UPDATE SET on unknown columns: {unknown}")
+        return self._mutate_rows(table, predicate, assignments)
+
+    def _mutate_rows(self, table: str, predicate, assignments: dict | None) -> int:
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        pred = pred.cast("boolean")
+        meta = self._read_schema(table)
+        sources = self.valid_segments(table)
+        # phase 1: rewrite every affected segment to a provisional id
+        rewrites: list[tuple[int, int | None, int, dict, dict, int]] = []
+        total = 0
+        for e in sources:
+            seg_df = self.table(table, segment_ids=[e.segment_id])
+            n = seg_df.filter(pred).count()
+            if n == 0:
+                continue  # untouched segment: no rewrite, no manifest churn
+            total += n
+            if assignments is None:
+                out = seg_df.filter(~F.coalesce(pred, F.lit(False)))
+                if e.rows - n == 0:
+                    # every row deleted: no replacement segment at all
+                    rewrites.append((e.segment_id, None, 0, {}, {}, n))
+                    continue
+            else:
+                out = seg_df.select(
+                    *[
+                        F.when(
+                            F.coalesce(pred, F.lit(False)),
+                            F.expr(expr) if isinstance(expr, str) else expr,
+                        )
+                        .otherwise(F.col(c))
+                        .cast(seg_df.schema[c].dataType)
+                        .alias(c)
+                        if c in assignments
+                        else F.col(c)
+                        for c, expr in [
+                            (f.name, assignments.get(f.name)) for f in seg_df.schema.fields
+                        ]
+                    ]
+                )
+            with file_lock(self._status_path(table)):
+                entries = self._read_status(table)
+                new_id = max(x.segment_id for x in entries) + 1
+                entries.append(
+                    SegmentEntry(
+                        segment_id=new_id,
+                        status=SEGMENT_IN_PROGRESS,
+                        rows=0,
+                        load_start_ts=time.time(),
+                        load_end_ts=0.0,
+                        columns=[f.name for f in seg_df.schema.fields],
+                        origin={
+                            "rewrite_of": e.segment_id,
+                            "op": "delete" if assignments is None else "update",
+                        },
+                    )
+                )
+                self._write_status(table, entries)
+            seg_dir = self._segment_dir(table, new_id)
+            n_parts = max(1, e.rows // 4_000_000)
+            self._write_clustered(out, meta, seg_dir, n_parts)
+            rows = self.spark.read.parquet(seg_dir).count()
+            part_cols = meta.get("partition_columns", [])
+            sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
+            stats = self._collect_segment_stats(seg_dir, sort_cols)
+            blooms = self._collect_segment_blooms(seg_dir, meta)
+            rewrites.append((e.segment_id, new_id, rows, stats, blooms, n))
+        if not rewrites:
+            return 0
+        # phase 2: ONE all-or-nothing swap (compact()'s discipline)
+        old_ids = {old for old, *_ in rewrites}
+        new_ids = {new for _, new, *_ in rewrites if new is not None}
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            live = {x.segment_id for x in entries if x.status == SEGMENT_SUCCESS}
+            if not old_ids <= live:
+                # a concurrent operation changed a source segment's state:
+                # promoting the rewrites would resurrect or double-apply
+                # rows — abort everything, the dirs become clean_files prey
+                abort_ts = time.time()
+                for x in entries:
+                    if x.segment_id in new_ids:
+                        x.status = SEGMENT_DELETED
+                        x.invalidated_ts = abort_ts
+                self._write_status(table, entries)
+                raise RuntimeError(
+                    f"row rewrite aborted: segments {sorted(old_ids - live)} "
+                    "changed state concurrently; no rows were modified"
+                )
+            by_new = {new: (rows, stats, blooms) for _, new, rows, stats, blooms, _ in rewrites}
+            commit_ts = time.time()
+            for x in entries:
+                if x.segment_id in old_ids:
+                    x.status = SEGMENT_COMPACTED
+                    x.invalidated_ts = commit_ts
+                if x.segment_id in by_new:
+                    rows, stats, blooms = by_new[x.segment_id]
+                    x.status = SEGMENT_SUCCESS
+                    x.rows = rows
+                    x.load_end_ts = commit_ts
+                    x.stats = stats
+                    x.blooms = blooms
+            self._write_status(table, entries)
+        return total
 
     # -- schema evolution (ALTER CUBE) ------------------------------------
 
