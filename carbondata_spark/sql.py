@@ -208,7 +208,7 @@ class CarbonSession:
             return self._rows([], "dropped string")
 
         m = re.fullmatch(
-            r"drop aggregate table (?:if exists )?(?:\w+\.)?(\w+)", s, _I
+            r"drop aggregate table (?:if exists )?(?:(\w+)\.)?(\w+)", s, _I
         )
         if m:
             from carbondata_spark.plans.agg_table import (
@@ -216,12 +216,28 @@ class CarbonSession:
                 list_aggregate_tables,
             )
 
-            name = m.group(1)
+            qual, name = m.group(1), m.group(2)
             if_exists = "if exists" in s.lower()
-            for fact in self.store.tables():
-                if name in list_aggregate_tables(self.store, fact):
-                    drop_aggregate_table(self.store, fact, name)
-                    return self._rows([{"dropped": name}], "dropped string")
+            # auto-named aggregates (auto0, auto1, ...) can exist on
+            # several facts (ADVICE r11): a dotted qualifier that names a
+            # store table disambiguates as fact.aggregate; any other
+            # qualifier is the (single-namespace) schema and is ignored.
+            facts = [
+                f
+                for f in self.store.tables()
+                if name in list_aggregate_tables(self.store, f)
+            ]
+            if qual and qual in self.store.tables():
+                facts = [f for f in facts if f == qual]
+            if len(facts) > 1:
+                raise ValueError(
+                    f"aggregate table {name} exists on several cubes "
+                    f"({', '.join(sorted(facts))}): qualify as "
+                    f"<cube>.{name} to disambiguate"
+                )
+            if facts:
+                drop_aggregate_table(self.store, facts[0], name)
+                return self._rows([{"dropped": name}], "dropped string")
             if if_exists:
                 return self._rows([], "dropped string")
             raise ValueError(f"aggregate table {name} not found on any cube")
@@ -311,18 +327,23 @@ class CarbonSession:
             return self._rows([{"deleted_rows": n}], "deleted_rows long")
 
         m = re.fullmatch(
-            r"update (?:table |cube )?(?:\w+\.)?(\w+) set (.+?)(?: where (.+))?", s, _I
+            r"update (?:table |cube )?(?:\w+\.)?(\w+) set (.+)", s, _I
         )
         if m and m.group(1) in self.store.tables():
+            # the WHERE split must be quote-aware: UPDATE t SET
+            # note = 'x where y' carries the keyword inside a literal
+            # (ADVICE r11 — a lazy regex split produced a bogus parse)
+            rest = m.group(2)
+            wi = _find_keyword(rest, "where")
+            set_s = rest[:wi].strip() if wi >= 0 else rest
+            pred = rest[wi + len("where") :].strip() if wi >= 0 else "true"
             assignments: dict[str, str] = {}
-            for item in _split_cols(m.group(2)):
+            for item in _split_cols(set_s):
                 if "=" not in item:
                     raise ValueError(f"UPDATE SET: cannot parse {item!r}")
                 c, expr = item.split("=", 1)
                 assignments[c.strip()] = expr.strip()
-            n = self.store.update_rows(
-                m.group(1), m.group(3) if m.group(3) else "true", assignments
-            )
+            n = self.store.update_rows(m.group(1), pred, assignments)
             return self._rows([{"updated_rows": n}], "updated_rows long")
 
         m = re.fullmatch(
@@ -530,6 +551,22 @@ class CarbonSession:
             # aggregation:973, partitioner:983) carry bracketed payloads
             # the flat k=v option parser cannot hold: lift them out
             # first, parse the remainder as plain options.
+            if re.search(r"\bcolumn_groups\b", opts_s, _I):
+                # The reference carries COLUMN_GROUPS only as a
+                # TBLPROPERTIES key of the Hive-syntax CREATE TABLE
+                # (CarbonSqlParser.scala:461-490 reads it from
+                # tableProperties; the CREATE CUBE options parser,
+                # :283-311, accepts only AGGREGATION and PARTITIONER) —
+                # reject loudly instead of failing as unrecognized syntax.
+                raise ValueError(
+                    "COLUMN_GROUPS is not a CREATE CUBE option: use the "
+                    "Hive-syntax form CREATE TABLE ... STORED BY "
+                    "'org.apache.carbondata.format' TBLPROPERTIES "
+                    "('COLUMN_GROUPS'='(c1,c2),...'), where it is accepted "
+                    "and recorded. The row-major physical layout itself is "
+                    "subsumed by Parquet's columnar row-group encoding, so "
+                    "query results are identical with or without it."
+                )
             part_cols, agg_exprs = None, None
             props_extra: dict[str, str] = {}
             pm = re.search(r"partitioner\s*\[(.*?)\]", opts_s, _I)
@@ -595,6 +632,33 @@ class CarbonSession:
         if m:
             self.store.drop_table(m.group(1))
             return self._rows([{"dropped": m.group(1)}], "dropped string")
+
+        # Hive-syntax CREATE TABLE ... STORED BY — the form migrating
+        # users actually have in scripts (CarbonSqlParser.scala:316-418
+        # nodeToPlan/prepareTableModel; run verbatim by
+        # ColumnGroupDataTypesTestCase.scala:34). Dimension/measure split
+        # per the reference rule (extractDimColsAndNoDictionaryFields /
+        # extractMsrColsFromFields, :532-630): string/array/struct
+        # columns are dimensions (DICTIONARY_EXCLUDE'd ones become
+        # no-dictionary dimensions), DICTIONARY_INCLUDE promotes numeric
+        # columns to dimensions, everything else is a measure.
+        m = re.fullmatch(
+            r"create table (if not exists )?(?:(\w+)\.)?(\w+)\s*\((.+?)\)"
+            r"(?: partitioned by \((.+?)\))?"
+            r" stored by '([^']+)'"
+            r"(?: tblproperties\s*\((.+)\))?",
+            s,
+            _I,
+        )
+        if m:
+            return self._create_table_hive(
+                exists_ok=bool(m.group(1)),
+                name=m.group(3),
+                cols_s=m.group(4),
+                part_s=m.group(5),
+                handler=m.group(6),
+                props_s=m.group(7),
+            )
 
         m = re.fullmatch(
             r"create table (\w+) \((.+?)\)"
@@ -753,6 +817,174 @@ class CarbonSession:
                 )
         return self.store.load(table, df, mode=mode)
 
+    # -- Hive-syntax CREATE TABLE ... STORED BY ------------------------------
+
+    def _create_table_hive(
+        self,
+        exists_ok: bool,
+        name: str,
+        cols_s: str,
+        part_s: str | None,
+        handler: str,
+        props_s: str | None,
+    ) -> DataFrame:
+        """CREATE TABLE ... STORED BY 'org.apache.carbondata.format'
+        [TBLPROPERTIES (...)] — the reference's Hive-compatible DDL
+        (CarbonSqlParser.scala:316-418).
+
+        TBLPROPERTIES keys (quoted, case-insensitive):
+
+        - DICTIONARY_INCLUDE / DICTIONARY_EXCLUDE (:541-546, :607-610) →
+          the existing dictionary property plumbing; include promotes
+          numeric columns to dimensions, exclude makes string dimensions
+          no-dictionary.
+        - COLUMN_GROUPS (:461-490) — "(c1,c2),(c3,c4)" row-major groups.
+          ACCEPTED AND RECORDED (validated: members must be existing
+          dimensions, no member in two groups) but physically designed
+          out: Parquet has no row-major chunk, and its columnar row-group
+          encoding subsumes the locality the feature bought on the
+          reference's custom format. Query results are identical — the
+          reference's own ColumnGroupDataTypesTestCase asserts colgrp
+          matches the ungrouped table — so recording the intent (visible
+          in DESCRIBE FORMATTED) is full functional parity.
+        - PARTITIONCLASS / PARTITIONCOUNT (:500-510) → recorded as
+          partitioner_class / partition_count, same as the CREATE CUBE
+          PARTITIONER clause.
+
+        Hive PARTITIONED BY columns are EXTRA typed columns
+        (TOK_TABLEPARTCOLS, :380-390); they join the schema and become
+        hive partition directories — the partitioner analogue.
+        """
+        if handler.strip().lower() != "org.apache.carbondata.format":
+            # the reference sys.errors on any other storage handler
+            # (CarbonSqlParser.scala:404-407 "Not a carbon format request")
+            raise ValueError(
+                f"Not a carbon format request: STORED BY {handler!r} — "
+                "only 'org.apache.carbondata.format' routes through the "
+                "carbon DDL"
+            )
+        if exists_ok and name in self.store.tables():
+            return self._rows([], "created string")
+
+        fields: list[T.StructField] = []
+        for part in _split_cols(cols_s):
+            cname, ctype = part.strip().split(None, 1)
+            fields.append(T.StructField(cname, _parse_type(ctype)))
+        part_cols: list[str] = []
+        if part_s:
+            for part in _split_cols(part_s):
+                cname, ctype = part.strip().split(None, 1)
+                fields.append(T.StructField(cname, _parse_type(ctype)))
+                part_cols.append(cname)
+
+        tbl_props = {
+            k.lower(): v
+            for k, v in re.findall(
+                r"['\"]([^'\"]+)['\"]\s*=\s*['\"]([^'\"]*)['\"]", props_s or ""
+            )
+        }
+        known = {
+            "column_groups",
+            "dictionary_include",
+            "dictionary_exclude",
+            "partitionclass",
+            "partitioncount",
+        }
+        unknown = sorted(set(tbl_props) - known)
+        if unknown:
+            raise ValueError(
+                f"unsupported TBLPROPERTIES {unknown}: the reference reads "
+                f"{sorted(known)} (CarbonSqlParser.scala:433-510)"
+            )
+
+        by_name = {f.name.lower(): f for f in fields}
+        dict_include = [
+            c.strip()
+            for c in tbl_props.get("dictionary_include", "").split(",")
+            if c.strip()
+        ]
+        dict_exclude = [
+            c.strip()
+            for c in tbl_props.get("dictionary_exclude", "").split(",")
+            if c.strip()
+        ]
+        for c in dict_include + dict_exclude:
+            if c.lower() not in by_name:
+                raise ValueError(
+                    f"DICTIONARY_INCLUDE/EXCLUDE column {c} is not a "
+                    f"column of {name}"
+                )
+
+        def _stringish(f: T.StructField) -> bool:
+            return isinstance(
+                f.dataType, (T.StringType, T.ArrayType, T.StructType)
+            )
+
+        excl = {c.lower() for c in dict_exclude}
+        incl = {c.lower() for c in dict_include}
+        dims = [
+            f.name
+            for f in fields
+            if _stringish(f) or f.name.lower() in incl
+        ]
+
+        props: dict[str, str] = {
+            "dictionary_include": ",".join(
+                d for d in dims if d.lower() not in excl
+            ),
+            # reference quirk preserved for drop-in parity: integer
+            # MEASURES surface as double (CarbonDatasourceRelation.scala:
+            # 194-208) on every carbon DDL path, Hive-syntax included
+            "int_measures_as_double": "true",
+        }
+        if dict_exclude:
+            props["dictionary_exclude"] = ",".join(dict_exclude)
+        if "partitionclass" in tbl_props:
+            props["partitioner_class"] = tbl_props["partitionclass"]
+        if "partitioncount" in tbl_props:
+            props["partition_count"] = tbl_props["partitioncount"]
+
+        if "column_groups" in tbl_props:
+            groups = re.findall(r"\(([^)]+)\)", tbl_props["column_groups"])
+            if not groups:
+                raise ValueError(
+                    "COLUMN_GROUPS must be '(c1,c2),(c3,c4)'-shaped "
+                    f"(got {tbl_props['column_groups']!r})"
+                )
+            dims_l = {d.lower() for d in dims}
+            seen: set[str] = set()
+            for g in groups:
+                for member in (x.strip() for x in g.split(",")):
+                    if member.lower() not in by_name:
+                        raise ValueError(
+                            f"COLUMN_GROUPS member {member} is not a "
+                            f"column of {name}"
+                        )
+                    if member.lower() not in dims_l:
+                        raise ValueError(
+                            f"COLUMN_GROUPS member {member} is a measure: "
+                            "row groups apply to dimensions only"
+                        )
+                    if member.lower() in seen:
+                        raise ValueError(
+                            f"COLUMN_GROUPS member {member} appears in "
+                            "more than one group"
+                        )
+                    seen.add(member.lower())
+            props["column_groups"] = ",".join(
+                "(" + ",".join(x.strip() for x in g.split(",")) + ")"
+                for g in groups
+            )
+
+        self.store.create_table(
+            name,
+            T.StructType(fields),
+            sort_columns=[d for d in dims if d not in part_cols],
+            partition_columns=part_cols or None,
+            properties=props,
+        )
+        return self._rows([{"created": name}], "created string")
+
     # -- rollup routing ----------------------------------------------------
 
     def _try_rollup_route(self, s: str) -> DataFrame | None:
@@ -845,14 +1077,21 @@ class CarbonSession:
 
 def _split_cols(s: str) -> list[str]:
     """Split a column list on commas not inside <> or () (decimal(10,2),
-    array<...>)."""
+    array<...>) and not inside string literals (UPDATE ... SET
+    c = 'a, b', ...)."""
     out, depth, cur = [], 0, []
+    quote: str | None = None
     for ch in s:
-        if ch in "<(":
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "<(":
             depth += 1
         elif ch in ">)":
             depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "," and depth == 0 and quote is None:
             out.append("".join(cur))
             cur = []
         else:
@@ -860,3 +1099,21 @@ def _split_cols(s: str) -> list[str]:
     if cur:
         out.append("".join(cur))
     return out
+
+
+def _find_keyword(s: str, kw: str) -> int:
+    """Index of the first whole-word ``kw`` outside single/double-quoted
+    string literals (case-insensitive), or -1. A quote escaped by
+    doubling ('') toggles the state twice and lands back inside the
+    literal, so no special case is needed."""
+    pat = re.compile(rf"\b{kw}\b", _I)
+    quote: str | None = None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif pat.match(s, i):
+            return i
+    return -1

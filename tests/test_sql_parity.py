@@ -227,3 +227,197 @@ def test_create_cube_structured_options(spark, tmp_path):
             "CREATE CUBE g DIMENSIONS (a string) MEASURES (v double) "
             "OPTIONS (PARTITIONER [COLUMNS = (nope), PARTITION_COUNT = 2])"
         )
+
+
+def test_hive_stored_by_verbatim_reference_statement(spark, tmp_path):
+    """The reference's own Hive-syntax DDL runs verbatim — the exact
+    statement from ColumnGroupDataTypesTestCase.scala:34, COLUMN_GROUPS
+    included. The row-major layout is designed out (Parquet's columnar
+    row groups subsume it) but the property is validated, recorded, and
+    visible in DESCRIBE FORMATTED; results match the ungrouped table —
+    exactly what the reference's test asserts too."""
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    cs.sql(
+        "create table colgrp (column1 string,column2 string,column3 string,"
+        "column4 string,column5 string,column6 string,column7 string,"
+        "column8 string,column9 string,column10 string,measure1 int,"
+        "measure2 int,measure3 int,measure4 int) STORED BY "
+        "'org.apache.carbondata.format' TBLPROPERTIES "
+        '("COLUMN_GROUPS"="(column2,column3,column4),(column7,column8,column9)")'
+    )
+    assert "colgrp" in cs.store.tables()
+    d = cs.store.describe("colgrp")
+    assert d["properties"]["column_groups"] == (
+        "(column2,column3,column4),(column7,column8,column9)"
+    )
+    # string cols are dimensions -> sort columns; int measures surface
+    # as double (CarbonDatasourceRelation.scala:194-208 parity)
+    assert d["sort_columns"] == [f"column{i}" for i in range(1, 11)]
+    types = {f.name: f.dataType.simpleString() for f in cs.store.schema("colgrp").fields}
+    assert types["measure1"] == "double"
+    # the recorded property shows up in DESCRIBE FORMATTED
+    rows = {r["col_name"]: r["data_type"] for r in cs.sql("DESC FORMATTED colgrp").collect()}
+    assert "column_groups" in rows["properties"]
+    # loads + queries behave identically to an ungrouped table
+    df = spark.createDataFrame(
+        [tuple(f"v{i}_{j}" for j in range(1, 11)) + (i, i, i, i) for i in range(4)],
+        ", ".join([f"column{j} string" for j in range(1, 11)])
+        + ", measure1 int, measure2 int, measure3 int, measure4 int",
+    )
+    cs.store.load("colgrp", df)
+    assert cs.sql("SELECT count(*) AS n FROM colgrp").collect()[0]["n"] == 4
+
+
+def test_hive_stored_by_dictionary_properties(spark, tmp_path):
+    """DICTIONARY_INCLUDE promotes a numeric column to a dimension (it
+    sorts, it keeps its integer type); DICTIONARY_EXCLUDE makes a string
+    dimension no-dictionary (recorded, still sorts). Reference rule:
+    CarbonSqlParser.scala:532-630."""
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    cs.sql(
+        "CREATE TABLE t1 (empno int, empname string, salary int) "
+        "STORED BY 'org.apache.carbondata.format' "
+        "TBLPROPERTIES ('DICTIONARY_INCLUDE'='empno', "
+        "'DICTIONARY_EXCLUDE'='empname')"
+    )
+    d = cs.store.describe("t1")
+    # empno promoted to dimension: sorts and keeps int; salary is a
+    # measure: coerced to double by the int->double parity quirk.
+    # Dimension order is FIELD order (the reference's LinkedHashSet fills
+    # during one pass over the columns, CarbonSqlParser.scala:552-575)
+    assert d["sort_columns"] == ["empno", "empname"]
+    types = {f.name: f.dataType.simpleString() for f in cs.store.schema("t1").fields}
+    assert types["empno"] == "int" and types["salary"] == "double"
+    props = d["properties"]
+    assert props["dictionary_exclude"] == "empname"
+    assert "empname" not in props["dictionary_include"].split(",")
+    assert "empno" in props["dictionary_include"].split(",")
+    # unknown TBLPROPERTIES and unknown dictionary columns are loud
+    with pytest.raises(ValueError, match="unsupported TBLPROPERTIES"):
+        cs.sql(
+            "CREATE TABLE t2 (a string) STORED BY "
+            "'org.apache.carbondata.format' TBLPROPERTIES ('NOPE'='1')"
+        )
+    with pytest.raises(ValueError, match="not a column"):
+        cs.sql(
+            "CREATE TABLE t3 (a string) STORED BY "
+            "'org.apache.carbondata.format' "
+            "TBLPROPERTIES ('DICTIONARY_INCLUDE'='ghost')"
+        )
+
+
+def test_hive_stored_by_partitioned_and_handler_guard(spark, tmp_path):
+    """Hive PARTITIONED BY columns are extra typed columns that become
+    hive partition directories; PARTITIONCLASS/PARTITIONCOUNT are
+    recorded. A non-carbon storage handler errors exactly like the
+    reference ('Not a carbon format request', CarbonSqlParser.scala:405)."""
+    import os
+
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    cs.sql(
+        "CREATE TABLE psales (uid string, amount int) "
+        "PARTITIONED BY (region string) "
+        "STORED BY 'org.apache.carbondata.format' "
+        "TBLPROPERTIES ('PARTITIONCLASS'='org.example.HashPartitioner', "
+        "'PARTITIONCOUNT'='4')"
+    )
+    d = cs.store.describe("psales")
+    assert d["properties"]["partitioner_class"] == "org.example.HashPartitioner"
+    assert d["properties"]["partition_count"] == "4"
+    assert "region" in cs.store.schema("psales").fieldNames()
+    df = spark.createDataFrame(
+        [(f"u{i}", i, f"r{i % 2}") for i in range(6)],
+        "uid string, amount int, region string",
+    )
+    cs.store.load("psales", df)
+    seg0 = os.path.join(cs.store._table_dir("psales"), "Fact", "Part0", "Segment_0")
+    assert any(e.startswith("region=") for e in os.listdir(seg0)), os.listdir(seg0)
+    with pytest.raises(ValueError, match="Not a carbon format request"):
+        cs.sql("CREATE TABLE h (a string) STORED BY 'org.apache.hive.hcatalog'")
+
+
+def test_column_groups_validation_is_loud(spark, tmp_path):
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    base = (
+        "CREATE TABLE cg (a string, b string, m int) STORED BY "
+        "'org.apache.carbondata.format' TBLPROPERTIES "
+    )
+    with pytest.raises(ValueError, match="not a column"):
+        cs.sql(base + "('COLUMN_GROUPS'='(a,ghost)')")
+    with pytest.raises(ValueError, match="is a measure"):
+        cs.sql(base + "('COLUMN_GROUPS'='(a,m)')")
+    with pytest.raises(ValueError, match="more than one group"):
+        cs.sql(base + "('COLUMN_GROUPS'='(a,b),(b)')")
+    with pytest.raises(ValueError, match="shaped"):
+        cs.sql(base + "('COLUMN_GROUPS'='a,b')")
+
+
+def test_create_cube_column_groups_rejected_with_pointer(spark, tmp_path):
+    """COLUMN_GROUPS is not a CREATE CUBE option in the reference either
+    (its options parser takes only AGGREGATION/PARTITIONER) — the error
+    names the Hive-syntax form that does carry it, instead of a generic
+    unrecognized-syntax failure."""
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    with pytest.raises(ValueError, match="STORED BY"):
+        cs.sql(
+            "CREATE CUBE c DIMENSIONS (a string, b string) MEASURES (v int) "
+            "OPTIONS (COLUMN_GROUPS [(a,b)])"
+        )
+
+
+def test_update_where_keyword_inside_string_literal(cs):
+    """ADVICE r11: the WHERE split is quote-aware — a literal containing
+    ' where ' must not truncate the SET list or fabricate a predicate."""
+    # unconditional update whose SET literal contains the keyword
+    n = cs.sql("UPDATE sales SET city = 'x where y'").collect()[0]["updated_rows"]
+    assert n == 36
+    assert cs.sql("SELECT count(DISTINCT city) AS n FROM sales").collect()[0]["n"] == 1
+    # literal keyword in SET plus a REAL predicate after it
+    n = cs.sql(
+        "UPDATE sales SET city = 'a where b' WHERE amount < 3"
+    ).collect()[0]["updated_rows"]
+    assert n == 9
+    got = {
+        (r["city"], r["n"])
+        for r in cs.sql(
+            "SELECT city, count(*) AS n FROM sales GROUP BY city"
+        ).collect()
+    }
+    assert got == {("a where b", 9), ("x where y", 27)}
+    # commas inside SET literals survive the assignment split too
+    n = cs.sql("UPDATE sales SET city = 'p, q' WHERE amount >= 10").collect()[0][
+        "updated_rows"
+    ]
+    assert n == 6
+    assert (
+        cs.sql("SELECT count(*) AS n FROM sales WHERE city = 'p, q'").collect()[0]["n"]
+        == 6
+    )
+
+
+def test_drop_aggregate_table_ambiguity(spark, tmp_path):
+    """ADVICE r11: the same auto-name on several facts must not drop an
+    arbitrary one — unqualified is an error naming the candidates, and a
+    fact qualifier disambiguates."""
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    for fact in ("f1", "f2"):
+        cs.sql(
+            f"CREATE CUBE {fact} DIMENSIONS (g string) MEASURES (v double)"
+        )
+        cs.store.load(
+            fact,
+            spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double"),
+        )
+        cs.sql(f"CREATE AGGREGATETABLE g, sum(v) FROM CUBE {fact}")
+    with pytest.raises(ValueError, match="several cubes"):
+        cs.sql("DROP AGGREGATE TABLE auto0")
+    cs.sql("DROP AGGREGATE TABLE f1.auto0")
+    from carbondata_spark.plans.agg_table import list_aggregate_tables
+
+    assert list_aggregate_tables(cs.store, "f1") == []
+    assert list_aggregate_tables(cs.store, "f2") == ["auto0"]
+    # schema-like qualifier that is NOT a fact still hits the ambiguity
+    # guard rather than silently picking one
+    cs.sql("CREATE AGGREGATETABLE g, sum(v) FROM CUBE f1")
+    with pytest.raises(ValueError, match="several cubes"):
+        cs.sql("DROP AGGREGATE TABLE default.auto0")
