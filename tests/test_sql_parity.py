@@ -421,3 +421,79 @@ def test_drop_aggregate_table_ambiguity(spark, tmp_path):
     cs.sql("CREATE AGGREGATETABLE g, sum(v) FROM CUBE f1")
     with pytest.raises(ValueError, match="several cubes"):
         cs.sql("DROP AGGREGATE TABLE default.auto0")
+
+
+def test_alter_cube_drop_add_defaults(cs):
+    """ALTER CUBE verbatim (CarbonSqlParser.scala:731-776): DROP removes
+    columns from reads of every segment; ADD DIMENSIONS/MEASURES with
+    OPTIONS(DEFAULTS[...]) appends columns default-filled over old
+    segments; added dims join dictionary_include (DESCRIBE annotates
+    them); added int measures follow the cube's int->double quirk."""
+    out = cs.sql(
+        "ALTER CUBE sales ADD DIMENSIONS (channel string) "
+        "MEASURES (qty int) OPTIONS (DEFAULTS [channel = 'legacy', qty = 0])"
+    ).collect()
+    assert {(r["action"], r["column"]) for r in out} == {
+        ("added", "channel"),
+        ("added", "qty"),
+    }
+    rows = {r["col_name"]: (r["data_type"], r["comment"])
+            for r in cs.sql("DESCRIBE sales").collect()}
+    assert rows["channel"] == ("string", "dimension")
+    # int measure surfaced as double (the cube was created with the
+    # reference coercion on)
+    assert rows["qty"][0] == "double"
+    got = cs.sql(
+        "SELECT channel, count(*) AS n, sum(qty) AS q FROM sales GROUP BY channel"
+    ).collect()
+    assert [(r["channel"], r["n"], r["q"]) for r in got] == [("legacy", 36, 0.0)]
+
+    out = cs.sql("ALTER CUBE default.sales DROP (channel)").collect()
+    assert [(r["action"], r["column"]) for r in out] == [("dropped", "channel")]
+    assert "channel" not in cs.store.schema("sales").fieldNames()
+
+    # reference parity errors: empty ADD, star-schema WITH, stray DEFAULTS
+    with pytest.raises(ValueError, match="empty ADD definition"):
+        cs.sql("ALTER CUBE sales ADD OPTIONS (DEFAULTS [x = 1])")
+    with pytest.raises(ValueError, match="not supported"):
+        cs.sql(
+            "ALTER CUBE sales ADD DIMENSIONS (city2 string) WITH city2 "
+            "RELATION (FACT.city = city2) INCLUDE (city2)"
+        )
+    with pytest.raises(ValueError, match="without an ADD"):
+        cs.sql("ALTER CUBE sales DROP (ts) OPTIONS (DEFAULTS [ghost = 1])")
+    with pytest.raises(ValueError, match="not being added"):
+        cs.sql(
+            "ALTER CUBE sales ADD DIMENSIONS (a string) "
+            "OPTIONS (DEFAULTS [b = 1])"
+        )
+
+
+def test_alter_cube_no_dictionary_and_aggregation(cs):
+    """NO_DICTIONARY must name added string dimensions (validated; the
+    global dictionary itself is designed out — Parquet dictionary-encodes
+    per chunk automatically); AGGREGATION declares the next auto rollup
+    exactly like CREATE AGGREGATETABLE."""
+    cs.sql(
+        "ALTER CUBE sales ADD DIMENSIONS (uid string) "
+        "OPTIONS (NO_DICTIONARY(uid), DEFAULTS [uid = 'u0'], "
+        "AGGREGATION [sum(amount), max(amount)])"
+    )
+    d = cs.store.describe("sales")
+    assert "uid" in d["properties"]["dictionary_exclude"].split(",")
+    assert "uid" not in d["properties"]["dictionary_include"].split(",")
+    from carbondata_spark.plans.agg_table import list_aggregate_tables
+
+    assert list_aggregate_tables(cs.store, "sales") == ["auto0"]
+    # the declared rollup routes
+    out = cs.sql(
+        "SELECT city, sum(amount) AS total FROM sales GROUP BY city ORDER BY city"
+    ).collect()
+    assert [r["city"] for r in out] == ["c0", "c1", "c2"]
+    with pytest.raises(ValueError, match="added dimensions"):
+        cs.sql(
+            "ALTER CUBE sales ADD DIMENSIONS (x string) "
+            "OPTIONS (NO_DICTIONARY(city))"
+        )
+    with pytest.raises(ValueError, match="unrecognized"):
+        cs.sql("ALTER CUBE sales ADD DIMENSIONS (y string) OPTIONS (NOPE(z))")
