@@ -33,7 +33,15 @@ TOPANDAS_ALLOWED = {"oracle.py"}
 # bitset size (2^23 bits) per column regardless of row count, and the
 # probe collects k positions per lookup literal. Same class as the
 # parquet footer min/max reads feeding the manifest zone maps.
-COLLECT_ALLOWED = {"bloom.py"}
+COLLECT_ALLOWED = {
+    "bloom.py",
+    # jdbc_q's build step collects exactly TWO scalars (min/max of the
+    # partition key) to feed Spark's JDBC lowerBound/upperBound options —
+    # the standard setup for a range-partitioned JDBC read, bounded
+    # metadata regardless of row count (same class as the footer min/max
+    # reads feeding the manifest zone maps).
+    "query_defs/jdbc_q.py",
+}
 # .rdd drops out of Catalyst; the only sanctioned use is the
 # partition-count metadata probe in functions.repartition_if_narrow.
 RDD_ALLOWED = {"functions/__init__.py"}

@@ -497,3 +497,28 @@ def test_alter_cube_no_dictionary_and_aggregation(cs):
         )
     with pytest.raises(ValueError, match="unrecognized"):
         cs.sql("ALTER CUBE sales ADD DIMENSIONS (y string) OPTIONS (NOPE(z))")
+
+
+def test_hive_stored_by_partition_filter_is_directory_pruned(spark, tmp_path):
+    """A Hive-syntax PARTITIONED BY table prunes at the directory level:
+    the partition predicate lands in PartitionFilters (planning-time
+    listing of matching hive directories), not DataFilters."""
+    import re
+
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    cs.sql(
+        "CREATE TABLE hp (uid string, amount int) PARTITIONED BY (region string) "
+        "STORED BY 'org.apache.carbondata.format'"
+    )
+    cs.store.load(
+        "hp",
+        spark.createDataFrame(
+            [(f"u{i}", i, f"r{i % 3}") for i in range(9)],
+            "uid string, amount int, region string",
+        ),
+    )
+    df = cs.store.table("hp").filter(F.col("region") == "r1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*region[^\]]*r1", plan), plan
+    assert "DataFilters: []" in plan
+    assert df.count() == 3
