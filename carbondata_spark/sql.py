@@ -518,11 +518,15 @@ class CarbonSession:
         if m:
             table = m.group(2)
             d = self.store.describe(table)
-            dims = set(
-                (d.get("properties", {}) or {})
-                .get("dictionary_include", "")
-                .split(",")
-            )
+            # a NO_DICTIONARY / DICTIONARY_EXCLUDE column is still a
+            # DIMENSION — the reference tracks it as a no-dictionary dim,
+            # not a measure (TestCarbonSqlParser.scala:59-84 pins the
+            # split: dimCols vs noDictionary, both dimension-side)
+            props_d = d.get("properties", {}) or {}
+            dims = set(props_d.get("dictionary_include", "").split(","))
+            dims |= {
+                c for c in props_d.get("dictionary_exclude", "").split(",") if c
+            }
             rows = [
                 {
                     "col_name": f.name,
@@ -642,8 +646,21 @@ class CarbonSession:
                 name,
                 T.StructType(fields),
                 # a hive-partition column is constant within its
-                # directory — sort on the remaining dims
-                sort_columns=[c for c in dim_names if c not in (part_cols or [])],
+                # directory — sort on the remaining dims. MDKey analogue:
+                # NO_DICTIONARY (high-cardinality) dims sort AFTER the
+                # dictionary dims (TestCarbonSqlParser.scala:59-84 pins
+                # the dimCols/noDictionary split) — low-cardinality dims
+                # first keep long sorted runs for row-group pruning.
+                sort_columns=[
+                    c
+                    for c in dim_names
+                    if c not in excluded and c not in (part_cols or [])
+                ]
+                + [
+                    c
+                    for c in dim_names
+                    if c in excluded and c not in (part_cols or [])
+                ],
                 partition_columns=part_cols,
                 properties=props,
             )
@@ -1007,10 +1024,21 @@ class CarbonSession:
                 for g in groups
             )
 
+        # MDKey analogue: dictionary dimensions form the sort prefix, the
+        # no-dictionary (high-cardinality) dims are appended AFTER them —
+        # the reference's own parser test pins the split
+        # (TestCarbonSqlParser.scala:59-84: dimCols=[col3,col4] with the
+        # excluded col2 tracked separately). Clustering-wise this is also
+        # the right 100 TB order: low-cardinality dims first give long
+        # sorted runs; a high-cardinality prefix would destroy them.
+        dict_dims = [d for d in dims if d.lower() not in excl]
+        no_dict_dims = [d for d in dims if d.lower() in excl]
         self.store.create_table(
             name,
             T.StructType(fields),
-            sort_columns=[d for d in dims if d not in part_cols],
+            sort_columns=[
+                d for d in dict_dims + no_dict_dims if d not in part_cols
+            ],
             partition_columns=part_cols or None,
             properties=props,
         )

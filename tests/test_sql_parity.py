@@ -522,3 +522,36 @@ def test_hive_stored_by_partition_filter_is_directory_pruned(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^\]]*region[^\]]*r1", plan), plan
     assert "DataFilters: []" in plan
     assert df.count() == 3
+
+
+def test_no_dictionary_dims_sort_last_and_describe_as_dimensions(spark, tmp_path):
+    """The reference splits dims into dictionary dimCols (the MDKey) and
+    no-dictionary dims tracked separately (its own parser test,
+    TestCarbonSqlParser.scala:59-84, pins dimCols=[col3,col4] with the
+    DICTIONARY_EXCLUDE'd col2 on the no-dictionary side). Analogue here:
+    NO_DICTIONARY/DICTIONARY_EXCLUDE dims sort AFTER the dictionary dims
+    (high-cardinality suffix keeps long sorted runs for pruning) and
+    DESCRIBE still annotates them as dimensions, never measures."""
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    cs.sql(
+        "CREATE CUBE c1 DIMENSIONS (a string, uid string, b string) "
+        "MEASURES (v double) OPTIONS (NO_DICTIONARY (uid))"
+    )
+    assert cs.store.describe("c1")["sort_columns"] == ["a", "b", "uid"]
+    rows = {r["col_name"]: r["comment"] for r in cs.sql("DESCRIBE c1").collect()}
+    assert rows["uid"] == "dimension" and rows["v"] == "measure"
+    # same rule through the Hive-syntax form (reference test shape:
+    # col1 int msr, col2 excluded string, col3 string, col4 included int)
+    cs.sql(
+        "CREATE TABLE t4 (col1 int, col2 string, col3 string, col4 int) "
+        "STORED BY 'org.apache.carbondata.format' TBLPROPERTIES "
+        "('DICTIONARY_EXCLUDE'='col2', 'DICTIONARY_INCLUDE'='col4')"
+    )
+    assert cs.store.describe("t4")["sort_columns"] == ["col3", "col4", "col2"]
+    rows = {r["col_name"]: r["comment"] for r in cs.sql("DESCRIBE t4").collect()}
+    assert rows == {
+        "col1": "measure",
+        "col2": "dimension",
+        "col3": "dimension",
+        "col4": "dimension",
+    }
