@@ -555,3 +555,58 @@ def test_no_dictionary_dims_sort_last_and_describe_as_dimensions(spark, tmp_path
         "col3": "dimension",
         "col4": "dimension",
     }
+
+
+def test_high_cardinality_no_dictionary_cube_verbatim(spark, tmp_path):
+    """The HighCardinalityDataTypesTestCase CREATE statement runs
+    verbatim (NO_DICTIONARY on integer AND string dims, space-separated
+    OPTIONS clauses), and the no-dictionary columns answer the suite's
+    query shapes (IN / NOT IN / = / projection with mixed columns)."""
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    cs.sql(
+        "CREATE CUBE NO_DICTIONARY_CARBON_6 DIMENSIONS (empno Integer, "
+        "doj Timestamp, workgroupcategory Integer, empname String,"
+        "workgroupcategoryname String, deptno Integer, deptname String, "
+        "projectcode Integer, projectjoindate Timestamp, projectenddate "
+        "Timestamp, designation String) MEASURES (attendance Integer,"
+        "utilization Integer,salary Integer) "
+        "OPTIONS (NO_DICTIONARY(empno,empname,designation) PARTITIONER "
+        "[PARTITION_COUNT=1])"
+    )
+    d = cs.store.describe("NO_DICTIONARY_CARBON_6")
+    assert d["properties"]["dictionary_exclude"] == "empno,empname,designation"
+    # no-dictionary dims sort LAST (MDKey prefix analogue)
+    assert d["sort_columns"][-3:] == ["empno", "empname", "designation"]
+    rows = [
+        (11 + i, "2016-01-01 00:00:00", 1, f"e{11 + i}", "cat", 1, "dept",
+         100, "2016-01-01 00:00:00", "2016-06-01 00:00:00", "eng",
+         float(20 + i), float(90), float(5000 + i))
+        for i in range(7)  # empno 11..17
+    ]
+    schema = (
+        "empno int, doj string, workgroupcategory int, empname string, "
+        "workgroupcategoryname string, deptno int, deptname string, "
+        "projectcode int, projectjoindate string, projectenddate string, "
+        "designation string, attendance double, utilization double, "
+        "salary double"
+    )
+    df = spark.createDataFrame(rows, schema)
+    for c in ("doj", "projectjoindate", "projectenddate"):
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    cs.store.load("NO_DICTIONARY_CARBON_6", df)
+    got = cs.sql(
+        "select empno from NO_DICTIONARY_CARBON_6 where empno in(11,12,13)"
+    ).collect()
+    assert sorted(r["empno"] for r in got) == [11, 12, 13]
+    got = cs.sql(
+        "select empno from NO_DICTIONARY_CARBON_6 "
+        "where empno not in(11,12,13,14,15,16)"
+    ).collect()
+    assert [r["empno"] for r in got] == [17]
+    got = cs.sql(
+        "select empno,empname,workgroupcategory from NO_DICTIONARY_CARBON_6 "
+        "where empno=17"
+    ).collect()
+    assert [(r["empno"], r["empname"], r["workgroupcategory"]) for r in got] == [
+        (17, "e17", 1)
+    ]
