@@ -23,6 +23,7 @@ import carbondata_spark.query_defs.pipeline6  # noqa: F401
 import carbondata_spark.query_defs.ivf_q  # noqa: F401
 import carbondata_spark.query_defs.iud_q  # noqa: F401
 import carbondata_spark.query_defs.jdbc_q  # noqa: F401
+import carbondata_spark.query_defs.feed_q  # noqa: F401
 import carbondata_spark.query_defs.lifecycle_q  # noqa: F401
 import carbondata_spark.query_defs.routing_q  # noqa: F401
 import carbondata_spark.query_defs.scalars  # noqa: F401
