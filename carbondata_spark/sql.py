@@ -968,6 +968,15 @@ class CarbonSession:
                 f.dataType, (T.StringType, T.ArrayType, T.StructType)
             )
 
+        # the reference applies DICTIONARY_EXCLUDE only to string-typed
+        # columns (extractDimColsAndNoDictionaryFields walks string/
+        # array/struct fields only, :552-575); an exclude naming a
+        # numeric column is ignored there — drop it here too so it never
+        # mis-annotates a measure as a no-dictionary dimension
+        dict_exclude = [
+            c for c in dict_exclude if _stringish(by_name[c.lower()])
+        ]
+
         excl = {c.lower() for c in dict_exclude}
         incl = {c.lower() for c in dict_include}
         dims = [

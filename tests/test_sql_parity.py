@@ -610,3 +610,20 @@ def test_high_cardinality_no_dictionary_cube_verbatim(spark, tmp_path):
     assert [(r["empno"], r["empname"], r["workgroupcategory"]) for r in got] == [
         (17, "e17", 1)
     ]
+
+
+def test_dictionary_exclude_on_numeric_is_ignored(spark, tmp_path):
+    """The reference applies DICTIONARY_EXCLUDE only to string columns
+    (extractDimColsAndNoDictionaryFields walks string/array/struct
+    fields); excluding a numeric column is a no-op, never a
+    dimension-annotation leak."""
+    cs = CarbonSession(spark, CarbonStore(spark, str(tmp_path / "store")))
+    cs.sql(
+        "CREATE TABLE tnum (a string, m int) STORED BY "
+        "'org.apache.carbondata.format' TBLPROPERTIES "
+        "('DICTIONARY_EXCLUDE'='m')"
+    )
+    d = cs.store.describe("tnum")
+    assert d["properties"].get("dictionary_exclude", "") == ""
+    rows = {r["col_name"]: r["comment"] for r in cs.sql("DESCRIBE tnum").collect()}
+    assert rows == {"a": "dimension", "m": "measure"}
