@@ -90,3 +90,41 @@ def test_feed_is_segment_scoped_scan(store, spark):
     assert "InMemoryFileIndex(1 paths)" in plan, plan
     files = df.inputFiles()
     assert files and all("Segment_1" in f for f in files), files
+
+
+def test_feed_tails_streaming_ingest(spark, tmp_path, sf_dir):
+    """The batch side of the streaming story: stream_load commits
+    micro-batch segments; a downstream consumer tails them with
+    changes_since — checkpoint, ingest more, read exactly the delta."""
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.streaming.ingest import stream_load
+
+    sample = load_table(spark, sf_dir, "orders").limit(200)
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    sample.filter("o_orderkey % 2 = 0").write.parquet(str(src_dir / "f0"))
+
+    st = CarbonStore(spark, str(tmp_path / "store"))
+    st.create_table("live", sample.schema, sort_columns=["o_orderkey"])
+    stream = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    stream_load(st, "live", stream, str(tmp_path / "ckpt1")).awaitTermination(120)
+    n_first = st.table("live").count()
+    assert n_first == sample.filter("o_orderkey % 2 = 0").count()
+    ckpt = manifest_clock(st, "live")
+
+    # second wave of files, new streaming run (availableNow semantics)
+    sample.filter("o_orderkey % 2 = 1").write.parquet(str(src_dir / "f1"))
+    stream2 = (
+        spark.readStream.schema(sample.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*")
+    )
+    stream_load(st, "live", stream2, str(tmp_path / "ckpt1")).awaitTermination(120)
+
+    delta = changes_since(st, "live", ckpt)
+    assert delta.count() == sample.filter("o_orderkey % 2 = 1").count()
+    assert delta.filter("o_orderkey % 2 = 0").count() == 0
