@@ -158,10 +158,14 @@ def q_custom_agg_mad(spark, sf_dir):
     ) WHERE rk <= 3
     """,
     headline=True,
-    doc="TF-IDF top-3 terms per document (tf * ln(N/df); shuffle keys: "
-    "(doc,word) then word — both high-cardinality).",
+    doc="TF-IDF top-3 terms per document (tf * ln(N/df); df(w) via a "
+    "count window sharing the word-key exchange — no join; one lazy "
+    "job, n_docs broadcast as a 1-row aggregate).",
 )
 def p_text_tfidf(spark, sf_dir):
-    from carbondata_spark.operators.text import tfidf_top_terms
+    # r13: swapped from text.tfidf_top_terms to the v2 plan
+    # (operators/tfidf2.py — join-free df(w), −40% at sf0.1); v1 stays
+    # as the row-identity oracle in tests/test_tfidf2.py.
+    from carbondata_spark.operators.tfidf2 import tfidf_top_terms_v2
 
-    return tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
+    return tfidf_top_terms_v2(t(spark, sf_dir, "documents"), k=3)

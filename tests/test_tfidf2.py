@@ -1,7 +1,7 @@
-"""Equivalence + plan pins for the staged tfidf optimization
-(operators/tfidf2.py). The swap into text.tfidf_top_terms happens next
-round; these tests make it a proven drop-in before the budget window
-opens."""
+"""Equivalence + plan pins for the v2 TF-IDF plan (operators/tfidf2.py),
+which is LIVE behind the p_text_tfidf headline query since round 13.
+text.tfidf_top_terms (v1) is kept as the independent row-identity oracle
+here: the two implementations must stay bit-identical."""
 
 from __future__ import annotations
 
@@ -21,7 +21,10 @@ def test_v2_is_row_identical_to_current(spark, sf_dir):
 
 
 def test_v2_edge_docs_match(spark):
-    # empty text, single word, all-same-word, ties on tfidf
+    # empty text, single word, all-same-word, ties on tfidf. The empty
+    # doc also pins the n_docs contract: doc 1 contributes no tf rows
+    # but MUST count toward N (n_docs comes from the input frame, not
+    # the tf frame).
     docs = spark.createDataFrame(
         [
             (1, ""),
@@ -37,14 +40,41 @@ def test_v2_edge_docs_match(spark):
     assert a == b
 
 
-def test_v2_plan_has_no_join_and_no_dfreq_aggregate(spark, sf_dir):
+def test_v2_plan_shape(spark, sf_dir):
     """The point of v2: df(w) comes from a count window sharing the word
-    exchange — no join, and exactly TWO hash aggregates (tf and the
-    final per-doc top-k), not three."""
+    exchange — no shuffle/hash join on the word key (the ONLY join is
+    the 1-row broadcast nested-loop bringing in n_docs), and exactly TWO
+    hash aggregates on the scored path (tf and the per-doc top-k) plus
+    the 1-row n_docs count — not a third dfreq aggregate keyed on w."""
     docs = load_table(spark, sf_dir, "documents").limit(200)
     plan = tfidf_top_terms_v2(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan, plan
-    assert plan.count("HashAggregate(keys=") <= 4, plan  # 2 aggs x partial+final
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # keyed aggregates: tf (partial+final) and top-k (partial+final);
+    # the n_docs count is key-less (keys=[]) so it's excluded here.
+    import re
+
+    keyed = re.findall(r"HashAggregate\(keys=\[[^\]]", plan)
+    assert len(keyed) <= 4, plan
+    assert "HashAggregate(keys=[w" not in plan, plan  # no dfreq agg
+    # the n_docs subtree prunes every column: pure footer/metadata count
+    assert "ReadSchema: struct<>" in plan, plan
     # the window carries no sort order: no global/partition sort appears
     # beyond the window's own partitioning requirement
     assert "WindowExec" in plan or "Window" in plan, plan
+
+
+def test_v2_is_one_lazy_job_no_eager_count(spark):
+    """Constructing the v2 frame must run NO Spark job (the former
+    n_docs = df.count() was an eager extra pass; it is now a broadcast
+    one-row aggregate inside the single job)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms_v2(docs)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building the v2 frame triggered a Spark job"
+    assert out.count() > 0
