@@ -11,25 +11,33 @@ composition over the public store API — no new storage format.
 Contract:
 
 - ``new_segments(store, table, after_ts)`` — SUCCESS segments with
-  ``load_start_ts > after_ts``, EXCLUDING copy-on-write IUD rewrites
-  (``origin["rewrite_of"]``): a rewrite re-materializes rows the
-  consumer already saw (minus the deleted/updated ones), so an
-  append-feed must not re-deliver it. Pass ``include_rewrites=True`` for
-  IUD-aware consumers that want the rewrite stream.
+  ``load_end_ts > after_ts``, EXCLUDING
+
+  * copy-on-write IUD rewrites (``origin["rewrite_of"]``): a rewrite
+    re-materializes rows the consumer already saw (minus the deleted/
+    updated ones), so an append-feed must not re-deliver it. Pass
+    ``include_rewrites=True`` for IUD-aware consumers that want the
+    rewrite stream;
+  * compaction results whose ``origin["compacted_from"]`` inputs were
+    ALL committed at-or-before the checkpoint: the merged segment holds
+    exactly rows the consumer already drained. A merge with ANY
+    post-checkpoint input still delivers whole (its new rows are
+    inseparable from the merged files) — the at-least-once corner; and
+    if ``clean_files`` already purged an input's manifest entry the
+    proof is gone, so the feed falls back to delivering (at-least-once,
+    never silent loss). Operationally: drain feeds before maintenance
+    windows and both corners vanish.
+
 - ``changes_since(store, table, after_ts)`` — the rows of those
   segments, as one segment-scoped scan (``store.table(segment_ids=…)``
   — no full-table listing, the whole point at scale).
-- ``manifest_clock(store, table)`` — the max commit timestamp over
-  SUCCESS segments: the value a consumer checkpoints AFTER draining.
-
-Known limit (documented + pinned in tests/test_segment_feed.py):
-COMPACTION merges old segments into a new one whose origin does not yet
-record its inputs, so a feed crossing a compaction re-delivers the
-merged rows. Consumers either drain before compaction windows run (the
-usual arrangement: compaction is a maintenance-window operation) or
-dedup downstream on a key. Tagging ``compacted_from`` provenance in
-``store.compact`` is the planned store-side follow-up; this module's
-exclusion then becomes exact with a one-line change.
+- ``manifest_clock(store, table)`` — the max COMMIT timestamp
+  (``load_end_ts``, stamped under the status-file lock, monotonic
+  across commits) over SUCCESS segments: the value a consumer
+  checkpoints AFTER draining. ``load_start_ts`` would be wrong here —
+  store.load supports concurrent loaders via in-progress reservation,
+  so a load that STARTS before a checkpoint but COMMITS after would
+  sort before the checkpoint and be silently lost.
 
 Reference parity: the reference's load manifest (tablestatus semantics —
 SHOW LOADS / LoadMetadataDetails timestamps,
@@ -49,6 +57,24 @@ def _is_rewrite(origin: dict) -> bool:
     return "rewrite_of" in (origin or {})
 
 
+def _already_delivered_merge(
+    origin: dict, after_ts: float, commit_ts_by_id: dict[int, float]
+) -> bool:
+    """True iff this segment is a compaction result whose EVERY input
+    was committed at-or-before ``after_ts`` — i.e. the merge only
+    re-materializes rows a consumer checkpointed at ``after_ts`` has
+    already drained. Missing provenance or a purged input entry returns
+    False (deliver: at-least-once beats silent loss)."""
+    inputs = (origin or {}).get("compacted_from")
+    if not inputs:
+        return False
+    for sid in inputs:
+        committed = commit_ts_by_id.get(sid)
+        if committed is None or committed > after_ts:
+            return False
+    return True
+
+
 def new_segments(
     store: CarbonStore,
     table: str,
@@ -56,12 +82,18 @@ def new_segments(
     include_rewrites: bool = False,
 ) -> list[int]:
     """Ids of SUCCESS segments committed strictly after ``after_ts``
-    (manifest clock), minus IUD rewrites unless ``include_rewrites``."""
+    (manifest clock = ``load_end_ts``), minus IUD rewrites (unless
+    ``include_rewrites``) and minus already-delivered compaction merges
+    (exact via ``compacted_from`` provenance)."""
+    commit_ts_by_id = {
+        d["segment_id"]: d["load_end_ts"] for d in store.show_segments(table)
+    }
     return sorted(
         e.segment_id
         for e in store.valid_segments(table)
-        if e.load_start_ts > after_ts
+        if e.load_end_ts > after_ts
         and (include_rewrites or not _is_rewrite(e.origin))
+        and not _already_delivered_merge(e.origin, after_ts, commit_ts_by_id)
     )
 
 
@@ -83,7 +115,9 @@ def changes_since(
 
 
 def manifest_clock(store: CarbonStore, table: str) -> float:
-    """The checkpoint value: max commit timestamp over SUCCESS segments
-    (0.0 for an empty table, so 'everything' is the first read)."""
+    """The checkpoint value: max COMMIT timestamp (``load_end_ts``,
+    stamped under the status lock, so monotonic across commits) over
+    SUCCESS segments (0.0 for an empty table, so 'everything' is the
+    first read)."""
     segs = store.valid_segments(table)
-    return max((e.load_start_ts for e in segs), default=0.0)
+    return max((e.load_end_ts for e in segs), default=0.0)

@@ -52,6 +52,57 @@ def _feed_store(spark: SparkSession, sf_dir: str):
     return _CS(spark, path), ckpt
 
 
+# (sf_dir, app_id) -> (store path, checkpoint ts) for the compaction run
+_BUILT_COMPACT: dict[tuple[str, str], tuple[str, float]] = {}
+
+
+def _feed_compact_store(spark: SparkSession, sf_dir: str):
+    from carbondata_spark.operators.segment_feed import manifest_clock
+    from carbondata_spark.query_defs._tmpdirs import mkdtemp
+    from carbondata_spark.store import CarbonStore
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if key not in _BUILT_COMPACT:
+        path = mkdtemp(prefix="carbondata_feedcq_")
+        store = CarbonStore(spark, path)
+        orders = t(spark, sf_dir, "orders")
+        store.create_table("ord", orders.schema, sort_columns=["o_orderkey"])
+        store.load("ord", orders.filter(F.col("o_orderkey") % 3 == 0))
+        store.load("ord", orders.filter(F.col("o_orderkey") % 3 == 1))
+        ckpt = manifest_clock(store, "ord")  # consumer drained both loads
+        # maintenance merges the two drained segments; compacted_from
+        # provenance must keep the merge OUT of the feed
+        store.compact("ord")
+        store.load("ord", orders.filter(F.col("o_orderkey") % 3 == 2))
+        _BUILT_COMPACT[key] = (path, ckpt)
+    path, ckpt = _BUILT_COMPACT[key]
+    from carbondata_spark.store import CarbonStore as _CS
+
+    return _CS(spark, path), ckpt
+
+
+@register(
+    "q_feed_across_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+    doc="Incremental feed across a COMPACTION: two drained loads merged "
+    "after the checkpoint, then a third load. compacted_from provenance "
+    "(store.compact, r13) proves the merge re-materializes only drained "
+    "rows, so changes_since(checkpoint) is EXACTLY the third load — the "
+    "r12 re-delivery limit, closed. A feed that re-delivers the merged "
+    "rows or misses the new segment changes the hash.",
+)
+def q_feed_across_compaction(spark, sf_dir):
+    from carbondata_spark.operators.segment_feed import changes_since
+
+    store, ckpt = _feed_compact_store(spark, sf_dir)
+    return changes_since(store, "ord", ckpt).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 @register(
     "q_store_incremental",
     oracle="""

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass, field
@@ -143,7 +144,13 @@ def _merge_origins(origins: list[dict[str, Any]]) -> dict[str, Any]:
     seen: set[str] = set()
     for o in origins:
         o = o or {}
-        base = {k: v for k, v in o.items() if k != "merged_origins"}
+        # compacted_from is DIRECT-input provenance (this merge's inputs
+        # are recorded fresh by compact(); a prior merge's input list is
+        # meaningless on the new segment) — strip it like merged_origins
+        # rather than letting it masquerade as a replay-probe origin.
+        base = {
+            k: v for k, v in o.items() if k not in ("merged_origins", "compacted_from")
+        }
         for cand in ([base] if base and "fact_segments" not in base else []) + list(
             o.get("merged_origins", [])
         ):
@@ -154,6 +161,117 @@ def _merge_origins(origins: list[dict[str, Any]]) -> dict[str, Any]:
     if prior:
         merged["merged_origins"] = prior
     return merged
+
+
+_PRUNE_IDENT = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+_PRUNE_LIT = r"(-?\d+(?:\.\d+)?|'(?:[^']|'')*')"
+_PRUNE_CMP = re.compile(rf"^{_PRUNE_IDENT}\s*(=|<=|>=|<|>)\s*{_PRUNE_LIT}$")
+_PRUNE_CMP_REV = re.compile(rf"^{_PRUNE_LIT}\s*(=|<=|>=|<|>)\s*{_PRUNE_IDENT}$")
+_PRUNE_IN = re.compile(
+    rf"^{_PRUNE_IDENT}\s+[Ii][Nn]\s*\((\s*{_PRUNE_LIT}(?:\s*,\s*{_PRUNE_LIT})*\s*)\)$"
+)
+_PRUNE_LIT_RE = re.compile(_PRUNE_LIT)
+_PRUNE_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+
+
+def _prune_lit_val(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def _sql_prunable_conjuncts(sql: str) -> list[tuple[str, str, list]]:
+    """Extract zone-map-checkable conjuncts from a SQL predicate string:
+    [(column_token, op, values)] with op in {'=','<','<=','>','>=','in'}
+    and values Python literals.
+
+    SOUNDNESS RULES (a pruned segment must PROVABLY contain no matching
+    row): only TOP-LEVEL ``AND`` conjuncts are split (quote- and paren-
+    aware), and the whole extraction bails to [] if a top-level ``OR``
+    appears — per-conjunct exclusion is unsound under disjunction. A
+    conjunct that doesn't match the simple ``col <op> literal`` /
+    ``col IN (literals)`` shapes (functions, column-to-column compares,
+    NOT, nested boolean) contributes NOTHING — it can never cause a
+    prune. NULL semantics are safe for the shapes we do parse: a
+    comparison conjunct is satisfied only by non-NULL values, exactly
+    the population footer min/max describes.
+    """
+    s = sql.strip()
+    frags: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            w = s[i:j]
+            if w.upper() == "AND":
+                frags.append("".join(buf))
+                buf = []
+            elif w.upper() == "OR":
+                return []  # top-level disjunction: no sound pruning
+            else:
+                buf.append(w)
+            i = j
+            continue
+        buf.append(c)
+        i += 1
+    frags.append("".join(buf))
+
+    def strip_parens(t: str) -> str:
+        t = t.strip()
+        while t.startswith("(") and t.endswith(")"):
+            depth = 0
+            for k, ch in enumerate(t):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and k != len(t) - 1:
+                        return t  # parens don't enclose the whole frag
+            t = t[1:-1].strip()
+        return t
+
+    out: list[tuple[str, str, list]] = []
+    for frag in frags:
+        frag = strip_parens(frag)
+        m = _PRUNE_CMP.match(frag)
+        if m:
+            out.append((m.group(1), m.group(2), [_prune_lit_val(m.group(3))]))
+            continue
+        m = _PRUNE_CMP_REV.match(frag)
+        if m:  # literal <op> col: flip the operator
+            out.append(
+                (m.group(3), _PRUNE_FLIP[m.group(2)], [_prune_lit_val(m.group(1))])
+            )
+            continue
+        m = _PRUNE_IN.match(frag)
+        if m:
+            vals = [
+                _prune_lit_val(t.group(0))
+                for t in _PRUNE_LIT_RE.finditer(m.group(2))
+            ]
+            out.append((m.group(1), "in", vals))
+    return out
 
 
 def _atomic_write_json(path: str, payload: Any) -> None:
@@ -470,6 +588,24 @@ class CarbonStore:
                 refresh_aggregate_table(AggregateTable(self, table, name))
         return seg_id
 
+    def _segment_rows_from_footers(self, seg_dir: str) -> int:
+        """Exact row count of a just-written segment from parquet footers
+        — metadata only, no Spark job. Replaces the post-write
+        ``spark.read.parquet(dir).count()`` read-back in compact() and the
+        IUD rewrite (one fewer job per rewritten segment; at 100 TB the
+        footer walk is the same bounded metadata pass the zone-map
+        collection already does)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(
+                os.path.join(seg_dir, "**", "*.parquet"), recursive=True
+            )
+        )
+
     def _collect_segment_stats(self, seg_dir: str, cols: list[str]) -> dict[str, list]:
         """Per-segment [min, max] for the sort columns, from parquet row-
         group footers (metadata only, no data read) — the manifest zone map
@@ -783,6 +919,7 @@ class CarbonStore:
         table: str,
         segment_ids: list[int] | None = None,
         as_of_ts: float | None = None,
+        _tag_col: str | None = None,
     ) -> DataFrame:
         """DataFrame = union of valid segments (optionally a subset),
         aligned to current schema.
@@ -797,6 +934,11 @@ class CarbonStore:
         a later delete/compact/overwrite). Works because physical removal
         is deferred to ``clean_files`` (the reference's deferred-delete
         design); a cleaned segment needed by the view raises.
+
+        ``_tag_col`` (internal): append an int column carrying each row's
+        segment id, derived from ``_metadata.file_path`` — so a MULTI-
+        segment read stays ONE scan per column-group while remaining
+        per-segment attributable (the IUD detection job's shape).
         """
         meta = self._read_schema(table)
         target = T.StructType.fromJson(meta["schema"])
@@ -810,6 +952,10 @@ class CarbonStore:
         if segment_ids is not None:
             segs = [e for e in segs if e.segment_id in segment_ids]
         if not segs:
+            if _tag_col is not None:
+                target = T.StructType(
+                    [*target.fields, T.StructField(_tag_col, T.IntegerType())]
+                )
             return self.spark.createDataFrame([], target)
 
         current_cols = [f.name for f in target.fields]
@@ -832,6 +978,15 @@ class CarbonStore:
                     raw = raw.unionByName(r)
             else:
                 raw = self.spark.read.parquet(*paths)
+            if _tag_col is not None:
+                raw = raw.withColumn(
+                    _tag_col,
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"),
+                        r"/Fact/Part0/Segment_(\d+)/",
+                        1,
+                    ).cast("int"),
+                )
             raw_types = {f.name: f.dataType for f in raw.schema.fields}
             sel = []
             for fld in target.fields:
@@ -847,6 +1002,8 @@ class CarbonStore:
                 else:
                     default = defaults.get(fld.name)
                     sel.append(F.lit(default).cast(fld.dataType).alias(fld.name))
+            if _tag_col is not None:
+                sel.append(F.col(_tag_col))
             parts.append(raw.select(*sel))
         out = parts[0]
         for p in parts[1:]:
@@ -997,7 +1154,14 @@ class CarbonStore:
                     load_start_ts=time.time(),
                     load_end_ts=0.0,
                     columns=[f.name for f in T.StructType.fromJson(meta["schema"]).fields],
-                    origin=_merge_origins([e.origin for e in segs]),
+                    origin={
+                        **_merge_origins([e.origin for e in segs]),
+                        # direct-input provenance: lets an incremental
+                        # consumer (operators/segment_feed.py) prove a
+                        # merged segment re-materializes only rows it
+                        # already delivered, and skip it exactly
+                        "compacted_from": sorted(e.segment_id for e in segs),
+                    },
                 )
             )
             self._write_status(table, entries)
@@ -1006,7 +1170,7 @@ class CarbonStore:
         sort_cols = [c for c in sort_cols if c not in part_cols]
         n_parts = partitions or max(1, sum(e.rows for e in segs) // 4_000_000)
         self._write_clustered(merged, meta, seg_dir, n_parts)
-        rows = self.spark.read.parquet(seg_dir).count()
+        rows = self._segment_rows_from_footers(seg_dir)
         # The merged segment is freshly range-sorted: recompute its zone
         # map and blooms so compaction IMPROVES prunability instead of
         # silently losing it (a statless segment is kept by every scan).
@@ -1053,7 +1217,10 @@ class CarbonStore:
     def delete_rows(self, table: str, predicate) -> int:
         """Row-level DELETE: every valid segment containing matching rows
         is rewritten WITHOUT them (copy-on-write); untouched segments are
-        not read twice or rewritten. Returns the number of rows deleted.
+        never rewritten, and provably-unaffected ones (manifest zone-map/
+        bloom pre-prune) are never read at all — match detection is ONE
+        Spark job over a segment-id-tagged union of the surviving
+        candidates (see ``_mutate_rows``). Returns rows deleted.
 
         ``predicate``: a Column or a SQL expression string; rows where it
         evaluates TRUE are deleted (NULL keeps the row, like SQL DELETE).
@@ -1085,26 +1252,216 @@ class CarbonStore:
             raise ValueError(f"UPDATE SET on unknown columns: {unknown}")
         return self._mutate_rows(table, predicate, assignments)
 
+    def _prune_mutation_candidates(
+        self, sources: list[SegmentEntry], predicate, meta: dict
+    ) -> list[SegmentEntry]:
+        """Zone-map + bloom pre-prune for row-level DELETE/UPDATE: drop
+        source segments that PROVABLY contain no row matching the
+        predicate, using only manifest metadata (no file listing, no
+        Spark job — the same stats ``scan()`` prunes with). A targeted
+        one-key mutation on a sorted/bloomed column touches the segments
+        holding that key, not the whole table. Conservative everywhere:
+        non-string predicates, unparseable conjuncts, statless columns,
+        and type mismatches all KEEP the segment."""
+        if not isinstance(predicate, str):
+            return sources
+        conjs = _sql_prunable_conjuncts(predicate)
+        if not conjs:
+            return sources
+        import datetime
+
+        from carbondata_spark.bloom import might_contain, probe_positions
+
+        schema = T.StructType.fromJson(meta["schema"])
+        by_lower = {f.name.lower(): f for f in schema.fields}
+        _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+        _TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}$")
+
+        def stats_vals(field, vals):
+            """Literals normalized to the manifest-stats domain for
+            ``field`` (None -> this conjunct can't be trusted against
+            this column's stats)."""
+            dt = field.dataType
+            if isinstance(dt, T.TimestampType):
+                # LTZ: literal interpretation depends on the session
+                # timezone — pruning against naive stats strings is
+                # unsound under a hostile-TZ session
+                return None
+            if isinstance(dt, (T.DateType, T.TimestampNTZType)):
+                out = []
+                for v in vals:
+                    if not isinstance(v, str):
+                        return None
+                    if _DATE_RE.match(v):
+                        # SQL casts a bare date literal to midnight; the
+                        # stats strings carry the full time part
+                        out.append(v + " 00:00:00")
+                    elif _TS_RE.match(v):
+                        if isinstance(dt, T.DateType):
+                            # Spark's string->DATE cast truncates the
+                            # time part, so the comparison sees midnight
+                            out.append(v[:10] + " 00:00:00")
+                        else:
+                            out.append(v.replace("T", " "))
+                    else:
+                        return None  # fractional seconds/other formats
+                return out
+            if isinstance(dt, T.StringType):
+                return vals if all(isinstance(v, str) for v in vals) else None
+            if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+                return vals
+            return None
+
+        def bloomable(field, vals) -> bool:
+            dt = field.dataType
+            if isinstance(dt, T.StringType):
+                return all(isinstance(v, str) for v in vals)
+            if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                return all(
+                    isinstance(v, int) and not isinstance(v, bool) for v in vals
+                )
+            return False
+
+        pos_cache: dict[tuple, list] = {}
+        kept: list[SegmentEntry] = []
+        for e in sources:
+            keep = True
+            for colt, op, vals in conjs:
+                fld = by_lower.get(colt.lower())
+                if fld is None:
+                    continue
+                rng = e.stats.get(fld.name)
+                if rng is not None:
+                    sv = stats_vals(fld, vals)
+                    if sv is not None:
+                        mn, mx = rng
+                        try:
+                            if op in ("=", "in"):
+                                keep = any(mn <= v <= mx for v in sv)
+                            elif op == "<":
+                                keep = mn < sv[0]
+                            elif op == "<=":
+                                keep = mn <= sv[0]
+                            elif op == ">":
+                                keep = mx > sv[0]
+                            elif op == ">=":
+                                keep = mx >= sv[0]
+                        except TypeError:
+                            keep = True  # stats/literal domains disagree
+                        if not keep:
+                            break
+                if op in ("=", "in") and bloomable(fld, vals):
+                    bloom = e.blooms.get(fld.name)
+                    if bloom is not None:
+                        geom = (bloom["m"], bloom["k"])
+                        key = (fld.name, geom, tuple(vals))
+                        if key not in pos_cache:
+                            pos_cache[key] = probe_positions(
+                                self.spark, fld.name, fld.dataType, list(vals), *geom
+                            )
+                        if not any(
+                            might_contain(bloom, ps) for ps in pos_cache[key]
+                        ):
+                            keep = False
+                            break
+            if keep:
+                kept.append(e)
+        return kept
+
     def _mutate_rows(self, table: str, predicate, assignments: dict | None) -> int:
+        """Copy-on-write row mutation, shaped for scale (r13 rewrite):
+
+        phase 0  manifest zone-map/bloom pre-prune of candidate segments
+                 (metadata only — a targeted DELETE never lists, let
+                 alone reads, provably-unaffected segments);
+        phase 1  ONE detection job over a segment-id-tagged union of the
+                 candidates (``table(_tag_col=...)`` — one scan per
+                 column-group, predicate pushed into parquet), yielding
+                 per-segment match counts — this replaces the former
+                 per-segment serial ``filter(pred).count()`` loop (N
+                 driver-blocking jobs -> 1);
+        phase 2  ALL provisional rewrite ids reserved in ONE manifest
+                 lock round-trip (was one per segment);
+        phase 3  each AFFECTED segment read once more for its rewrite
+                 write; new-segment row counts come from parquet footers
+                 (no read-back job);
+        phase 4  ONE all-or-nothing manifest swap (compact()'s
+                 discipline), unchanged.
+        """
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         pred = pred.cast("boolean")
         meta = self._read_schema(table)
         sources = self.valid_segments(table)
-        # phase 1: rewrite every affected segment to a provisional id
+        if not sources:
+            return 0
+        candidates = self._prune_mutation_candidates(sources, predicate, meta)
+        if not candidates:
+            return 0
+        current_cols = [
+            f.name for f in T.StructType.fromJson(meta["schema"]).fields
+        ]
+        tag = "_cd_seg"
+        while tag in current_cols:
+            tag = f"_{tag}"
+        tagged = self.table(
+            table, segment_ids=[e.segment_id for e in candidates], _tag_col=tag
+        )
+        counts = {
+            row[0]: row[1]
+            for row in tagged.filter(pred)
+            .groupBy(tag)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        by_id = {e.segment_id: e for e in candidates}
+        affected = [
+            (by_id[sid], int(n)) for sid, n in sorted(counts.items()) if n > 0
+        ]
+        if not affected:
+            return 0
+        total = sum(n for _, n in affected)
+        # full-delete sources need no replacement segment at all
+        replacing = [
+            (e, n)
+            for e, n in affected
+            if not (assignments is None and n == e.rows)
+        ]
+        new_ids: dict[int, int] = {}
+        if replacing:
+            with file_lock(self._status_path(table)):
+                entries = self._read_status(table)
+                next_id = max(x.segment_id for x in entries) + 1
+                for e, _n in replacing:
+                    new_ids[e.segment_id] = next_id
+                    entries.append(
+                        SegmentEntry(
+                            segment_id=next_id,
+                            status=SEGMENT_IN_PROGRESS,
+                            rows=0,
+                            load_start_ts=time.time(),
+                            load_end_ts=0.0,
+                            columns=list(current_cols),
+                            origin={
+                                "rewrite_of": e.segment_id,
+                                "op": "delete" if assignments is None else "update",
+                            },
+                        )
+                    )
+                    next_id += 1
+                self._write_status(table, entries)
+        part_cols = meta.get("partition_columns", [])
+        sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
         rewrites: list[tuple[int, int | None, int, dict, dict, int]] = []
-        total = 0
-        for e in sources:
+        for e, n in affected:
+            if e.segment_id not in new_ids:
+                # every row deleted: no replacement segment at all
+                rewrites.append((e.segment_id, None, 0, {}, {}, n))
+                continue
             seg_df = self.table(table, segment_ids=[e.segment_id])
-            n = seg_df.filter(pred).count()
-            if n == 0:
-                continue  # untouched segment: no rewrite, no manifest churn
-            total += n
             if assignments is None:
                 out = seg_df.filter(~F.coalesce(pred, F.lit(False)))
-                if e.rows - n == 0:
-                    # every row deleted: no replacement segment at all
-                    rewrites.append((e.segment_id, None, 0, {}, {}, n))
-                    continue
             else:
                 out = seg_df.select(
                     *[
@@ -1118,40 +1475,20 @@ class CarbonStore:
                         if c in assignments
                         else F.col(c)
                         for c, expr in [
-                            (f.name, assignments.get(f.name)) for f in seg_df.schema.fields
+                            (f.name, assignments.get(f.name))
+                            for f in seg_df.schema.fields
                         ]
                     ]
                 )
-            with file_lock(self._status_path(table)):
-                entries = self._read_status(table)
-                new_id = max(x.segment_id for x in entries) + 1
-                entries.append(
-                    SegmentEntry(
-                        segment_id=new_id,
-                        status=SEGMENT_IN_PROGRESS,
-                        rows=0,
-                        load_start_ts=time.time(),
-                        load_end_ts=0.0,
-                        columns=[f.name for f in seg_df.schema.fields],
-                        origin={
-                            "rewrite_of": e.segment_id,
-                            "op": "delete" if assignments is None else "update",
-                        },
-                    )
-                )
-                self._write_status(table, entries)
+            new_id = new_ids[e.segment_id]
             seg_dir = self._segment_dir(table, new_id)
             n_parts = max(1, e.rows // 4_000_000)
             self._write_clustered(out, meta, seg_dir, n_parts)
-            rows = self.spark.read.parquet(seg_dir).count()
-            part_cols = meta.get("partition_columns", [])
-            sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
+            rows = self._segment_rows_from_footers(seg_dir)
             stats = self._collect_segment_stats(seg_dir, sort_cols)
             blooms = self._collect_segment_blooms(seg_dir, meta)
             rewrites.append((e.segment_id, new_id, rows, stats, blooms, n))
-        if not rewrites:
-            return 0
-        # phase 2: ONE all-or-nothing swap (compact()'s discipline)
+        # phase 4: ONE all-or-nothing swap (compact()'s discipline)
         old_ids = {old for old, *_ in rewrites}
         new_ids = {new for _, new, *_ in rewrites if new is not None}
         with file_lock(self._status_path(table)):

@@ -1,0 +1,186 @@
+"""Scale-shape pins for the r13 _mutate_rows rewrite: zone-map/bloom
+pre-prune, single-job detection over a segment-id-tagged union, single
+manifest round-trip for provisional ids, footer-derived row counts.
+
+Job arithmetic pinned here (local mode counts every job):
+  - a DELETE whose predicate zone-prunes EVERY segment runs ZERO jobs;
+  - a DELETE affecting 1 of 4 segments runs the 1 detection job plus the
+    one rewrite write (repartitionByRange adds its sampling job) — far
+    from the old per-segment serial count loop (>= 4 jobs before any
+    write).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbondata_spark.store import CarbonStore, _sql_prunable_conjuncts
+
+
+def _jobs(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+
+
+@pytest.fixture()
+def four_segment_store(spark, tmp_path):
+    store = CarbonStore(spark, str(tmp_path))
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    store.create_table("t", df.schema, sort_columns=["k"])
+    for lo in (0, 100, 200, 300):
+        store.load("t", df.filter((F.col("k") >= lo) & (F.col("k") < lo + 100)))
+    return store
+
+
+def test_parser_soundness_cases():
+    assert _sql_prunable_conjuncts("k = 5") == [("k", "=", [5])]
+    assert _sql_prunable_conjuncts("5 > k") == [("k", "<", [5])]
+    assert _sql_prunable_conjuncts("a = 1 OR b = 2") == []  # disjunction
+    assert _sql_prunable_conjuncts("NOT a = 1") == []  # negation unparsed
+    # modulo conjunct contributes nothing; the range conjunct survives
+    assert _sql_prunable_conjuncts("k % 2 = 0 AND v < 10") == [("v", "<", [10])]
+    # quoted AND/quote-escape do not split or corrupt
+    assert _sql_prunable_conjuncts("s = 'x AND y' AND k > 3") == [
+        ("s", "=", ["x AND y"]),
+        ("k", ">", [3]),
+    ]
+    assert _sql_prunable_conjuncts("name = 'O''Brien'") == [
+        ("name", "=", ["O'Brien"])
+    ]
+    # BETWEEN's inner AND splits into unparseable frags -> ignored, sound
+    assert _sql_prunable_conjuncts("k BETWEEN 1 AND 5 AND v = 3") == [
+        ("v", "=", [3])
+    ]
+    assert _sql_prunable_conjuncts("k IN (3, 5, 7)") == [("k", "in", [3, 5, 7])]
+
+
+def test_prune_candidates_zone_map(four_segment_store):
+    store = four_segment_store
+    meta = store._read_schema("t")
+    sources = store.valid_segments("t")
+    assert len(sources) == 4
+    kept = store._prune_mutation_candidates(sources, "k = 250", meta)
+    assert [e.segment_id for e in kept] == [2]
+    kept = store._prune_mutation_candidates(sources, "k >= 150 AND k < 210", meta)
+    assert [e.segment_id for e in kept] == [1, 2]
+    # unparseable predicate: conservative full set
+    kept = store._prune_mutation_candidates(sources, "k % 7 = 0", meta)
+    assert len(kept) == 4
+    # non-sort column has no stats: conservative full set
+    kept = store._prune_mutation_candidates(sources, "v = 10", meta)
+    assert len(kept) == 4
+
+
+def test_delete_outside_all_ranges_runs_zero_jobs(four_segment_store, spark):
+    store = four_segment_store
+    before = _jobs(spark)
+    assert store.delete_rows("t", "k = 99999") == 0
+    assert _jobs(spark) == before, "fully-pruned DELETE must run no Spark job"
+    assert store.table("t").count() == 400
+
+
+def test_targeted_delete_job_count_constant_in_segment_count(spark, tmp_path):
+    """The detection pass is ONE action over the tagged union — its job
+    count must NOT grow with the number of candidate segments (the old
+    shape ran a serial filter().count() per segment). Pinned by running
+    the same single-row delete against a 2-segment and a 6-segment table
+    with an unprunable predicate (non-sort column -> no zone stats) and
+    requiring identical job counts, plus a loose absolute ceiling."""
+
+    def build(n_segs: int, name: str) -> CarbonStore:
+        store = CarbonStore(spark, str(tmp_path / name))
+        df = spark.range(0, 60 * n_segs).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        store.create_table("t", df.schema, sort_columns=["k"])
+        for i in range(n_segs):
+            store.load(
+                "t",
+                df.filter((F.col("k") >= i * 60) & (F.col("k") < (i + 1) * 60)),
+            )
+        return store
+
+    counts = {}
+    for n_segs in (2, 6):
+        store = build(n_segs, f"s{n_segs}")
+        before = _jobs(spark)
+        assert store.delete_rows("t", "v = 100") == 1  # k=50: segment 0
+        counts[n_segs] = _jobs(spark) - before
+    assert counts[2] == counts[6], (
+        f"delete job count grew with segment count: {counts}"
+    )
+    assert counts[6] <= 8, f"targeted delete ran {counts[6]} jobs"
+
+
+def test_targeted_delete_rewrites_only_affected_segment(four_segment_store):
+    store = four_segment_store
+    assert store.delete_rows("t", "k = 250") == 1
+    assert store.table("t").count() == 399
+    # only segment 2 was rewritten
+    rewrites = [
+        s
+        for s in store.show_segments("t")
+        if s["origin"].get("rewrite_of") is not None
+    ]
+    assert [s["origin"]["rewrite_of"] for s in rewrites] == [2]
+    assert all(s["rows"] == 99 for s in rewrites if s["status"] == "Success")
+
+
+def test_multi_segment_update_single_reservation(four_segment_store, spark):
+    store = four_segment_store
+    n = store.update_rows("t", "k >= 150 AND k < 310", {"v": "v + 1000"})
+    assert n == 160
+    got = store.table("t").filter(F.col("v") >= 1000).count()
+    assert got == 160
+    # provisional ids were reserved contiguously in one round-trip
+    new_ids = sorted(
+        s["segment_id"]
+        for s in store.show_segments("t")
+        if s["origin"].get("op") == "update"
+    )
+    assert new_ids == list(range(new_ids[0], new_ids[0] + 3))
+    # detection must not have touched segment 0 (zone-pruned): it is
+    # still the original Success segment, never rewritten
+    seg0 = [s for s in store.show_segments("t") if s["segment_id"] == 0][0]
+    assert seg0["status"] == "Success"
+
+
+def test_update_null_predicate_rows_kept(four_segment_store):
+    store = four_segment_store
+    # NULL predicate keeps rows (SQL semantics) — regression for the
+    # coalesce in the rewrite path surviving the r13 restructure
+    store2 = four_segment_store
+    n = store2.update_rows(
+        "t", "CASE WHEN k = 150 THEN TRUE ELSE NULL END", {"v": "0"}
+    )
+    assert n == 1
+    assert store2.table("t").count() == 400
+
+
+def test_full_delete_of_one_segment_no_replacement(four_segment_store):
+    store = four_segment_store
+    assert store.delete_rows("t", "k >= 300") == 100
+    live = store.valid_segments("t")
+    assert sorted(e.segment_id for e in live) == [0, 1, 2]
+    assert store.table("t").count() == 300
+
+
+def test_bloom_prune_point_delete(spark, tmp_path):
+    store = CarbonStore(spark, str(tmp_path))
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    # grp interleaves across segments: zone maps can't prune it, blooms can
+    store.create_table(
+        "b", df.schema, sort_columns=["k"], properties={"bloom_columns": "k"}
+    )
+    store.load("b", df.filter(F.col("k") < 100))
+    store.load("b", df.filter(F.col("k") >= 100))
+    meta = store._read_schema("b")
+    sources = store.valid_segments("b")
+    kept = store._prune_mutation_candidates(sources, "k = 42", meta)
+    assert [e.segment_id for e in kept] == [0]
+    assert store.delete_rows("b", "k = 42") == 1
+    assert store.table("b").count() == 199

@@ -65,18 +65,64 @@ def test_feed_excludes_iud_rewrites(store, spark):
     assert sorted(r.id for r in got.collect()) == [10]
 
 
-def test_feed_compaction_redelivery_is_the_documented_limit(store, spark):
+def test_feed_skips_compaction_of_already_delivered_segments(store, spark):
     store.load("t", spark.createDataFrame(
         [(i, "b", float(i)) for i in range(5, 8)], "id long, grp string, v double"))
     ckpt = manifest_clock(store, "t")
     store.compact("t")
-    # the merged segment's origin carries no input provenance yet, so it
-    # re-delivers — the module docstring documents this and the store's
-    # compacted_from tag is the planned fix. This test pins the CURRENT
-    # contract so the fix flips it consciously.
+    # r13: compact() records compacted_from provenance, and the feed
+    # proves every input was committed before the checkpoint — the
+    # merged segment re-materializes only drained rows, so it must NOT
+    # re-deliver (closing the r12 documented limit).
+    assert new_segments(store, "t", ckpt) == []
+    assert changes_since(store, "t", ckpt).count() == 0
+    # a genuinely new load after the compaction still delivers
+    store.load("t", spark.createDataFrame(
+        [(100, "c", 0.0)], "id long, grp string, v double"))
+    got = changes_since(store, "t", ckpt)
+    assert sorted(r.id for r in got.collect()) == [100]
+
+
+def test_feed_mixed_input_compaction_delivers_whole(store, spark):
+    """A merge with ANY post-checkpoint input delivers whole (its new
+    rows are inseparable from the merged files) — the documented
+    at-least-once corner."""
+    ckpt = manifest_clock(store, "t")  # only load #0 drained
+    store.load("t", spark.createDataFrame(
+        [(i, "b", float(i)) for i in range(5, 8)], "id long, grp string, v double"))
+    store.compact("t")  # merges drained seg 0 + undrained seg 1
+    ids = new_segments(store, "t", ckpt)
+    assert len(ids) == 1
+    assert changes_since(store, "t", ckpt).count() == 8  # re-delivers seg 0 rows
+
+
+def test_feed_purged_provenance_falls_back_to_delivery(store, spark):
+    """clean_files removes Compacted manifest entries; without the
+    input's commit timestamp the already-delivered proof is gone and the
+    feed must deliver (at-least-once, never silent loss)."""
+    store.load("t", spark.createDataFrame(
+        [(i, "b", float(i)) for i in range(5, 8)], "id long, grp string, v double"))
+    ckpt = manifest_clock(store, "t")
+    store.compact("t")
+    store.clean_files("t")  # purges the Compacted input entries
     ids = new_segments(store, "t", ckpt)
     assert len(ids) == 1
     assert changes_since(store, "t", ckpt).count() == 8
+
+
+def test_manifest_clock_is_commit_time_not_start_time(store, spark):
+    """The clock and the feed filter use load_end_ts (stamped at commit
+    under the status lock). A load that STARTS before a checkpoint but
+    COMMITS after must still deliver — load_start_ts ordering would
+    silently lose it."""
+    entries = store.show_segments("t")
+    assert all(e["load_end_ts"] >= e["load_start_ts"] for e in entries)
+    clock = manifest_clock(store, "t")
+    assert clock == max(e["load_end_ts"] for e in entries)
+    # checkpoint strictly between start and commit of a simulated
+    # straggler: feed keyed on commit time delivers it
+    ckpt = entries[0]["load_start_ts"] - 1e-6
+    assert new_segments(store, "t", ckpt) == [0]
 
 
 def test_feed_is_segment_scoped_scan(store, spark):
