@@ -200,6 +200,24 @@ class CarbonSession:
             removed = self.store.clean_files(m.group(1))
             return self._rows([{"removed_segment": r} for r in removed], "removed_segment long")
 
+        m = re.fullmatch(r"show create cube (?:\w+\.)?(\w+).*", s, _I)
+        if m:
+            # the LAST start symbol of the reference parser
+            # (CarbonSqlParser.scala:175-177, showCreateCube:272-313):
+            # it re-emits a CREATE CUBE definition synthesized from a
+            # PRE-EXISTING Hive table definition — a legacy
+            # create-from-hive migration path this engine designs out
+            # (README §SQL surface). Reject loudly with the working
+            # alternatives instead of falling through to a baffling
+            # Spark parse error.
+            raise ValueError(
+                "SHOW CREATE CUBE is not supported: the reference form "
+                "synthesizes a cube definition from a pre-existing Hive "
+                "table (legacy migration path, designed out). Use "
+                f"DESCRIBE EXTENDED {m.group(1)} for schema + properties "
+                f"and SHOW SEGMENTS FOR TABLE {m.group(1)} for loads"
+            )
+
         m = re.fullmatch(r"drop cube if exists (?:\w+\.)?(\w+)", s, _I)
         if m:
             if m.group(1) in self.store.tables():
@@ -925,12 +943,25 @@ class CarbonSession:
                 fields.append(T.StructField(cname, _parse_type(ctype)))
                 part_cols.append(cname)
 
-        tbl_props = {
-            k.lower(): v
-            for k, v in re.findall(
-                r"['\"]([^'\"]+)['\"]\s*=\s*['\"]([^'\"]*)['\"]", props_s or ""
-            )
-        }
+        # quote-aware split + per-piece validation: a malformed pair
+        # (unquoted key, stray text, mismatched quote styles) must reach
+        # the unknown-keys guard as an ERROR, not be silently dropped —
+        # TBLPROPERTIES (COLUMN_GROUPS='(a,b)') with an unquoted key
+        # would otherwise create the table with the property ignored
+        tbl_props: dict[str, str] = {}
+        for piece in _split_cols(props_s or ""):
+            if not piece.strip():
+                continue
+            pm = re.fullmatch(
+                r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", piece
+            ) or re.fullmatch(r'\s*"([^"]+)"\s*=\s*"([^"]*)"\s*', piece)
+            if not pm:
+                raise ValueError(
+                    f"malformed TBLPROPERTIES entry {piece.strip()!r}: "
+                    "expected 'key'='value' (both sides quoted, matching "
+                    "quote style)"
+                )
+            tbl_props[pm.group(1).lower()] = pm.group(2)
         known = {
             "column_groups",
             "dictionary_include",
@@ -1148,12 +1179,29 @@ class CarbonSession:
                 raise ValueError(
                     f"DEFAULTS for columns not being added: {unknown}"
                 )
-            bad_nd = sorted(
-                c for c in no_dict if c not in {f.name for f in add_dims}
-            )
+            # case-insensitive like every other identifier in this
+            # dialect (NO_DICTIONARY(Channel) must match ADD DIMENSIONS
+            # (channel string)), and only string/complex dimensions may
+            # skip the dictionary — the same rule the CREATE CUBE path
+            # states (a numeric dimension has no dictionary to skip)
+            dims_by_lower = {f.name.lower(): f for f in add_dims}
+            bad_nd = sorted(c for c in no_dict if c.lower() not in dims_by_lower)
             if bad_nd:
                 raise ValueError(
                     f"NO_DICTIONARY columns must be added dimensions: {bad_nd}"
+                )
+            bad_type = sorted(
+                c
+                for c in no_dict
+                if not isinstance(
+                    dims_by_lower[c.lower()].dataType,
+                    (T.StringType, T.ArrayType, T.StructType),
+                )
+            )
+            if bad_type:
+                raise ValueError(
+                    "NO_DICTIONARY applies only to string/complex "
+                    f"dimensions: {bad_type}"
                 )
             self.store.alter_add_columns(cube, add_dims + add_meas, defaults=defaults)
             if add_dims:

@@ -627,3 +627,65 @@ def test_dictionary_exclude_on_numeric_is_ignored(spark, tmp_path):
     assert d["properties"].get("dictionary_exclude", "") == ""
     rows = {r["col_name"]: r["comment"] for r in cs.sql("DESCRIBE tnum").collect()}
     assert rows == {"a": "dimension", "m": "measure"}
+
+
+def test_show_create_cube_rejected_loudly(cs):
+    """The last unhandled reference start symbol (showCreateCube,
+    CarbonSqlParser.scala:272-313) is designed out — the rejection must
+    name the statement and point at the working alternatives, not fall
+    through to a generic Spark parse error."""
+    with pytest.raises(ValueError, match="SHOW CREATE CUBE.*DESCRIBE EXTENDED sales"):
+        cs.sql("SHOW CREATE CUBE sales")
+    with pytest.raises(ValueError, match="SHOW CREATE CUBE"):
+        cs.sql("SHOW CREATE CUBE default.sales USING SOURCE_DDL")
+
+
+def test_alter_cube_no_dictionary_case_insensitive(cs):
+    # identifiers are case-insensitive in this dialect: NO_DICTIONARY
+    # (Channel) must match ADD DIMENSIONS (channel string)
+    cs.sql(
+        "ALTER CUBE sales ADD DIMENSIONS (channel string) "
+        "OPTIONS (NO_DICTIONARY(Channel), DEFAULTS [channel = 'web'])"
+    )
+    d = cs.store.describe("sales")
+    assert "Channel" in d["properties"]["dictionary_exclude"].split(",")
+    assert "channel" not in d["properties"]["dictionary_include"].split(",")
+
+
+def test_alter_cube_no_dictionary_numeric_rejected(cs):
+    # the documented contract: NO_DICTIONARY applies to string/complex
+    # dimensions only (a numeric dimension has no dictionary to skip)
+    with pytest.raises(ValueError, match="string/complex"):
+        cs.sql(
+            "ALTER CUBE sales ADD DIMENSIONS (rank int) "
+            "OPTIONS (NO_DICTIONARY(rank))"
+        )
+
+
+def test_tblproperties_malformed_pair_rejected(cs, tmp_path):
+    # an unquoted key must ERROR, not silently drop the property
+    with pytest.raises(ValueError, match="malformed TBLPROPERTIES"):
+        cs.sql(
+            "CREATE TABLE tp1 (a string, b int) STORED BY "
+            "'org.apache.carbondata.format' "
+            "TBLPROPERTIES (COLUMN_GROUPS='(a,b)')"
+        )
+    # mismatched quote styles must ERROR too
+    with pytest.raises(ValueError, match="malformed TBLPROPERTIES"):
+        cs.sql(
+            "CREATE TABLE tp2 (a string) STORED BY "
+            "'org.apache.carbondata.format' TBLPROPERTIES ('k\"='v\")"
+        )
+    # well-formed pairs (including a comma inside the quoted value)
+    # still parse, and unknown keys still hit the existing guard
+    with pytest.raises(ValueError, match="unsupported TBLPROPERTIES"):
+        cs.sql(
+            "CREATE TABLE tp3 (a string) STORED BY "
+            "'org.apache.carbondata.format' TBLPROPERTIES ('nope'='x,y')"
+        )
+    cs.sql(
+        "CREATE TABLE tp4 (a string, b string) STORED BY "
+        "'org.apache.carbondata.format' "
+        "TBLPROPERTIES ('COLUMN_GROUPS'='(a,b)', 'DICTIONARY_INCLUDE'='a')"
+    )
+    assert "tp4" in cs.store.tables()
