@@ -54,6 +54,74 @@ def _iud_store(spark: SparkSession, sf_dir: str):
     return CarbonStore(spark, _BUILT[key])
 
 
+# (sf_dir, app_id) -> store path for the pruned-mutation scenario
+_BUILT_PRUNED: dict[tuple[str, str], str] = {}
+
+
+def _iud_pruned_store(spark: SparkSession, sf_dir: str):
+    """Three RANGE-DISJOINT segments on the sort column, then mutations
+    keyed on that column — the r13 zone-map/bloom pre-prune path: the
+    DELETE's detection job reads only segment 0, the point UPDATE's only
+    segment 2 (pinned structurally in tests/test_iud_scale.py; THIS row
+    certifies the pruned path cannot skip rows it must touch)."""
+    from carbondata_spark.query_defs._tmpdirs import mkdtemp
+    from carbondata_spark.store import CarbonStore
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if key not in _BUILT_PRUNED:
+        path = mkdtemp(prefix="carbondata_iudpq_")
+        store = CarbonStore(spark, path)
+        cust = t(spark, sf_dir, "customer")
+        store.create_table(
+            "cust",
+            cust.schema,
+            sort_columns=["c_custkey"],
+            properties={"bloom_columns": "c_custkey"},
+        )
+        mx = cust.agg(F.max("c_custkey")).collect()[0][0]  # build-time scalar
+        q1, q2 = mx // 4, mx // 2
+        store.load("cust", cust.filter(F.col("c_custkey") <= q1))
+        store.load(
+            "cust",
+            cust.filter((F.col("c_custkey") > q1) & (F.col("c_custkey") <= q2)),
+        )
+        store.load("cust", cust.filter(F.col("c_custkey") > q2))
+        store.delete_rows("cust", f"c_custkey <= {q1 // 2}")
+        store.update_rows(
+            "cust",
+            f"c_custkey IN ({q2 + 1}, {q2 + 3})",
+            {"c_acctbal": "c_acctbal - 50.0"},
+        )
+        _BUILT_PRUNED[key] = path
+    return CarbonStore(spark, _BUILT_PRUNED[key])
+
+
+@register(
+    "q_store_iud_pruned",
+    oracle="""
+    WITH b AS (SELECT CAST(floor(max(c_custkey) / 4.0) AS BIGINT) AS q1,
+                      CAST(floor(max(c_custkey) / 2.0) AS BIGINT) AS q2
+               FROM customer)
+    SELECT c_custkey,
+           round(CASE WHEN c_custkey IN (b.q2 + 1, b.q2 + 3)
+                      THEN c_acctbal - 50.0 ELSE c_acctbal END, 2) AS acctbal
+    FROM customer, b
+    WHERE c_custkey > CAST(floor(b.q1 / 2.0) AS BIGINT)
+    """,
+    doc="Pruned row-level IUD (r13): three range-disjoint segments on "
+    "the sort column, a range DELETE whose zone-map pre-prune confines "
+    "detection to segment 0 and a bloom-eligible point UPDATE confined "
+    "to segment 2 — the surviving table must equal DuckDB's rewrite of "
+    "the original parquet. A pre-prune that wrongly skips a segment "
+    "drops mutations (or keeps deleted rows) and changes the hash.",
+)
+def q_store_iud_pruned(spark, sf_dir):
+    store = _iud_pruned_store(spark, sf_dir)
+    return store.table("cust").select(
+        "c_custkey", r2(F.col("c_acctbal")).alias("acctbal")
+    )
+
+
 @register(
     "q_store_iud",
     oracle="""
