@@ -184,3 +184,23 @@ def test_bloom_prune_point_delete(spark, tmp_path):
     assert [e.segment_id for e in kept] == [0]
     assert store.delete_rows("b", "k = 42") == 1
     assert store.table("b").count() == 199
+
+
+def test_partitioned_table_tagged_detection(spark, tmp_path):
+    """The detection tag rides _metadata.file_path, which must survive
+    the per-segment-union read shape hive-partitioned tables use."""
+    store = CarbonStore(spark, str(tmp_path / "pt"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    store.create_table("pt", df.schema, sort_columns=["k"], partition_columns=["p"])
+    store.load("pt", df.filter("k < 50"))
+    store.load("pt", df.filter("k >= 50"))
+    assert store.delete_rows("pt", "k = 7") == 1
+    assert store.update_rows("pt", "k IN (60, 61)", {"v": "v + 1"}) == 2
+    assert store.table("pt").count() == 99
+    assert store.table("pt").filter("v % 2 = 1").count() == 2
+    # the tag itself never leaks into results
+    assert all(not c.startswith("_cd_seg") for c in store.table("pt").columns)
