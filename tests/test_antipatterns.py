@@ -41,6 +41,16 @@ COLLECT_ALLOWED = {
     # metadata regardless of row count (same class as the footer min/max
     # reads feeding the manifest zone maps).
     "query_defs/jdbc_q.py",
+    # store.py's sole collect is the r13 IUD detection aggregate: one
+    # (segment_id, match_count) row per affected segment — bounded by
+    # the manifest's segment count, never by data size (same class as a
+    # SHOW LOADS listing); it's what replaced the per-segment serial
+    # count loop.
+    "store.py",
+    # iud_q's build step collects exactly ONE scalar (max of the sort
+    # key) to derive scale-independent segment bounds — build-time
+    # metadata, same class as jdbc_q's bound probe.
+    "query_defs/iud_q.py",
 }
 # .rdd drops out of Catalyst; the only sanctioned use is the
 # partition-count metadata probe in functions.repartition_if_narrow.

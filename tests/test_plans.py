@@ -64,13 +64,17 @@ def test_cosine_pairs_no_cartesian(spark, sf_dir):
 
 
 def test_tfidf_no_forced_vocab_broadcast(spark, sf_dir):
-    """The df (vocabulary) side must not carry a broadcast hint: a 100-TB
-    corpus vocabulary cannot fit a broadcast. (AQE may still choose a
-    broadcast at runtime when the measured size is small — that is the
-    desired adaptive behavior, not a hint.)"""
+    """No VOCABULARY-sized subtree may carry a broadcast hint: a 100-TB
+    corpus vocabulary cannot fit a broadcast. The v2 plan (r13) has no
+    dfreq side at all; its ONLY hint is the deliberate broadcast of the
+    one-row n_docs count aggregate — pin exactly that, so a future edit
+    hinting a data-scale side trips this."""
     df = registry()["p_text_tfidf"].fn(spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed
+    lines = analyzed.splitlines()
+    hints = [i for i, ln in enumerate(lines) if "ResolvedHint" in ln]
+    assert len(hints) == 1, analyzed
+    assert "n_docs" in lines[hints[0] + 1], analyzed  # the 1-row count
 
 
 def test_q01_partial_final_aggregation(spark, sf_dir):
@@ -217,16 +221,18 @@ def test_decontaminate_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_tfidf_tf_aggregate_computed_once(spark, sf_dir):
-    """The (doc, word) tf aggregate feeds both the scored join and the
-    document-frequency derivation; ReusedExchange alone only dedups the
-    scan below it, so the operator persists tf — the executed plan must
-    read it back via InMemoryTableScan instead of re-exploding the corpus
-    (r3 flagged +11% from the double explode+aggregate)."""
+def test_tfidf_corpus_exploded_once(spark, sf_dir):
+    """r3 flagged +11% from the corpus being exploded+aggregated twice
+    (once for tf, once for dfreq); v1 fixed it with a persist, v2 (live
+    since r13) eliminates the second consumer entirely — the optimized
+    plan must contain exactly ONE explode Generate and no persist
+    read-back (nothing left to share)."""
     df = registry()["p_text_tfidf"].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("Generate explode") == 1, optimized
     df.collect()  # AQE finalizes plan on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+    assert "InMemoryTableScan" not in plan
 
 
 def test_new_pipeline_queries_plan_shapes(spark, sf_dir):
