@@ -54,6 +54,67 @@ def _iud_store(spark: SparkSession, sf_dir: str):
     return CarbonStore(spark, _BUILT[key])
 
 
+# (sf_dir, app_id) -> store path for the MERGE scenario
+_BUILT_MERGE: dict[tuple[str, str], str] = {}
+
+
+def _merge_store(spark: SparkSession, sf_dir: str):
+    """orders as two segments, then ONE MERGE (store.merge_rows, r13)
+    applying updates (+1.0 to o_totalprice on keys ending in 3) and
+    inserts (the same rows re-keyed +20M) in a single atomic swap."""
+    from carbondata_spark.query_defs._tmpdirs import mkdtemp
+    from carbondata_spark.store import CarbonStore
+
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if key not in _BUILT_MERGE:
+        path = mkdtemp(prefix="carbondata_mergeq_")
+        store = CarbonStore(spark, path)
+        orders = t(spark, sf_dir, "orders")
+        store.create_table("ord", orders.schema, sort_columns=["o_orderkey"])
+        store.load("ord", orders.filter(F.col("o_orderkey") % 2 == 0))
+        store.load("ord", orders.filter(F.col("o_orderkey") % 2 == 1))
+        hits = orders.filter(F.col("o_orderkey") % 10 == 3)
+        bumped = hits.withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        source = bumped.unionByName(
+            bumped.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+            )
+        )
+        store.merge_rows("ord", source, keys="o_orderkey")
+        _BUILT_MERGE[key] = path
+    return CarbonStore(spark, _BUILT_MERGE[key])
+
+
+@register(
+    "q_store_merge",
+    oracle="""
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 10 = 3
+                      THEN o_totalprice + 1.0 ELSE o_totalprice END, 2)
+               AS totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 20000000 AS o_orderkey,
+           round(o_totalprice + 1.0, 2) AS totalprice
+    FROM orders WHERE o_orderkey % 10 = 3
+    """,
+    doc="MERGE INTO (upsert, r13): orders as two segments, one "
+    "merge_rows call applies price updates to keys ending in 3 AND "
+    "inserts the same rows re-keyed +20M — zone-map candidate pruning, "
+    "one-job semi-join detection, one source join, one atomic swap. "
+    "The final table must equal DuckDB's CASE rewrite UNION ALL the "
+    "insert set; a dropped update, double-applied insert, or lost "
+    "unmatched row changes the hash.",
+)
+def q_store_merge(spark, sf_dir):
+    store = _merge_store(spark, sf_dir)
+    return store.table("ord").select(
+        "o_orderkey", r2(F.col("o_totalprice")).alias("totalprice")
+    )
+
+
 # (sf_dir, app_id) -> store path for the pruned-mutation scenario
 _BUILT_PRUNED: dict[tuple[str, str], str] = {}
 

@@ -1524,6 +1524,287 @@ class CarbonStore:
             self._write_status(table, entries)
         return total
 
+    # -- MERGE INTO (upsert) -----------------------------------------------
+
+    def merge_rows(
+        self,
+        table: str,
+        source: DataFrame,
+        keys: str | list[str],
+        update_cols: list[str] | None = None,
+        insert: bool = True,
+    ) -> dict[str, int]:
+        """MERGE INTO (upsert): rows of ``source`` whose ``keys`` match a
+        target row UPDATE it (``update_cols``, default all non-key
+        columns); unmatched source rows are INSERTED as a new segment
+        (``insert=False`` ignores them — update-only CDC). Returns
+        ``{"updated": n, "inserted": m}``.
+
+        The reference era predates MERGE (like row-level IUD); later
+        Apache CarbonData added exactly this CDC shape, and a 100 TB
+        training corpus needs it (late corrections, metadata backfills,
+        dedup-survivor upserts). Scale shape, reusing the r13 IUD
+        machinery end-to-end:
+
+        1. ONE bounded job computes the source's per-key [min,max] (+ a
+           key-uniqueness guard: duplicate source keys are an ambiguous
+           update and raise);
+        2. candidate segments are pre-pruned with the manifest zone maps
+           — a segment whose range is disjoint from the source's on ANY
+           key column provably holds no match;
+        3. ONE detection job (segment-id-tagged union, left-semi join on
+           the keys) finds the affected segments and the matched-row
+           count;
+        4. the affected segments are rewritten ONCE, joined against the
+           source a single time, into ONE merged updated segment (the
+           compaction write shape — re-sorted, fresh zone maps/blooms);
+           unmatched source rows are written as a separate insert
+           segment (anti-join against the AFFECTED segments' keys only —
+           sound because pruning + detection proved no other segment
+           holds any source key);
+        5. ONE all-or-nothing manifest swap commits both segments and
+           retires the affected sources at a single timestamp.
+
+        Feed semantics (operators/segment_feed.py): the merged rewrite
+        carries ``origin["rewrite_of"]`` so an append-feed skips it; the
+        insert segment is a normal append and delivers — a downstream
+        consumer sees exactly the genuinely-new rows.
+
+        Source rows with a NULL in any key column never match (SQL
+        equality) and are inserted when ``insert=True``.
+        """
+        meta = self._read_schema(table)
+        target = T.StructType.fromJson(meta["schema"])
+        tcols = [f.name for f in target.fields]
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        missing = [k for k in keys if k not in tcols]
+        if missing:
+            raise ValueError(f"MERGE keys not in {table}'s schema: {missing}")
+        if update_cols is None:
+            update_cols = [c for c in tcols if c not in keys]
+        bad = [c for c in update_cols if c not in tcols or c in keys]
+        if bad:
+            raise ValueError(
+                f"MERGE update columns must be non-key table columns: {bad}"
+            )
+        if insert:
+            miss_src = [c for c in tcols if c not in source.columns]
+            if miss_src:
+                raise ValueError(
+                    "MERGE with insert=True needs the full table schema "
+                    f"in the source; missing: {miss_src}"
+                )
+            src = self._conform(source, target)
+        else:
+            needed = [c for c in tcols if c in set(keys) | set(update_cols)]
+            miss_src = [c for c in needed if c not in source.columns]
+            if miss_src:
+                raise ValueError(f"MERGE source missing columns: {miss_src}")
+            src = source.select(
+                *[F.col(c).cast(target[c].dataType).alias(c) for c in needed]
+            )
+
+        # ONE bounded job: totals, key uniqueness, per-key [min,max]
+        key_notnull = F.lit(True)
+        for k in keys:
+            key_notnull = key_notnull & F.col(k).isNotNull()
+        aggs = [
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(key_notnull, 1)).alias("_nn"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("_nd"),
+        ]
+        for k in keys:
+            aggs += [F.min(k).alias(f"_mn_{k}"), F.max(k).alias(f"_mx_{k}")]
+        stat = src.agg(*aggs).collect()[0]
+        if stat["_n"] == 0:
+            return {"updated": 0, "inserted": 0}
+        if stat["_nd"] < stat["_nn"]:
+            raise ValueError(
+                "MERGE source has duplicate keys "
+                f"({stat['_nn']} keyed rows, {stat['_nd']} distinct): "
+                "ambiguous update — dedup the source first"
+            )
+
+        def norm_bound(v):
+            import datetime
+
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return v.strftime("%Y-%m-%d %H:%M:%S")
+            return v
+
+        segs = self.valid_segments(table)
+        candidates = []
+        for e in segs:
+            keep = True
+            for k in keys:
+                rng = e.stats.get(k)
+                if rng is None:
+                    continue
+                smn, smx = norm_bound(stat[f"_mn_{k}"]), norm_bound(stat[f"_mx_{k}"])
+                if smn is None:
+                    continue  # all-null source key: no match possible here
+                try:
+                    if smx < rng[0] or smn > rng[1]:
+                        keep = False  # disjoint on this key: no match
+                        break
+                except TypeError:
+                    continue
+                except IndexError:
+                    continue
+            if keep:
+                candidates.append(e)
+
+        updated_total = 0
+        affected: list[SegmentEntry] = []
+        if candidates:
+            tag = "_cd_seg"
+            while tag in tcols:
+                tag = f"_{tag}"
+            tagged = self.table(
+                table, segment_ids=[e.segment_id for e in candidates], _tag_col=tag
+            )
+            counts = {
+                r[0]: int(r[1])
+                for r in tagged.join(src.select(*keys), keys, "left_semi")
+                .groupBy(tag)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            by_id = {e.segment_id: e for e in candidates}
+            affected = [by_id[sid] for sid in sorted(counts) if counts[sid] > 0]
+            updated_total = sum(counts.values())
+        if not affected and not insert:
+            return {"updated": 0, "inserted": 0}
+
+        # reserve BOTH provisional segments in one manifest round-trip
+        start = time.time()
+        rewrite_id: int | None = None
+        insert_id: int | None = None
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            next_id = max((x.segment_id for x in entries), default=-1) + 1
+            if affected:
+                rewrite_id = next_id
+                next_id += 1
+                entries.append(
+                    SegmentEntry(
+                        segment_id=rewrite_id,
+                        status=SEGMENT_IN_PROGRESS,
+                        rows=0,
+                        load_start_ts=start,
+                        load_end_ts=0.0,
+                        columns=list(tcols),
+                        origin={
+                            "rewrite_of": [e.segment_id for e in affected],
+                            "op": "merge",
+                        },
+                    )
+                )
+            if insert:
+                insert_id = next_id
+                entries.append(
+                    SegmentEntry(
+                        segment_id=insert_id,
+                        status=SEGMENT_IN_PROGRESS,
+                        rows=0,
+                        load_start_ts=start,
+                        load_end_ts=0.0,
+                        columns=list(tcols),
+                        origin={"op": "merge_insert"},
+                    )
+                )
+            self._write_status(table, entries)
+
+        part_cols = meta.get("partition_columns", [])
+        sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
+        by_new: dict[int, tuple[int, dict, dict]] = {}
+        aff_ids = [e.segment_id for e in affected]
+        if affected:
+            t = self.table(table, segment_ids=aff_ids).alias("t")
+            s = src.withColumn("_cd_m", F.lit(True)).alias("s")
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+            matched = F.col("s._cd_m").isNotNull()
+            sel = []
+            for f in target.fields:
+                if f.name in update_cols:
+                    sel.append(
+                        F.when(matched, F.col(f"s.{f.name}"))
+                        .otherwise(F.col(f"t.{f.name}"))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                    )
+                else:
+                    sel.append(F.col(f"t.{f.name}").alias(f.name))
+            out = t.join(s, cond, "left").select(*sel)
+            seg_dir = self._segment_dir(table, rewrite_id)
+            n_parts = max(1, sum(e.rows for e in affected) // 4_000_000)
+            self._write_clustered(out, meta, seg_dir, n_parts)
+            by_new[rewrite_id] = (
+                self._segment_rows_from_footers(seg_dir),
+                self._collect_segment_stats(seg_dir, sort_cols),
+                self._collect_segment_blooms(seg_dir, meta),
+            )
+        inserted = 0
+        if insert:
+            if affected:
+                aff_keys = self.table(table, segment_ids=aff_ids).select(*keys)
+                ins_df = src.join(aff_keys, keys, "left_anti")
+            else:
+                ins_df = src
+            seg_dir = self._segment_dir(table, insert_id)
+            n_parts = max(1, int(stat["_n"]) // 4_000_000)
+            self._write_clustered(ins_df, meta, seg_dir, n_parts)
+            inserted = self._segment_rows_from_footers(seg_dir)
+            if inserted:
+                by_new[insert_id] = (
+                    inserted,
+                    self._collect_segment_stats(seg_dir, sort_cols),
+                    self._collect_segment_blooms(seg_dir, meta),
+                )
+
+        # ONE all-or-nothing swap (compact()'s discipline)
+        old_ids = set(aff_ids)
+        new_ids = (
+            ({rewrite_id} if rewrite_id is not None else set())
+            | ({insert_id} if insert_id is not None else set())
+        )
+        with file_lock(self._status_path(table)):
+            entries = self._read_status(table)
+            live = {x.segment_id for x in entries if x.status == SEGMENT_SUCCESS}
+            if not old_ids <= live:
+                abort_ts = time.time()
+                for x in entries:
+                    if x.segment_id in new_ids:
+                        x.status = SEGMENT_DELETED
+                        x.invalidated_ts = abort_ts
+                self._write_status(table, entries)
+                raise RuntimeError(
+                    f"MERGE aborted: segments {sorted(old_ids - live)} "
+                    "changed state concurrently; no rows were modified"
+                )
+            commit_ts = time.time()
+            for x in entries:
+                if x.segment_id in old_ids:
+                    x.status = SEGMENT_COMPACTED
+                    x.invalidated_ts = commit_ts
+                if x.segment_id in new_ids:
+                    if x.segment_id in by_new:
+                        rows, stats, blooms = by_new[x.segment_id]
+                        x.status = SEGMENT_SUCCESS
+                        x.rows = rows
+                        x.load_end_ts = commit_ts
+                        x.stats = stats
+                        x.blooms = blooms
+                    else:
+                        # empty insert (every source row matched): the
+                        # reserved entry never goes live
+                        x.status = SEGMENT_DELETED
+                        x.invalidated_ts = commit_ts
+            self._write_status(table, entries)
+        return {"updated": updated_total, "inserted": inserted}
+
     # -- schema evolution (ALTER CUBE) ------------------------------------
 
     def alter_add_columns(
