@@ -364,6 +364,28 @@ class CarbonSession:
             n = self.store.update_rows(m.group(1), pred, assignments)
             return self._rows([{"updated_rows": n}], "updated_rows long")
 
+        # MERGE INTO (upsert, store.merge_rows — beyond the reference
+        # era, like row-level IUD; the statement mirrors the modern SQL
+        # standard's MERGE in the shapes merge_rows supports). USING
+        # names a store table or a registered Spark view. ON is either a
+        # bare key list `ON (k1, k2)` or a same-column equality chain
+        # `ON t.k = s.k AND ...`. UPDATE SET supports `*` (all non-key
+        # columns from the source) or `c = s.c` self-assignments;
+        # computed updates need the merge_rows API. WHEN NOT MATCHED
+        # THEN INSERT * appends unmatched source rows; omitting WHEN
+        # MATCHED gives the insert-only (idempotent backfill) merge.
+        m = re.fullmatch(
+            r"merge into (?:\w+\.)?(\w+) using (?:\w+\.)?(\w+) on (.+?)"
+            r"( when matched then update set (?:\*|.+?))?"
+            r"( when not matched then insert \*)?",
+            s,
+            _I,
+        )
+        if m and m.group(1) in self.store.tables():
+            return self._merge_stmt(
+                m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+            )
+
         m = re.fullmatch(
             r"delete segments from table (\w+) where starttime before '([^']+)'", s, _I
         )
@@ -1270,6 +1292,86 @@ class CarbonSession:
             actions.append({"action": "aggregation", "column": f"auto{i}"})
 
         return self._rows(actions, "action string, column string")
+
+    def _merge_stmt(
+        self,
+        table: str,
+        source_name: str,
+        on_s: str,
+        matched_s: str | None,
+        notmatched_s: str | None,
+    ) -> DataFrame:
+        """MERGE INTO route → store.merge_rows (see the router comment
+        for the supported grammar). Identifiers resolve case-
+        insensitively like the rest of the dialect."""
+        if source_name in self.store.tables():
+            src = self.store.table(source_name)
+        else:
+            try:
+                src = self.spark.table(source_name)
+            except Exception as exc:
+                raise ValueError(
+                    f"MERGE USING {source_name}: not a store table or a "
+                    "registered Spark view"
+                ) from exc
+        by_lower = {f.name.lower(): f.name for f in self.store.schema(table).fields}
+
+        def resolve(name: str, what: str) -> str:
+            actual = by_lower.get(name.lower())
+            if actual is None:
+                raise ValueError(f"MERGE {what}: {name} is not a column of {table}")
+            return actual
+
+        on_s = on_s.strip()
+        keys: list[str] = []
+        lm = re.fullmatch(r"\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)", on_s)
+        if lm:
+            keys = [resolve(c.strip(), "ON") for c in lm.group(1).split(",")]
+        else:
+            for part in re.split(r"\s+and\s+", on_s, flags=_I):
+                pm = re.fullmatch(
+                    r"\(?\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*\)?",
+                    part.strip(),
+                )
+                if not pm or pm.group(1).lower() != pm.group(2).lower():
+                    raise ValueError(
+                        f"MERGE ON: unsupported condition {part.strip()!r} — "
+                        "use a key list ON (k1, k2) or same-column "
+                        "equalities t.k = s.k [AND ...]"
+                    )
+                keys.append(resolve(pm.group(1), "ON"))
+        if matched_s is None and notmatched_s is None:
+            raise ValueError(
+                "MERGE needs WHEN MATCHED THEN UPDATE SET and/or "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        update_cols: list[str] | None
+        if matched_s is None:
+            update_cols = []  # insert-only merge
+        else:
+            set_s = re.sub(
+                r"^\s*when matched then update set\s*", "", matched_s, flags=_I
+            ).strip()
+            if set_s == "*":
+                update_cols = None
+            else:
+                update_cols = []
+                for item in _split_cols(set_s):
+                    am = re.fullmatch(
+                        r"\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*", item
+                    )
+                    if not am or am.group(1).lower() != am.group(2).lower():
+                        raise ValueError(
+                            "MERGE UPDATE SET: unsupported assignment "
+                            f"{item.strip()!r} — only c = s.c self-"
+                            "assignments or SET *; computed updates need "
+                            "the store.merge_rows API"
+                        )
+                    update_cols.append(resolve(am.group(1), "UPDATE SET"))
+        res = self.store.merge_rows(
+            table, src, keys, update_cols=update_cols, insert=notmatched_s is not None
+        )
+        return self._rows([res], "updated long, inserted long")
 
     # -- rollup routing ----------------------------------------------------
 

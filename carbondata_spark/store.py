@@ -1538,7 +1538,10 @@ class CarbonStore:
         target row UPDATE it (``update_cols``, default all non-key
         columns); unmatched source rows are INSERTED as a new segment
         (``insert=False`` ignores them — update-only CDC). Returns
-        ``{"updated": n, "inserted": m}``.
+        ``{"updated": n, "inserted": m}``. ``update_cols=[]`` is the
+        INSERT-ONLY merge (WHEN NOT MATCHED only): matched rows stay
+        untouched, no segment is rewritten, and only the genuinely-new
+        rows are appended (idempotent backfill).
 
         The reference era predates MERGE (like row-level IUD); later
         Apache CarbonData added exactly this CDC shape, and a 100 TB
@@ -1586,6 +1589,16 @@ class CarbonStore:
         if bad:
             raise ValueError(
                 f"MERGE update columns must be non-key table columns: {bad}"
+            )
+        # update_cols=[] is the INSERT-ONLY merge (WHEN NOT MATCHED only):
+        # matched rows stay untouched, so no segment is rewritten and no
+        # detection job runs — unmatched rows are anti-joined against the
+        # zone-map CANDIDATES directly (sound: non-candidates provably
+        # hold no source key).
+        insert_only = not update_cols
+        if insert_only and not insert:
+            raise ValueError(
+                "MERGE with update_cols=[] and insert=False does nothing"
             )
         if insert:
             miss_src = [c for c in tcols if c not in source.columns]
@@ -1656,7 +1669,7 @@ class CarbonStore:
 
         updated_total = 0
         affected: list[SegmentEntry] = []
-        if candidates:
+        if candidates and not insert_only:
             tag = "_cd_seg"
             while tag in tcols:
                 tag = f"_{tag}"
@@ -1748,8 +1761,11 @@ class CarbonStore:
             )
         inserted = 0
         if insert:
-            if affected:
-                aff_keys = self.table(table, segment_ids=aff_ids).select(*keys)
+            anti_ids = (
+                [e.segment_id for e in candidates] if insert_only else aff_ids
+            )
+            if anti_ids:
+                aff_keys = self.table(table, segment_ids=anti_ids).select(*keys)
                 ins_df = src.join(aff_keys, keys, "left_anti")
             else:
                 ins_df = src

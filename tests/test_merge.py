@@ -129,3 +129,83 @@ def test_merge_composite_keys(store, spark):
     assert res == {"updated": 1, "inserted": 1}
     rows = {r["tag"]: r["v"] for r in store.table("t").filter("k = 9").collect()}
     assert rows == {"base": 90909.0, "other": 1.0}
+
+
+def test_merge_insert_only_mode(store, spark):
+    """update_cols=[] = WHEN NOT MATCHED only: no rewrite, no detection
+    job, matched rows untouched, only new rows appended (idempotent
+    backfill)."""
+    segs_before = {
+        s["segment_id"]: s["status"] for s in store.show_segments("t")
+    }
+    res = store.merge_rows(
+        "t",
+        _src(spark, [(5, 99999.0, "IGNORED"), (800, 8.0, "new")]),
+        keys="k",
+        update_cols=[],
+    )
+    assert res == {"updated": 0, "inserted": 1}
+    # matched row untouched, no segment rewritten
+    assert store.table("t").filter("k = 5").collect()[0]["v"] == 50.0
+    for sid, st_ in segs_before.items():
+        assert (
+            next(s for s in store.show_segments("t") if s["segment_id"] == sid)[
+                "status"
+            ]
+            == st_
+        )
+    # idempotent: re-running the same backfill inserts nothing
+    res2 = store.merge_rows(
+        "t",
+        _src(spark, [(5, 99999.0, "IGNORED"), (800, 8.0, "new")]),
+        keys="k",
+        update_cols=[],
+    )
+    assert res2 == {"updated": 0, "inserted": 0}
+    with pytest.raises(ValueError, match="does nothing"):
+        store.merge_rows("t", _src(spark, [(1, 1.0, "x")]), keys="k",
+                         update_cols=[], insert=False)
+
+
+def test_merge_sql_front_door(store, spark):
+    from carbondata_spark.sql import CarbonSession
+
+    ses = CarbonSession(spark, store)
+    _src(spark, [(5, 5555.0, "sqlu"), (600, 6.0, "sqlnew")]) \
+        .createOrReplaceTempView("updates_v")
+    out = ses.sql(
+        "MERGE INTO t USING updates_v ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()
+    assert out[0]["updated"] == 1 and out[0]["inserted"] == 1
+    got = {r["k"]: r["tag"] for r in store.table("t").filter("k in (5,600)").collect()}
+    assert got == {5: "sqlu", 600: "sqlnew"}
+    # subset-assignment + key-list form + insert-only form
+    _src(spark, [(6, 666.0, "IGNORED"), (700, 7.0, "io")]) \
+        .createOrReplaceTempView("updates_v2")
+    out = ses.sql(
+        "MERGE INTO t USING updates_v2 ON (k) "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    ).collect()
+    assert out[0]["updated"] == 1 and out[0]["inserted"] == 0
+    row6 = store.table("t").filter("k = 6").collect()[0]
+    assert row6["v"] == 666.0 and row6["tag"] == "base"
+    out = ses.sql(
+        "MERGE INTO t USING updates_v2 ON (k) "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()
+    assert out[0] == {"updated": 0, "inserted": 1} or (
+        out[0]["updated"] == 0 and out[0]["inserted"] == 1
+    )
+    # unsupported shapes fail loudly
+    with pytest.raises(ValueError, match="unsupported condition"):
+        ses.sql(
+            "MERGE INTO t USING updates_v2 ON t.k > s.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="unsupported assignment"):
+        ses.sql(
+            "MERGE INTO t USING updates_v2 ON (k) "
+            "WHEN MATCHED THEN UPDATE SET v = s.v + 1"
+        )
