@@ -85,6 +85,20 @@ def main() -> None:
     print("After IUD:")
     cs.sql("SELECT channel, count(*) AS n FROM sales GROUP BY channel").show()
 
+    # 8. MERGE INTO (r13) — CDC upsert through the SQL front door:
+    #    matched keys update from the source, new keys append, one
+    #    atomic segment swap
+    spark.sql(
+        "SELECT 'c0' AS city, timestamp'2020-01-01 00:00:00' AS ts, "
+        "99.0 AS amount, 'fixed' AS uid, 'cdc' AS channel"
+    ).createOrReplaceTempView("corrections")
+    print("MERGE INTO result:")
+    cs.sql(
+        "MERGE INTO sales USING corrections ON (city) "
+        "WHEN MATCHED THEN UPDATE SET amount = s.amount "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).show()
+
     spark.stop()
 
 
