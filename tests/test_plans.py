@@ -227,6 +227,11 @@ def test_tfidf_corpus_exploded_once(spark, sf_dir):
     since r13) eliminates the second consumer entirely — the optimized
     plan must contain exactly ONE explode Generate and no persist
     read-back (nothing left to share)."""
+    # other tests run the v1 oracle, whose repersist of the tf subtree
+    # Spark would cache-substitute into v2's IDENTICAL logical subtree
+    # (InMemoryRelation by plan equality) — clear so the pin sees v2's
+    # own shape, not a neighbor test's cache
+    spark.catalog.clearCache()
     df = registry()["p_text_tfidf"].fn(spark, sf_dir)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("Generate explode") == 1, optimized
