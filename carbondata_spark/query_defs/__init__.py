@@ -24,7 +24,9 @@ import carbondata_spark.query_defs.ivf_q  # noqa: F401
 import carbondata_spark.query_defs.iud_q  # noqa: F401
 import carbondata_spark.query_defs.jdbc_q  # noqa: F401
 import carbondata_spark.query_defs.feed_q  # noqa: F401
+import carbondata_spark.query_defs.feed_merge_q  # noqa: F401
 import carbondata_spark.query_defs.lifecycle_q  # noqa: F401
 import carbondata_spark.query_defs.routing_q  # noqa: F401
 import carbondata_spark.query_defs.scalars  # noqa: F401
 import carbondata_spark.query_defs.store_q  # noqa: F401
+import carbondata_spark.query_defs.olap100  # noqa: F401

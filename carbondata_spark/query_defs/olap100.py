@@ -1,0 +1,373 @@
+"""The reference's own flagship OLAP acceptance corpus, run verbatim.
+
+The reference ships a 143-query golden-answer suite
+(integration/spark/src/test/scala/org/carbondata/integration/spark/
+testsuite/allqueries/AllDataTypesTestCaseAggregate.scala) over a
+67-column smart-device fixture loaded from
+integration/spark/src/test/resources/100_olap.csv (99 data rows, no
+header). This module ingests that fixture through the repo's OWN front
+door — the reference's CREATE CUBE and LOAD DATA FACT statements exactly
+as its test spells them (AllDataTypesTestCaseAggregate.scala:41-50,
+including the `dimensions(`/`FROM'` no-space spellings and the
+keyword-style partitionData(DELIMITER ',' ...) option clause) — and
+registers a slice of its checked queries as driver oracle rows.
+
+Semantics exercised end-to-end:
+- the dimension/measure split with `measures(gamePointId numeric,
+  contractNumber numeric)` → numeric measures surface as double
+  (CarbonDatasourceRelation.scala:194-208 coercion);
+- FILEHEADER as the CSV's physical column order, which the reference
+  lets differ from the cube declaration order (contractNumber arrives at
+  position 26, gamePointId at 66 — a permutation the load must unscramble
+  by name);
+- carbon.timestamp.format-style lenient timestamp parsing
+  (CarbonProperties.java default yyyy-MM-dd HH:mm:ss; the fixture's
+  productionDate values are unpadded, e.g. '2015-7-1 12:07:28');
+- string-dimension arithmetic coercion (sum(channelsId+10): the
+  reference's Hive delegation promotes the string to double);
+- the reference's own expression shapes: conditional aggregates,
+  DISTINCT aggregates, null-safe <=>, subquery-wrapped group-bys,
+  ordered LIMIT, cast-to-null.
+
+The Spark side runs the reference's query text VERBATIM through
+CarbonSession.sql; where a result column is a floating double the frame
+is then re-selected through the repo-wide driver-compare normalization
+(dround to 2, same name) — the UNROUNDED values are pinned against the
+reference's checkAnswer golden rows in tests/test_olap100.py, which
+replays the full extractable corpus, not just this slice.
+
+The DuckDB oracle reads the SAME CSV via read_csv with a column spec
+mirroring the cube typing, so every row certifies the whole chain:
+parser → load (header permutation, timestamp format, type coercion) →
+segment scan → Spark SQL semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from carbondata_spark.query_defs._tmpdirs import mkdtemp
+from carbondata_spark.queries import r2, register
+
+CSV_PATH = "/root/reference/integration/spark/src/test/resources/100_olap.csv"
+
+# AllDataTypesTestCaseAggregate.scala:41 — byte-for-byte (one statement,
+# wrapped here only for line length; cs.sql whitespace-collapses).
+CREATE_CUBE = (
+    "create cube Carbon_automation_test dimensions(imei string,deviceInformationId"
+    " integer,MAC string,deviceColor string,device_backColor string,modelId string,"
+    "marketName string,AMSize string,ROMSize string,CUPAudit string,CPIClocked string,"
+    "series string,productionDate timestamp,bomCode string,internalModels string,"
+    " deliveryTime string, channelsId string, channelsName string , deliveryAreaId"
+    " string, deliveryCountry string, deliveryProvince string, deliveryCity string,"
+    "deliveryDistrict string, deliveryStreet string, oxSingleNumber string,"
+    " ActiveCheckTime string, ActiveAreaId string, ActiveCountry string,"
+    " ActiveProvince string, Activecity string, ActiveDistrict string, ActiveStreet"
+    " string, ActiveOperatorId string, Active_releaseId string, Active_EMUIVersion"
+    " string, Active_operaSysVersion string, Active_BacVerNumber string,"
+    " Active_BacFlashVer string, Active_webUIVersion string, Active_webUITypeCarrVer"
+    " string,Active_webTypeDataVerNumber string, Active_operatorsVersion string,"
+    " Active_phonePADPartitionedVersions string, Latest_YEAR integer, Latest_MONTH"
+    " integer, Latest_DAY integer, Latest_HOUR string, Latest_areaId string,"
+    " Latest_country string, Latest_province string, Latest_city string,"
+    " Latest_district string, Latest_street string, Latest_releaseId string,"
+    " Latest_EMUIVersion string, Latest_operaSysVersion string, Latest_BacVerNumber"
+    " string, Latest_BacFlashVer string, Latest_webUIVersion string,"
+    " Latest_webUITypeCarrVer string, Latest_webTypeDataVerNumber string,"
+    " Latest_operatorsVersion string, Latest_phonePADPartitionedVersions string,"
+    " Latest_operatorId string, gamePointDescription string)  measures(gamePointId"
+    " numeric,contractNumber numeric) OPTIONS (PARTITIONER [CLASS ="
+    " 'org.carbondata.integration.spark.partition.api.impl.SampleDataPartitionerImpl'"
+    " ,COLUMNS= (imei) , PARTITION_COUNT=2] )"
+)
+
+# The CSV's physical column order (the FILEHEADER of
+# AllDataTypesTestCaseAggregate.scala:50) — NOT the cube order.
+FILEHEADER = (
+    "imei,deviceInformationId,MAC,deviceColor,device_backColor,modelId,marketName,"
+    "AMSize,ROMSize,CUPAudit,CPIClocked,series,productionDate,bomCode,internalModels,"
+    "deliveryTime,channelsId,channelsName,deliveryAreaId,deliveryCountry,"
+    "deliveryProvince,deliveryCity,deliveryDistrict,deliveryStreet,oxSingleNumber,"
+    "contractNumber,ActiveCheckTime,ActiveAreaId,ActiveCountry,ActiveProvince,"
+    "Activecity,ActiveDistrict,ActiveStreet,ActiveOperatorId,Active_releaseId,"
+    "Active_EMUIVersion,Active_operaSysVersion,Active_BacVerNumber,Active_BacFlashVer,"
+    "Active_webUIVersion,Active_webUITypeCarrVer,Active_webTypeDataVerNumber,"
+    "Active_operatorsVersion,Active_phonePADPartitionedVersions,Latest_YEAR,"
+    "Latest_MONTH,Latest_DAY,Latest_HOUR,Latest_areaId,Latest_country,Latest_province,"
+    "Latest_city,Latest_district,Latest_street,Latest_releaseId,Latest_EMUIVersion,"
+    "Latest_operaSysVersion,Latest_BacVerNumber,Latest_BacFlashVer,"
+    "Latest_webUIVersion,Latest_webUITypeCarrVer,Latest_webTypeDataVerNumber,"
+    "Latest_operatorsVersion,Latest_phonePADPartitionedVersions,Latest_operatorId,"
+    "gamePointId,gamePointDescription"
+)
+
+# AllDataTypesTestCaseAggregate.scala:50 — byte-for-byte modulo the
+# fixture path (the reference resolves it from its own checkout).
+LOAD_FACT = (
+    f"LOAD DATA FACT FROM'{CSV_PATH}' INTO Cube Carbon_automation_test"
+    " partitionData(DELIMITER ',' ,QUOTECHAR '\"', FILEHEADER"
+    f" '{FILEHEADER}')"
+)
+
+# Cube typing for the oracle's read_csv: integer dimensions + numeric
+# (double) measures + the timestamp, everything else a string dimension.
+_COL_TYPES = {
+    "deviceInformationId": "INTEGER",
+    "Latest_YEAR": "INTEGER",
+    "Latest_MONTH": "INTEGER",
+    "Latest_DAY": "INTEGER",
+    "gamePointId": "DOUBLE",
+    "contractNumber": "DOUBLE",
+    "productionDate": "TIMESTAMP",
+}
+
+_COLUMNS_SPEC = ", ".join(
+    f"'{c}': '{_COL_TYPES.get(c, 'VARCHAR')}'" for c in FILEHEADER.split(",")
+)
+
+# %-m/%-d: the fixture's unpadded dates, same leniency the session's
+# carbon.timestamp.format property gives the Spark-side load.
+ORACLE_VIEW = (
+    "WITH Carbon_automation_test AS (SELECT * FROM "
+    f"read_csv('{CSV_PATH}', header=false, columns={{{_COLUMNS_SPEC}}}, "
+    "timestampformat='%Y-%-m-%-d %H:%M:%S'))"
+)
+
+_BUILT: dict[str, str] = {}  # app_id -> store path (fixture is sf-independent)
+
+
+def _cube(spark):
+    """Build the cube once per Spark app via the verbatim DDL + LOAD."""
+    from carbondata_spark.sql import CarbonSession
+    from carbondata_spark.store import CarbonStore
+
+    # The reference's beforeAll sets CarbonProperties before DDL; the
+    # session-scoped analogue carries the timestamp format the fixture
+    # needs (CarbonProperties.java default).
+    props = {"carbon.timestamp.format": "yyyy-MM-dd HH:mm:ss"}
+    app = spark.sparkContext.applicationId
+    if app in _BUILT:
+        return CarbonSession(spark, CarbonStore(spark, _BUILT[app]), properties=props)
+    base = mkdtemp(prefix="carbondata_olap100_")
+    cs = CarbonSession(spark, CarbonStore(spark, base), properties=props)
+    cs.sql(CREATE_CUBE)
+    cs.sql(LOAD_FACT)
+    _BUILT[app] = base
+    return cs
+
+
+def _verbatim(stmt: str, round_cols: tuple[str, ...] = ()):
+    """(spark, sf_dir) -> DataFrame running the reference's query text
+    verbatim; floating double columns are re-selected through the
+    repo-wide dround(…, 2) driver-compare normalization (same names —
+    unrounded values are golden-pinned in tests/test_olap100.py)."""
+
+    def fn(spark, sf_dir, _stmt=stmt, _rounds=frozenset(round_cols)):
+        df = _cube(spark).sql(_stmt)
+        if _rounds:
+            df = df.select(
+                *[
+                    r2(F.col(c)).alias(c) if c in _rounds else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df
+
+    return fn
+
+
+def _golden(
+    name: str,
+    stmt: str,
+    oracle_body: str,
+    round_cols: tuple[str, ...] = (),
+    doc: str = "",
+) -> None:
+    register(
+        name,
+        oracle=f"{ORACLE_VIEW} {oracle_body}",
+        doc=doc + " [verbatim: AllDataTypesTestCaseAggregate.scala]",
+    )(_verbatim(stmt, round_cols))
+
+
+# --- the driver slice: one row per distinct expression shape ------------
+
+_golden(
+    "q_olap100_sum_int_expr",
+    "select channelsId, sum(Latest_DAY+ 10) as a from Carbon_automation_test"
+    " group by  channelsId",
+    "SELECT channelsId, CAST(sum(Latest_DAY + 10) AS BIGINT) AS a"
+    " FROM Carbon_automation_test GROUP BY channelsId",
+    doc="Test-22: integer-dimension arithmetic inside SUM.",
+)
+
+_golden(
+    "q_olap100_sum_string_coerce",
+    "select channelsId, sum(channelsId+ 10)  Total from Carbon_automation_test"
+    " group by  channelsId order by Total",
+    "SELECT channelsId, CAST(round(sum(CAST(channelsId AS DOUBLE) + 10), 2)"
+    " AS DOUBLE) AS Total FROM Carbon_automation_test GROUP BY channelsId",
+    round_cols=("Total",),
+    doc="Test-24: STRING dimension promoted to double inside SUM "
+    "(Hive-delegation coercion), ORDER BY the aggregate alias.",
+)
+
+_golden(
+    "q_olap100_avg_int_expr",
+    "select channelsId, avg(Latest_DAY+ 10) as a from Carbon_automation_test"
+    " group by  channelsId",
+    "SELECT channelsId, CAST(round(avg(Latest_DAY + 10), 2) AS DOUBLE) AS a"
+    " FROM Carbon_automation_test GROUP BY channelsId",
+    round_cols=("a",),
+    doc="Test-27: AVG over an integer-dimension expression.",
+)
+
+_golden(
+    "q_olap100_count_expr",
+    "select channelsId, count(Latest_DAY+ 10) as a  from Carbon_automation_test"
+    " group by  channelsId",
+    "SELECT channelsId, CAST(count(Latest_DAY + 10) AS BIGINT) AS a"
+    " FROM Carbon_automation_test GROUP BY channelsId",
+    doc="Test-31: COUNT of an expression.",
+)
+
+_golden(
+    "q_olap100_count_star",
+    "select count(*) as a  from Carbon_automation_test",
+    "SELECT CAST(count(*) AS BIGINT) AS a FROM Carbon_automation_test",
+    doc="TC count(*): whole-fixture cardinality (golden answer 99) — "
+    "catches any load drop/duplicate (bad-record, header, permutation).",
+)
+
+_golden(
+    "q_olap100_count_distinct",
+    "select count(DISTINCT imei) as a  from Carbon_automation_test",
+    "SELECT CAST(count(DISTINCT imei) AS BIGINT) AS a FROM Carbon_automation_test",
+    doc="TC count(DISTINCT imei): distinct over the high-cardinality key.",
+)
+
+_golden(
+    "q_olap100_count_conditional",
+    "select count (if(deviceInformationId>100,NULL,deviceInformationId))  a"
+    " from Carbon_automation_test",
+    "SELECT CAST(count(CASE WHEN deviceInformationId > 100 THEN NULL ELSE"
+    " deviceInformationId END) AS BIGINT) AS a FROM Carbon_automation_test",
+    doc="TC conditional aggregate: count(if(pred, NULL, x)) — NULLs not "
+    "counted (golden answer 3).",
+)
+
+_golden(
+    "q_olap100_sum_distinct",
+    "select sum(DISTINCT  deviceInformationId) a  from Carbon_automation_test",
+    "SELECT CAST(sum(DISTINCT deviceInformationId) AS BIGINT) AS a"
+    " FROM Carbon_automation_test",
+    doc="TC sum(DISTINCT): distinct aggregation over the integer dimension.",
+)
+
+_golden(
+    "q_olap100_min_int",
+    "select min(deviceInformationId) a  from Carbon_automation_test",
+    "SELECT min(deviceInformationId) AS a FROM Carbon_automation_test",
+    doc="TC min over the integer dimension.",
+)
+
+_golden(
+    "q_olap100_max_string",
+    "select max(channelsId) a  from Carbon_automation_test",
+    "SELECT max(channelsId) AS a FROM Carbon_automation_test",
+    doc="TC max over a STRING dimension (lexicographic).",
+)
+
+_golden(
+    "q_olap100_groupby_orderby",
+    "select series,count(imei) a from Carbon_automation_test group by series"
+    " order by series",
+    "SELECT series, CAST(count(imei) AS BIGINT) AS a FROM Carbon_automation_test"
+    " GROUP BY series",
+    doc="TC grouped count with ORDER BY the grouping key.",
+)
+
+_golden(
+    "q_olap100_sum_measure",
+    "select series,sum(gamePointId) a from Carbon_automation_test group by series"
+    " order by series",
+    "SELECT series, CAST(round(sum(gamePointId), 2) AS DOUBLE) AS a"
+    " FROM Carbon_automation_test GROUP BY series",
+    round_cols=("a",),
+    doc="TC sum of the numeric MEASURE (the int→double quirk's column) "
+    "per series — golden totals include the fractional 7Series 18591.197.",
+)
+
+_golden(
+    "q_olap100_in_filter",
+    "select imei,series from Carbon_automation_test where"
+    " Carbon_automation_test.series IN ('1Series','7Series')",
+    "SELECT imei, series FROM Carbon_automation_test"
+    " WHERE series IN ('1Series', '7Series')",
+    doc="TC IN-list filter with table-qualified column, raw row set out.",
+)
+
+_golden(
+    "q_olap100_nullsafe_eq",
+    "select Latest_DAY as a from Carbon_automation_test where"
+    " Latest_DAY<=>Latest_areaId",
+    "SELECT Latest_DAY AS a FROM Carbon_automation_test"
+    " WHERE Latest_DAY IS NOT DISTINCT FROM TRY_CAST(Latest_areaId AS INTEGER)",
+    doc="TC null-safe equality <=> between an integer and a string "
+    "dimension (cross-type coercion; golden answer 12×Row(1)).",
+)
+
+_golden(
+    "q_olap100_subquery_group2",
+    "SELECT AMSize, ActiveAreaId, SUM(gamePointId) AS Sum_gamePointId FROM"
+    " (select * from Carbon_automation_test) SUB_QRY GROUP BY AMSize,"
+    " ActiveAreaId ORDER BY AMSize ASC, ActiveAreaId ASC",
+    "SELECT AMSize, ActiveAreaId, CAST(round(sum(gamePointId), 2) AS DOUBLE)"
+    " AS Sum_gamePointId FROM Carbon_automation_test GROUP BY AMSize, ActiveAreaId",
+    round_cols=("Sum_gamePointId",),
+    doc="TC BI-tool shape: subquery-wrapped two-column rollup of the measure.",
+)
+
+_golden(
+    "q_olap100_distinct_per_group",
+    "SELECT ActiveCountry, COUNT(DISTINCT imei) AS DistinctCount_imei FROM"
+    " (select * from Carbon_automation_test) SUB_QRY GROUP BY ActiveCountry"
+    " ORDER BY ActiveCountry ASC",
+    "SELECT ActiveCountry, CAST(count(DISTINCT imei) AS BIGINT) AS"
+    " DistinctCount_imei FROM Carbon_automation_test GROUP BY ActiveCountry",
+    doc="TC grouped COUNT DISTINCT through a subquery.",
+)
+
+_golden(
+    "q_olap100_ordered_limit",
+    "select imei,series from Carbon_automation_test where series='7Series'"
+    " order by imei limit 10",
+    "SELECT imei, series FROM Carbon_automation_test WHERE series = '7Series'"
+    " ORDER BY imei LIMIT 10",
+    doc="TC deterministic LIMIT: filter + ORDER BY the unique key, top 10 "
+    "(binary string collation must agree across engines).",
+)
+
+# NOT registered: the corpus's `cast(series as int)` queries (TC_136/137)
+# expect Hive's silent NULL on malformed casts; Spark 4 runs ANSI mode by
+# default and rejects the cast ([CAST_INVALID_INPUT]). The reference
+# semantics is expressible as try_cast; running the verbatim text would
+# require session-wide spark.sql.ansi.enabled=false, which this rebuild
+# deliberately does not do. Recorded in tests/test_olap100.py's skip list.
+
+_golden(
+    "q_olap100_scalar_upper",
+    "select Upper(series) a  from Carbon_automation_test",
+    "SELECT upper(series) AS a FROM Carbon_automation_test",
+    doc="TC scalar function over every row: Upper(series), 99-row result.",
+)
+
+_golden(
+    "q_olap100_having",
+    "select count(series),series from Carbon_automation_test group by series"
+    " having series='6Series'",
+    'SELECT CAST(count(series) AS BIGINT) AS "count(series)", series'
+    " FROM Carbon_automation_test GROUP BY series HAVING series = '6Series'",
+    doc="TC HAVING on the grouping key with an UNALIASED aggregate — the "
+    "oracle mirrors Spark's generated column name count(series).",
+)

@@ -94,22 +94,60 @@ def _parse_type(s: str) -> T.DataType:
     raise ValueError(f"unsupported type: {s}")
 
 
+def _split_outside_quotes(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` occurrences that are not inside single quotes."""
+    parts, buf, inq = [], [], False
+    for ch in s:
+        if ch == "'":
+            inq = not inq
+            buf.append(ch)
+        elif ch == sep and not inq:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _parse_options(opts_s: str | None) -> dict[str, str]:
-    """OPTIONS('k'='v', 'k2'='v2') → {k_lower: v} (values keep case)."""
+    """OPTIONS('k'='v', ...) and the legacy keyword spelling
+    PARTITIONDATA(DELIMITER ',', QUOTECHAR '"', FILEHEADER 'a,b,...')
+    (CarbonSqlParser.scala partitionOptions — bare keyword + quoted
+    value) → {k_lower: v}. Values keep case and may contain commas
+    (FILEHEADER), so items are split on commas outside quotes."""
     if not opts_s:
         return {}
-    return {
-        k.lower(): v
-        for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", opts_s)
-    }
+    out: dict[str, str] = {}
+    for item in _split_outside_quotes(opts_s):
+        m = (
+            re.fullmatch(r"'([^']+)'\s*=\s*'([^']*)'", item)
+            or re.fullmatch(r"(\w+)\s*=\s*'([^']*)'", item)
+            or re.fullmatch(r"(\w+)\s+'([^']*)'", item)
+        )
+        if m:
+            out[m.group(1).lower()] = m.group(2)
+    return out
 
 
 class CarbonSession:
     """sql() entry point over a CarbonStore."""
 
-    def __init__(self, spark: SparkSession, store: CarbonStore):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: CarbonStore,
+        properties: dict[str, str] | None = None,
+    ):
         self.spark = spark
         self.store = store
+        # CarbonProperties analogue (core/.../CarbonProperties.java): the
+        # reference's tests set global properties (e.g.
+        # carbon.timestamp.format) before DDL/LOAD; here they are
+        # session-scoped. Recognized: carbon.timestamp.format — the
+        # default CSV timestamp parse format when a LOAD carries no
+        # TIMESTAMP_FORMAT option.
+        self.properties: dict[str, str] = dict(properties or {})
         self._asof_views: dict[str, set[str]] = {}  # table -> live as-of views
 
     def _rows(self, rows: list[dict], schema: str) -> DataFrame:
@@ -452,7 +490,7 @@ class CarbonSession:
         # TERMINATED BY 'd']. The flat-table model folds dimensions into
         # the fact (SURVEY.md §1), so DIMENSION FROM is rejected loudly
         # rather than half-loaded.
-        if re.match(r"load data fact from ", s, _I):
+        if re.match(r"load data fact from", s, _I):
             if re.search(r" dimension from ", s, _I):
                 raise ValueError(
                     "LOAD DATA ... DIMENSION FROM is not supported: the "
@@ -460,7 +498,9 @@ class CarbonSession:
                     "(load them as columns of the fact CSV instead)"
                 )
             m = re.fullmatch(
-                r"load data fact from '([^']+)'( overwrite)? into cube (?:\w+\.)?(\w+)"
+                # FROM'path' with no space is the spelling the reference's
+                # own test suite uses (AllDataTypesTestCaseAggregate.scala:50)
+                r"load data fact from\s*'([^']+)'( overwrite)? into cube (?:\w+\.)?(\w+)"
                 r"(?: (?:options|partitiondata)\s*\((.+?)\))?"
                 r"(?: fields terminated by '([^']+)')?",
                 s,
@@ -600,8 +640,11 @@ class CarbonSession:
         # CarbonDatasourceRelation.scala:194-208) via the existing
         # int_measures_as_double property hook.
         m = re.fullmatch(
+            # `dimensions(`/`measures(` with no space before the paren is
+            # how the reference's own tests spell it
+            # (AllDataTypesTestCaseAggregate.scala:41)
             r"create cube (if not exists )?(?:\w+\.)?(\w+)"
-            r" dimensions \((.+?)\) measures \((.+?)\)"
+            r" dimensions\s*\((.+?)\) measures\s*\((.+?)\)"
             r"(?: options\s*\((.+)\))?",
             s,
             _I,
@@ -883,19 +926,61 @@ class CarbonSession:
                         for f in schema.fields
                     ]
                 )
+            # FILEHEADER names the CSV's physical column ORDER, which the
+            # reference lets differ from the table declaration order
+            # (AllDataTypesTestCaseAggregate.scala:50 loads measures from
+            # mid-file positions). Read with a schema in FILEHEADER order
+            # (types resolved by case-insensitive name), then project back
+            # to the table order; header-only columns are dropped, table
+            # columns absent from the header become NULL.
+            read_schema = schema
+            if fileheader is not None:
+                by_name = {f.name.lower(): f for f in schema.fields}
+                read_schema = T.StructType(
+                    [
+                        T.StructField(
+                            by_name[c.lower()].name if c.lower() in by_name else c,
+                            by_name[c.lower()].dataType
+                            if c.lower() in by_name
+                            else T.StringType(),
+                        )
+                        for c in fileheader
+                    ]
+                )
+            ts_format = opts.get("timestamp_format")
+            if ts_format is None and "carbon.timestamp.format" in self.properties:
+                # SimpleDateFormat (the reference's parser,
+                # CarbonProperties default yyyy-MM-dd HH:mm:ss) leniently
+                # accepts unpadded fields; java.time needs single-letter
+                # patterns for that, so relax padded fields to match.
+                ts_format = re.sub(
+                    r"(MM|dd|HH|mm|ss)",
+                    lambda m: m.group(1)[0],
+                    self.properties["carbon.timestamp.format"],
+                )
             df = read_csv(
                 self.spark,
                 path,
-                schema=schema,
+                schema=read_schema,
                 delimiter=opts.get("delimiter", ","),
                 quotechar=opts.get("quotechar", '"'),
                 escapechar=opts.get("escapechar", "\\"),
                 fileheader=fileheader,
                 multiline=opts.get("multiline", "false").lower() == "true",
-                timestamp_format=opts.get("timestamp_format"),
+                timestamp_format=ts_format,
                 bad_records_action=opts.get("bad_records_action", "drop"),
             )
             df, _bad = split_bad_records(df)
+            if fileheader is not None:
+                have = {f.name.lower() for f in read_schema.fields}
+                df = df.select(
+                    *[
+                        F.col(f.name)
+                        if f.name.lower() in have
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
             if complex_cols:
                 df = with_complex_columns(
                     df,
