@@ -110,12 +110,15 @@ def _split_outside_quotes(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _parse_options(opts_s: str | None) -> dict[str, str]:
+def _parse_options(opts_s: str | None, strict: bool = False) -> dict[str, str]:
     """OPTIONS('k'='v', ...) and the legacy keyword spelling
     PARTITIONDATA(DELIMITER ',', QUOTECHAR '"', FILEHEADER 'a,b,...')
     (CarbonSqlParser.scala partitionOptions — bare keyword + quoted
     value) → {k_lower: v}. Values keep case and may contain commas
-    (FILEHEADER), so items are split on commas outside quotes."""
+    (FILEHEADER), so items are split on commas outside quotes.
+    ``strict`` rejects malformed items instead of dropping them (the
+    LOAD statement forms, where a typo'd pair silently changing load
+    behavior is worse than an error)."""
     if not opts_s:
         return {}
     out: dict[str, str] = {}
@@ -127,7 +130,35 @@ def _parse_options(opts_s: str | None) -> dict[str, str]:
         )
         if m:
             out[m.group(1).lower()] = m.group(2)
+        elif strict:
+            raise ValueError(
+                f"malformed option {item!r}: expected KEY 'value' "
+                "(CarbonSqlParser partitionOptions) or 'key'='value' "
+                "(loadOptions)"
+            )
     return out
+
+
+# The full option surface of the LOAD statement forms: the reference's
+# partitionOptions/loadOptions keywords (CarbonSqlParser.scala:822-834)
+# plus this rebuild's documented extensions. Anything else raises —
+# accepted-but-ignored load options are silent data corruption.
+_LOAD_OPTION_KEYS = frozenset(
+    {
+        # CarbonSqlParser.scala:823-827 partitionOptions keywords
+        "delimiter",
+        "quotechar",
+        "fileheader",
+        "escapechar",
+        "multiline",
+        "complex_delimiter_level_1",
+        "complex_delimiter_level_2",
+        # rebuild extensions (documented in _load_data)
+        "format",
+        "timestamp_format",
+        "bad_records_action",
+    }
+)
 
 
 class CarbonSession:
@@ -479,7 +510,7 @@ class CarbonSession:
             seg_id = self._load_data(
                 m.group(1),
                 m.group(3),
-                _parse_options(m.group(4)),
+                _parse_options(m.group(4), strict=True),
                 mode="overwrite" if m.group(2) else "append",
             )
             return self._rows([{"segment_id": seg_id}], "segment_id long")
@@ -507,7 +538,7 @@ class CarbonSession:
                 _I,
             )
             if m:
-                opts = _parse_options(m.group(4))
+                opts = _parse_options(m.group(4), strict=True)
                 if m.group(5):
                     opts.setdefault("delimiter", m.group(5))
                 seg_id = self._load_data(
@@ -892,6 +923,14 @@ class CarbonSession:
         complexdata.csv): the CSV reader cannot parse nested types, so
         those columns are read as strings and rebuilt with
         ``with_complex_columns`` (codegen split/cast, no Python)."""
+        unknown = set(opts) - _LOAD_OPTION_KEYS
+        if unknown:
+            raise ValueError(
+                f"unknown LOAD option(s) {sorted(unknown)}: supported are "
+                f"{sorted(_LOAD_OPTION_KEYS)} (CarbonSqlParser.scala:822-834 "
+                "keywords + documented extensions) — refusing to silently "
+                "ignore a load-shaping option"
+            )
         fmt = opts.get("format", "csv").lower()
         if fmt == "parquet":
             df = self.spark.read.parquet(path)
@@ -911,7 +950,9 @@ class CarbonSession:
             )
 
             fileheader = None
-            if "fileheader" in opts:
+            # FILEHEADER '' (the reference's FilterProcessor_FT spelling)
+            # means "the file carries its own header", same as absent
+            if opts.get("fileheader", "").strip():
                 fileheader = [c.strip() for c in opts["fileheader"].split(",")]
             schema = self.store.schema(table)
             complex_cols = {
@@ -958,6 +999,29 @@ class CarbonSession:
                     lambda m: m.group(1)[0],
                     self.properties["carbon.timestamp.format"],
                 )
+            # Bad TIMESTAMP values null the CELL, not the row: the
+            # reference's direct-dictionary generator returns the null
+            # surrogate on ParseException and keeps the row
+            # (TimeStampDirectDictionaryGenerator.java:115-121), unlike a
+            # bad MEASURE which rejects the whole row to the bad-records
+            # log (CarbonCSVBasedSeqGenStep.java:1193). Read timestamp
+            # columns as strings, then try_to_timestamp (null on
+            # failure) — measures keep their types so a bad numeric
+            # still makes the row malformed.
+            ts_cols = [
+                f.name
+                for f in read_schema.fields
+                if isinstance(f.dataType, T.TimestampType)
+            ]
+            if ts_cols:
+                read_schema = T.StructType(
+                    [
+                        T.StructField(f.name, T.StringType())
+                        if f.name in ts_cols
+                        else f
+                        for f in read_schema.fields
+                    ]
+                )
             df = read_csv(
                 self.spark,
                 path,
@@ -971,6 +1035,19 @@ class CarbonSession:
                 bad_records_action=opts.get("bad_records_action", "drop"),
             )
             df, _bad = split_bad_records(df)
+            for c in ts_cols:
+                # coalesce mirrors Spark's own CSV fallback (pattern
+                # first, then the general timestamp cast), so an ISO
+                # value still parses when a format is configured
+                df = df.withColumn(
+                    c,
+                    F.coalesce(
+                        F.try_to_timestamp(F.col(c), F.lit(ts_format)),
+                        F.try_to_timestamp(F.col(c)),
+                    )
+                    if ts_format is not None
+                    else F.try_to_timestamp(F.col(c)),
+                )
             if fileheader is not None:
                 have = {f.name.lower() for f in read_schema.fields}
                 df = df.select(
