@@ -10,11 +10,30 @@ DDL+LOAD front door (carbondata_spark/query_defs/olap100.py), runs each
 query text unchanged, and compares the result multiset to the
 reference's recorded answers.
 
-128 of 143 replay exactly. The 15 skips are enumerated below with
-reasons; every one is an engine-evolution or scan-order artifact, not a
-rebuild gap — the largest buckets are Spark 4's ANSI mode (the reference
-ran pre-ANSI Hive coercions) and queries whose golden answer pins the
-reference's physical row order (LIMIT/last without ORDER BY).
+128 of 143 replay exactly under the engine's modern defaults. The 15
+remaining indices are enumerated below with reasons — every one is an
+engine-evolution or scan-order artifact, not a rebuild gap — and 14 of
+them are STILL verified against their golden answers by the companion
+tests in this file, under the semantics the reference actually ran:
+
+- 10 ANSI-mode skips (string+string arithmetic, aggregates over
+  non-numeric strings, malformed casts) replay EXACTLY with
+  spark.sql.ansi.enabled=false toggled around the single query
+  (test_golden_query_pre_ansi) — Spark 4 defaults ANSI on; the
+  reference ran Hive's pre-ANSI coercions. The engine's own defaults
+  are never changed.
+- 3 scan-order skips (LIMIT/last without ORDER BY) get the strongest
+  order-free check: the returned rows and the golden rows must BOTH be
+  multiset-contained in the full un-LIMITed result
+  (test_golden_query_order_dependent_subset).
+- idx 48 (variance alias drift) is pinned by
+  test_variance_alias_maps_to_var_pop: var_pop reproduces the golden
+  value exactly.
+- idx 56 (percentile_approx algorithm drift) is the ONLY value not
+  reproduced: Hive's histogram interpolates between order statistics,
+  Spark's sketch returns one. test_percentile_approx_brackets_golden
+  pins the relationship — Spark's answer is a real order statistic and
+  the golden lies inside the bracketing pair around the 0.2 quantile.
 """
 
 from __future__ import annotations
@@ -181,6 +200,119 @@ def test_golden_query(cube, idx):
         assert len(g) == len(e) and all(_cell_eq(a, b) for a, b in zip(g, e)), (
             f"[{idx}] {query}: row {g} != golden {e}"
         )
+
+
+# The ANSI bucket of SKIPS: replayable exactly under the reference's own
+# (pre-ANSI Hive) coercion rules. idx 133 carries a LIMIT 10 but is still
+# order-safe: cast(series as int) is NULL for every one of the 99 rows,
+# so any 10 of them equal the golden 10×(null).
+_PRE_ANSI = {2, 3, 6, 9, 12, 15, 124, 127, 129, 133}
+
+# The scan-order bucket: LIMIT / last() without ORDER BY.
+_ORDER_DEP = {58, 67, 134}
+
+
+def _rows_of(df) -> list[tuple]:
+    return [tuple(r) for r in df.collect()]
+
+
+def _assert_multiset_equal(got, expected, idx, query):
+    assert len(got) == len(expected), (
+        f"[{idx}] {query}: {len(got)} rows vs golden {len(expected)}"
+    )
+    gs = sorted(got, key=lambda r: [_canon(x) for x in r])
+    es = sorted(expected, key=lambda r: [_canon(x) for x in r])
+    for g, e in zip(gs, es):
+        assert len(g) == len(e) and all(_cell_eq(a, b) for a, b in zip(g, e)), (
+            f"[{idx}] {query}: row {g} != golden {e}"
+        )
+
+
+@pytest.mark.parametrize("idx", sorted(_PRE_ANSI))
+def test_golden_query_pre_ansi(cube, idx):
+    """The ANSI skips, replayed under the semantics the reference ran:
+    Spark 4 rejects string+string arithmetic / non-numeric aggregates /
+    malformed casts in its default ANSI mode, but the reference's golden
+    answers were produced by Hive's pre-ANSI coercions (string → double,
+    failure → NULL). Toggle the runtime conf around this one query —
+    restored in finally — and the goldens replay exactly."""
+    assert idx in SKIPS and (
+        "ANSI" in SKIPS[idx][1] or idx == 133
+    ), "pre-ANSI list drifted out of sync with SKIPS"
+    query, seq = _PAIRS[idx]
+    expected = _parse_seq(seq)
+    spark = cube.spark
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = _rows_of(cube.sql(query))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    _assert_multiset_equal(got, expected, idx, query)
+
+
+@pytest.mark.parametrize("idx", sorted(_ORDER_DEP))
+def test_golden_query_order_dependent_subset(cube, idx):
+    """The scan-order skips, checked order-free: the reference's golden
+    rows pin ITS physical row order (LIMIT / last() with no ORDER BY),
+    which no other engine is obliged to reproduce. The strongest
+    order-independent contract both engines DO share: the returned rows
+    and the golden rows must each be multiset-contained in the full
+    un-LIMITed result over the same data."""
+    from collections import Counter
+
+    assert idx in SKIPS, "order-dependent list drifted out of sync"
+    query, seq = _PAIRS[idx]
+    expected = _parse_seq(seq)
+    if idx == 58:  # select last(imei) a from Carbon_automation_test
+        full = {r[0] for r in cube.sql(
+            "select imei from Carbon_automation_test"
+        ).collect()}
+        assert expected[0][0] in full, "golden last(imei) not an imei value"
+        (got,) = cube.sql(query).collect()[0]
+        assert got in full, "our last(imei) not an imei value"
+        return
+    full_query = re.sub(r"\s+limit\s+\d+\s*$", "", query, flags=re.I)
+    assert full_query != query, f"[{idx}] expected a trailing LIMIT"
+    spark = cube.spark
+    # idx 134's cast is malformed-input-free (modelid is all-numeric) but
+    # run it pre-ANSI anyway: that is the semantics the golden encodes.
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = _rows_of(cube.sql(query))
+        full = _rows_of(cube.sql(full_query))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert len(got) == len(expected)
+    full_counts = Counter(tuple(_canon(x) for x in r) for r in full)
+    for label, rows in (("returned", got), ("golden", expected)):
+        c = Counter(tuple(_canon(x) for x in r) for r in rows)
+        missing = c - full_counts
+        assert not missing, f"[{idx}] {label} rows not in full result: {missing}"
+
+
+def test_percentile_approx_brackets_golden(cube):
+    """idx 56's companion pin: Hive's percentile_approx interpolates a
+    histogram (golden 100005.8 is not a data value); Spark's sketch
+    returns an order statistic. Pin what both must agree on — Spark's
+    answer is a real column value at the 0.2 quantile boundary, and the
+    golden lies within the bracketing order-statistic pair."""
+    query, seq = _PAIRS[56]
+    assert "percentile_approx(deviceInformationId,0.2)" in query
+    (golden,) = _parse_seq(seq)[0]
+    (got,) = cube.sql(query).collect()[0]
+    vals = sorted(
+        r[0]
+        for r in cube.sql(
+            "select deviceInformationId from Carbon_automation_test"
+        ).collect()
+    )
+    assert got in vals, "Spark's percentile_approx must be an order statistic"
+    lo = vals[max(0, int(0.2 * (len(vals) - 1)) - 1)]
+    hi = vals[min(len(vals) - 1, int(0.2 * (len(vals) - 1)) + 2)]
+    assert lo <= golden <= hi, f"golden {golden} outside bracket [{lo}, {hi}]"
+    assert lo <= got <= hi
 
 
 def test_variance_alias_maps_to_var_pop(cube):
