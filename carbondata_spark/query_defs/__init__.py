@@ -20,6 +20,7 @@ import carbondata_spark.query_defs.pipeline3  # noqa: F401
 import carbondata_spark.query_defs.pipeline4  # noqa: F401
 import carbondata_spark.query_defs.pipeline5  # noqa: F401
 import carbondata_spark.query_defs.pipeline6  # noqa: F401
+import carbondata_spark.query_defs.pipeline7  # noqa: F401
 import carbondata_spark.query_defs.ivf_q  # noqa: F401
 import carbondata_spark.query_defs.iud_q  # noqa: F401
 import carbondata_spark.query_defs.jdbc_q  # noqa: F401

@@ -156,18 +156,26 @@ def _cube(spark):
     return cs
 
 
-def _verbatim(stmt: str, round_cols: tuple[str, ...] = ()):
+def _verbatim(stmt: str, round_cols: tuple[str, ...] = (), scale: int = 2):
     """(spark, sf_dir) -> DataFrame running the reference's query text
     verbatim; floating double columns are re-selected through the
-    repo-wide dround(…, 2) driver-compare normalization (same names —
-    unrounded values are golden-pinned in tests/test_olap100.py)."""
+    repo-wide dround(…, scale) driver-compare normalization (same names
+    — unrounded values are golden-pinned in tests/test_olap100.py).
 
-    def fn(spark, sf_dir, _stmt=stmt, _rounds=frozenset(round_cols)):
+    ``scale`` defaults to the repo-wide 2 but is 4 for sums of the
+    3-decimal gamePointId measure: those sums are multiples of 0.001,
+    which can land EXACTLY on a scale-2 rounding boundary (x.xx5 —
+    margin 0, flagged by tools/margin_audit.py), while at scale 4 they
+    sit a full 5e-5 from any boundary, orders of magnitude above
+    cross-engine summation-order drift."""
+    from carbondata_spark.functions import dround
+
+    def fn(spark, sf_dir, _stmt=stmt, _rounds=frozenset(round_cols), _s=scale):
         df = _cube(spark).sql(_stmt)
         if _rounds:
             df = df.select(
                 *[
-                    r2(F.col(c)).alias(c) if c in _rounds else F.col(c)
+                    dround(F.col(c), _s).alias(c) if c in _rounds else F.col(c)
                     for c in df.columns
                 ]
             )
@@ -181,13 +189,14 @@ def _golden(
     stmt: str,
     oracle_body: str,
     round_cols: tuple[str, ...] = (),
+    scale: int = 2,
     doc: str = "",
 ) -> None:
     register(
         name,
         oracle=f"{ORACLE_VIEW} {oracle_body}",
         doc=doc + " [verbatim: AllDataTypesTestCaseAggregate.scala]",
-    )(_verbatim(stmt, round_cols))
+    )(_verbatim(stmt, round_cols, scale))
 
 
 # --- the driver slice: one row per distinct expression shape ------------
@@ -291,9 +300,10 @@ _golden(
     "q_olap100_sum_measure",
     "select series,sum(gamePointId) a from Carbon_automation_test group by series"
     " order by series",
-    "SELECT series, CAST(round(sum(gamePointId), 2) AS DOUBLE) AS a"
+    "SELECT series, CAST(round(sum(gamePointId), 4) AS DOUBLE) AS a"
     " FROM Carbon_automation_test GROUP BY series",
     round_cols=("a",),
+    scale=4,
     doc="TC sum of the numeric MEASURE (the int→double quirk's column) "
     "per series — golden totals include the fractional 7Series 18591.197.",
 )
@@ -322,9 +332,10 @@ _golden(
     "SELECT AMSize, ActiveAreaId, SUM(gamePointId) AS Sum_gamePointId FROM"
     " (select * from Carbon_automation_test) SUB_QRY GROUP BY AMSize,"
     " ActiveAreaId ORDER BY AMSize ASC, ActiveAreaId ASC",
-    "SELECT AMSize, ActiveAreaId, CAST(round(sum(gamePointId), 2) AS DOUBLE)"
+    "SELECT AMSize, ActiveAreaId, CAST(round(sum(gamePointId), 4) AS DOUBLE)"
     " AS Sum_gamePointId FROM Carbon_automation_test GROUP BY AMSize, ActiveAreaId",
     round_cols=("Sum_gamePointId",),
+    scale=4,
     doc="TC BI-tool shape: subquery-wrapped two-column rollup of the measure.",
 )
 
@@ -360,6 +371,45 @@ _golden(
     "select Upper(series) a  from Carbon_automation_test",
     "SELECT upper(series) AS a FROM Carbon_automation_test",
     doc="TC scalar function over every row: Upper(series), 99-row result.",
+)
+
+_golden(
+    "q_olap100_not_between_cross",
+    "select imei, Latest_DAY from Carbon_automation_test where Latest_DAY"
+    " NOT BETWEEN Latest_areaId AND  Latest_HOUR",
+    "SELECT imei, Latest_DAY FROM Carbon_automation_test WHERE NOT"
+    " (Latest_DAY BETWEEN TRY_CAST(Latest_areaId AS INTEGER)"
+    " AND TRY_CAST(Latest_HOUR AS INTEGER))",
+    doc="TC NOT BETWEEN with STRING-typed bounds on an integer "
+    "dimension: both bound comparisons coerce the string side to the "
+    "numeric (the same rule q_olap100_nullsafe_eq pins for <=>); a NULL "
+    "bound makes the predicate NULL → row excluded, in both engines.",
+)
+
+_golden(
+    "q_olap100_like_nonliteral",
+    "select * from (select if( Latest_areaId=7,7,NULL) as babu,Latest_MONTH"
+    " from Carbon_automation_test) qq where babu LIKE   Latest_MONTH",
+    "SELECT babu, Latest_MONTH FROM (SELECT CASE WHEN"
+    " TRY_CAST(Latest_areaId AS INTEGER) = 7 THEN 7 END AS babu,"
+    " Latest_MONTH FROM Carbon_automation_test) qq"
+    " WHERE CAST(babu AS VARCHAR) LIKE CAST(Latest_MONTH AS VARCHAR)",
+    doc="TC LIKE with a NON-LITERAL pattern (an integer column), pattern "
+    "and subject both int→string coerced, over an if()-projected "
+    "subquery — the corpus's oddest expression shape.",
+)
+
+_golden(
+    "q_olap100_variance_modern",
+    "select variance(deviceInformationId) as a from Carbon_automation_test",
+    "SELECT CAST(round(var_samp(deviceInformationId), 2) AS DOUBLE) AS a"
+    " FROM Carbon_automation_test",
+    round_cols=("a",),
+    doc="TC variance — the alias-drift query (corpus idx 48): the golden "
+    "answer encodes Hive's variance=var_pop, reproduced exactly by "
+    "var_pop in tests/test_olap100.py; Spark (since 2.0) and DuckDB both "
+    "define the modern alias variance=var_samp, so the verbatim text "
+    "agrees across today's engines — which is what this row certifies.",
 )
 
 _golden(

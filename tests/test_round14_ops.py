@@ -1,0 +1,98 @@
+"""Unit tests for the round-14 operators: BM25 ranked retrieval,
+duplicate-aware weighting, snapshot diffing. (The streaming merge-upsert
+composition is exercised end-to-end by the q_stream_merge_upsert
+registry row in tests/test_correctness.py.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+@pytest.fixture()
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "d d d b")],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_hand_computed(spark, tiny_docs):
+    from carbondata_spark.operators.bm25 import bm25_topk
+
+    rows = {
+        r["doc_id"]: r
+        for r in bm25_topk(tiny_docs, ["a", "b"], k=10).collect()
+    }
+    # N=3, avgdl=3, df(a)=df(b)=2 -> idf = ln(1 + 1.5/2.5) = ln(1.6)
+    idf = math.log(1.6)
+
+    def tfn(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+
+    expected = {
+        1: idf * (tfn(2, 3) + tfn(1, 3)),
+        2: idf * tfn(1, 2),
+        3: idf * tfn(1, 4),
+    }
+    assert set(rows) == {1, 2, 3}
+    for doc_id, want in expected.items():
+        assert rows[doc_id]["score"] == pytest.approx(round(want, 4), abs=1e-4)
+    # ranking: doc1 (both terms, short) > doc2 > doc3
+    assert [rows[i]["rank"] for i in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_bm25_excludes_nonmatching_and_caps_k(spark, tiny_docs):
+    from carbondata_spark.operators.bm25 import bm25_topk
+
+    out = bm25_topk(tiny_docs, ["c"], k=1).collect()
+    assert [r["doc_id"] for r in out] == [2]  # only doc2 contains 'c'
+    with pytest.raises(ValueError):
+        bm25_topk(tiny_docs, [])
+
+
+def test_dup_weight(spark):
+    from carbondata_spark.operators.weighting import dup_weight
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "  x  "), (3, "y"), (4, "X")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_weight(df).collect()}
+    # lower+trim: 1, 2, 4 collapse; every row kept, weights sum to the
+    # number of DISTINCT texts.
+    assert [got[i]["dup_count"] for i in (1, 2, 3, 4)] == [3, 3, 1, 3]
+    assert got[3]["weight"] == 1.0
+    assert got[1]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert sum(r["weight"] for r in got.values()) == pytest.approx(2.0, abs=1e-5)
+
+
+def test_snapshot_diff_statuses(spark):
+    from carbondata_spark.operators.diffing import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (5, "e", 50)],
+        "k long, text string, n long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, text string, n long",
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
+    # NULL -> value is a change (the coalesce sentinel, not a skip)
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",
+        4: "added",
+        5: "removed",
+    }
+    # restricting compare_cols to an equal column flips 2 and 3 back
+    got_n = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, "k", compare_cols=["n"]).collect()
+    }
+    assert got_n[2] == "unchanged" and got_n[3] == "unchanged"
+    with pytest.raises(ValueError):
+        snapshot_diff(old.select("k"), new.select("k"), "k")
