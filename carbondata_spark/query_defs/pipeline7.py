@@ -133,6 +133,79 @@ def p_snapshot_diff(spark: SparkSession, sf_dir: str):
     return snapshot_diff(old, new, "doc_id", compare_cols=["text"])
 
 
+@register(
+    "p_hybrid_rrf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM toks),
+    m AS (
+      SELECT doc_id, w, count(*) AS tf, min(dl) AS dl
+      FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS w FROM toks)
+      WHERE w IN ('vector', 'merge', 'window')
+      GROUP BY doc_id, w
+    ),
+    dfreq AS (SELECT w, count(*) AS dfc FROM m GROUP BY w),
+    bm25 AS (
+      SELECT doc_id,
+             round(sum(
+               ln(1 + (n_docs - dfc + 0.5) / (dfc + 0.5))
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM m JOIN dfreq USING (w) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, CAST(rk AS INT) AS lex_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM bm25
+      ) WHERE rk <= 50
+    ),
+    vq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (
+      SELECT doc_id, CAST(rk AS INT) AS vec_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6)
+                            DESC, e.vec_id) AS rk
+        FROM embeddings e CROSS JOIN vq WHERE e.vec_id != 0
+      ) WHERE rk <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(lex_rank, 0) AS lex_rank,
+             COALESCE(vec_rank, 0) AS vec_rank,
+             round(COALESCE(1.0 / (60 + lex_rank), 0)
+                   + COALESCE(1.0 / (60 + vec_rank), 0), 6) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf, CAST(rk AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused
+    ) WHERE rk <= 10
+    """,
+    doc="Hybrid retrieval: BM25 lexical top-50 fused with cosine "
+    "vector top-50 (query vec_id=0) by reciprocal-rank fusion "
+    "(K=60) — the calibration-free lexical+vector recipe; fusion "
+    "joins two bounded top-k frames, so all distributed cost lives "
+    "in the legs.",
+)
+def p_hybrid_rrf(spark: SparkSession, sf_dir: str):
+    from carbondata_spark.operators.bm25 import bm25_topk
+    from carbondata_spark.operators.hybrid import rrf_fuse
+    from carbondata_spark.operators.similarity import cosine_topk
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, BM25_TERMS, k=50).select("doc_id", "rank")
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"lex": lex, "vec": vec}, topk=10)
+
+
 # (sf_dir, app_id) -> store path with the drained profiles table
 _BUILT: dict[tuple[str, str], str] = {}
 

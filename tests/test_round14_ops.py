@@ -68,6 +68,26 @@ def test_dup_weight(spark):
     assert sum(r["weight"] for r in got.values()) == pytest.approx(2.0, abs=1e-5)
 
 
+def test_rrf_fuse_hand_computed(spark):
+    from carbondata_spark.operators.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse({"lex": lex, "vec": vec}).collect()}
+    # doc 3: in both legs -> 1/63 + 1/61; doc 1: lex only -> 1/61
+    assert got[3]["rrf"] == pytest.approx(round(1 / 63 + 1 / 61, 6), abs=1e-6)
+    assert got[1]["rrf"] == pytest.approx(round(1 / 61, 6), abs=1e-6)
+    # absent leg surfaces as rank 0, not NULL
+    assert got[1]["vec_rank"] == 0 and got[4]["lex_rank"] == 0
+    # fused ordering: 3 (both legs) first, then 1 (1/61); 2 and 4 tie at
+    # 1/62 and break on doc_id
+    assert [d for d, r in sorted(got.items(), key=lambda x: x[1]["rank"])] == [
+        3, 1, 2, 4,
+    ]
+    with pytest.raises(ValueError):
+        rrf_fuse({})
+
+
 def test_snapshot_diff_statuses(spark):
     from carbondata_spark.operators.diffing import snapshot_diff
 
