@@ -37,6 +37,7 @@ def read_csv(
     multiline: bool = False,
     timestamp_format: str | None = None,  # carbon.timestamp.format parity
     bad_records_action: str = "capture",  # capture | drop | fail | permissive
+    header_in_file: bool | None = None,
 ) -> DataFrame:
     """Read a CSV with the reference's option surface.
 
@@ -64,7 +65,11 @@ def read_csv(
         if bad_records_action == "capture" and CORRUPT_COL not in schema.fieldNames():
             schema = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
         reader = reader.schema(schema)
-        header = fileheader is None
+        # header_in_file decouples "skip a physical header line" from
+        # "column names come from FILEHEADER": a caller that peeked the
+        # file's own header to build a by-name read schema passes the
+        # names as fileheader AND header_in_file=True.
+        header = (fileheader is None) if header_in_file is None else header_in_file
         reader = reader.option("header", header)
         df = reader.csv(path)
     elif fileheader is not None:

@@ -65,6 +65,10 @@ _TYPES = {
     "timestamp": T.TimestampType(),
     "date": T.DateType(),
     "binary": T.BinaryType(),
+    # bare `decimal` (no precision) is legal in the reference's grammar
+    # (FilterProcessor_FT.scala creates `ID decimal` dimensions); Hive's
+    # default decimal precision applies.
+    "decimal": T.DecimalType(10, 0),
 }
 
 _I = re.IGNORECASE
@@ -674,24 +678,31 @@ class CarbonSession:
             # `dimensions(`/`measures(` with no space before the paren is
             # how the reference's own tests spell it
             # (AllDataTypesTestCaseAggregate.scala:41)
+            # MEASURES is optional in the reference grammar: its own
+            # typed suites create measure-less cubes (sortexpr/
+            # TimestampDataTypeTestCase.scala:36 `CREATE CUBE
+            # timestamptypecube DIMENSIONS (...) OPTIONS (...)`).
             r"create cube (if not exists )?(?:\w+\.)?(\w+)"
-            r" dimensions\s*\((.+?)\) measures\s*\((.+?)\)"
+            r" dimensions\s*\((.+?)\)(?: measures\s*\((.+?)\))?"
             r"(?: options\s*\((.+)\))?",
             s,
             _I,
         )
         if m:
             exists_ok = bool(m.group(1))
-            name, dims_s, meas_s = m.group(2), m.group(3), m.group(4)
+            name, dims_s = m.group(2), m.group(3)
+            meas_s = m.group(4) or ""
             opts_s = m.group(5) or ""
             if exists_ok and name in self.store.tables():
                 return self._rows([], "created string")
             fields, dim_names, meas_names = [], [], []
+            dim_types: dict[str, T.DataType] = {}
             for part in _split_cols(dims_s):
                 cname, ctype = part.strip().split(None, 1)
                 fields.append(T.StructField(cname, _parse_type(ctype)))
                 dim_names.append(cname)
-            for part in _split_cols(meas_s):
+                dim_types[cname] = fields[-1].dataType
+            for part in _split_cols(meas_s) if meas_s else []:
                 cname, ctype = part.strip().split(None, 1)
                 fields.append(T.StructField(cname, _parse_type(ctype)))
                 meas_names.append(cname)
@@ -765,15 +776,26 @@ class CarbonSession:
                 # dictionary dims (TestCarbonSqlParser.scala:59-84 pins
                 # the dimCols/noDictionary split) — low-cardinality dims
                 # first keep long sorted runs for row-group pruning.
+                # DECIMAL dims are excluded from the sort/zone-map set:
+                # pyarrow cannot extract parquet column statistics for
+                # fixed-length decimals, so a decimal sort column would
+                # fail stats collection at load — the column stays fully
+                # queryable, it just contributes no segment pruning
+                # (matches the reference, whose MDKey covers dictionary
+                # dimensions only).
                 sort_columns=[
                     c
                     for c in dim_names
-                    if c not in excluded and c not in (part_cols or [])
+                    if c not in excluded
+                    and c not in (part_cols or [])
+                    and not isinstance(dim_types[c], T.DecimalType)
                 ]
                 + [
                     c
                     for c in dim_names
-                    if c in excluded and c not in (part_cols or [])
+                    if c in excluded
+                    and c not in (part_cols or [])
+                    and not isinstance(dim_types[c], T.DecimalType)
                 ],
                 partition_columns=part_cols,
                 properties=props,
@@ -931,6 +953,11 @@ class CarbonSession:
                 "keywords + documented extensions) — refusing to silently "
                 "ignore a load-shaping option"
             )
+        # Cube names resolve case-insensitively, like the reference's
+        # Hive-backed catalog: its own sortexpr suite CREATEs
+        # alldatatypescubeSort and LOADs INTO alldatatypescubesort
+        # (AllDataTypesTestCaseSort.scala:36-37).
+        table = {t.lower(): t for t in self.store.tables()}.get(table.lower(), table)
         fmt = opts.get("format", "csv").lower()
         if fmt == "parquet":
             df = self.spark.read.parquet(path)
@@ -954,6 +981,29 @@ class CarbonSession:
             # means "the file carries its own header", same as absent
             if opts.get("fileheader", "").strip():
                 fileheader = [c.strip() for c in opts["fileheader"].split(",")]
+            file_has_header = fileheader is None
+            if file_has_header:
+                # The file's own header maps to cube columns BY NAME, and
+                # may carry more columns than the cube or a different
+                # order (the reference's typed suites load the 14-column
+                # data.csv into 3-column cubes, e.g. sortexpr/
+                # TimestampDataTypeTestCase.scala). Peek the first line
+                # and reuse the FILEHEADER by-name machinery below.
+                import csv as _csv
+
+                first = self.spark.read.text(path).first()
+                if first is None:
+                    raise ValueError(f"LOAD DATA: empty input {path!r}")
+                fileheader = [
+                    c.strip()
+                    for c in next(
+                        _csv.reader(
+                            [first[0]],
+                            delimiter=opts.get("delimiter", ","),
+                            quotechar=opts.get("quotechar", '"'),
+                        )
+                    )
+                ]
             schema = self.store.schema(table)
             complex_cols = {
                 f.name: f.dataType
@@ -1033,6 +1083,7 @@ class CarbonSession:
                 multiline=opts.get("multiline", "false").lower() == "true",
                 timestamp_format=ts_format,
                 bad_records_action=opts.get("bad_records_action", "drop"),
+                header_in_file=file_has_header,
             )
             df, _bad = split_bad_records(df)
             for c in ts_cols:
