@@ -31,3 +31,4 @@ import carbondata_spark.query_defs.routing_q  # noqa: F401
 import carbondata_spark.query_defs.scalars  # noqa: F401
 import carbondata_spark.query_defs.store_q  # noqa: F401
 import carbondata_spark.query_defs.olap100  # noqa: F401
+import carbondata_spark.query_defs.refsuites_q  # noqa: F401
