@@ -65,9 +65,11 @@ def bm25_topk(
     Returns (doc_id, score, rank); documents matching none of the terms
     are absent. Scores are rounded to 4 decimals BEFORE ranking so the
     (score DESC, doc_id) tie-break is reproducible across engines.
-    Duplicate query terms are collapsed (BM25 scores the term SET).
+    Duplicate query terms are collapsed (BM25 scores the term SET), and
+    terms are lowercased to match the lowercased document tokens — a
+    verbatim 'Vector' would otherwise silently score nothing.
     """
-    terms = list(dict.fromkeys(query_terms))
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
     if not terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
     toks = df.select(

@@ -43,14 +43,15 @@ def snapshot_diff(
         raise ValueError("snapshot_diff: no compare columns")
 
     def digest(df: DataFrame, alias: str) -> DataFrame:
-        # concat_ws skips NULLs, which would alias ('a', NULL) with
-        # ('a',) — encode NULL explicitly per column first.
-        cells = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")).alias(c)
-            for c in compare_cols
-        ]
+        # Hash the JSON encoding of a struct, not a delimiter-joined
+        # concat: JSON escaping makes the serialization injective, so
+        # values containing a would-be separator can't alias across
+        # column boundaries, and ignoreNullFields=false keeps
+        # ('a', NULL) distinct from ('a',) and from ('a', 'null').
+        cells = F.struct(*[F.col(c).cast("string").alias(c) for c in compare_cols])
         return df.select(
-            *keys, F.md5(F.concat_ws("\x01", *cells)).alias(alias)
+            *keys,
+            F.md5(F.to_json(cells, {"ignoreNullFields": "false"})).alias(alias),
         )
 
     j = digest(old, "_h_old").join(digest(new, "_h_new"), on=keys, how="full_outer")

@@ -190,6 +190,14 @@ class CarbonSession:
             self.spark.createDataFrame([], schema)
         )
 
+    def _resolve(self, name: str) -> str:
+        """Store table names resolve case-insensitively, like the
+        reference's Hive-backed catalog (its own sortexpr suite CREATEs
+        alldatatypescubeSort then LOADs INTO alldatatypescubesort).
+        Unknown names pass through so the store's own not-found error
+        fires with the user's spelling."""
+        return {t.lower(): t for t in self.store.tables()}.get(name.lower(), name)
+
     def sql(self, text: str) -> DataFrame:
         s = " ".join(text.strip().rstrip(";").split())
 
@@ -200,7 +208,7 @@ class CarbonSession:
 
         m = re.fullmatch(r"show (?:segments|loads) for table (\w+)", s, _I)
         if m:
-            segs = self.store.show_segments(m.group(1))
+            segs = self.store.show_segments(self._resolve(m.group(1)))
             rows = [
                 {
                     "segment_id": e["segment_id"],
@@ -226,7 +234,7 @@ class CarbonSession:
             r"show loads for cube (?:\w+\.)?(\w+)(?: limit (\d+))?", s, _I
         )
         if m:
-            segs = self.store.show_segments(m.group(1))
+            segs = self.store.show_segments(self._resolve(m.group(1)))
             if m.group(2) is not None:
                 # LIMIT n = the n most recent loads, newest first
                 segs = sorted(segs, key=lambda e: -e["segment_id"])[: int(m.group(2))]
@@ -246,14 +254,14 @@ class CarbonSession:
         m = re.fullmatch(r"delete load ([\d,\s]+) from cube (?:\w+\.)?(\w+)", s, _I)
         if m:
             ids = [int(x) for x in m.group(1).replace(" ", "").split(",") if x]
-            n = self.store.delete_segments(m.group(2), ids)
+            n = self.store.delete_segments(self._resolve(m.group(2)), ids)
             return self._rows([{"deleted": n}], "deleted long")
 
         m = re.fullmatch(
             r"delete from cube (?:\w+\.)?(\w+) where (\w+) before '([^']+)'", s, _I
         )
         if m:
-            table, field = m.group(1), m.group(2)
+            table, field = self._resolve(m.group(1)), m.group(2)
             # the reference validates the field is a time dimension of the
             # cube before deleting whole loads by date
             # (CarbonSqlParser.scala:1110-1118); mirror that instead of
@@ -270,7 +278,7 @@ class CarbonSession:
 
         m = re.fullmatch(r"clean files for cube (?:\w+\.)?(\w+)", s, _I)
         if m:
-            removed = self.store.clean_files(m.group(1))
+            removed = self.store.clean_files(self._resolve(m.group(1)))
             return self._rows([{"removed_segment": r} for r in removed], "removed_segment long")
 
         m = re.fullmatch(r"show create cube (?:\w+\.)?(\w+).*", s, _I)
@@ -293,9 +301,10 @@ class CarbonSession:
 
         m = re.fullmatch(r"drop cube if exists (?:\w+\.)?(\w+)", s, _I)
         if m:
-            if m.group(1) in self.store.tables():
-                self.store.drop_table(m.group(1))
-                return self._rows([{"dropped": m.group(1)}], "dropped string")
+            name = self._resolve(m.group(1))
+            if name in self.store.tables():
+                self.store.drop_table(name)
+                return self._rows([{"dropped": name}], "dropped string")
             return self._rows([], "dropped string")
 
         m = re.fullmatch(
@@ -403,7 +412,7 @@ class CarbonSession:
         m = re.fullmatch(r"delete segments ([\d,\s]+) from table (\w+)", s, _I)
         if m:
             ids = [int(x) for x in m.group(1).replace(" ", "").split(",") if x]
-            n = self.store.delete_segments(m.group(2), ids)
+            n = self.store.delete_segments(self._resolve(m.group(2)), ids)
             return self._rows([{"deleted": n}], "deleted long")
 
         # Row-level IUD over store tables (copy-on-write segment rewrite,
@@ -413,14 +422,14 @@ class CarbonSession:
         m = re.fullmatch(
             r"delete from (?:table |cube )?(?:\w+\.)?(\w+) where (.+)", s, _I
         )
-        if m and m.group(1) in self.store.tables():
-            n = self.store.delete_rows(m.group(1), m.group(2))
+        if m and self._resolve(m.group(1)) in self.store.tables():
+            n = self.store.delete_rows(self._resolve(m.group(1)), m.group(2))
             return self._rows([{"deleted_rows": n}], "deleted_rows long")
 
         m = re.fullmatch(
             r"update (?:table |cube )?(?:\w+\.)?(\w+) set (.+)", s, _I
         )
-        if m and m.group(1) in self.store.tables():
+        if m and self._resolve(m.group(1)) in self.store.tables():
             # the WHERE split must be quote-aware: UPDATE t SET
             # note = 'x where y' carries the keyword inside a literal
             # (ADVICE r11 — a lazy regex split produced a bogus parse)
@@ -434,7 +443,7 @@ class CarbonSession:
                     raise ValueError(f"UPDATE SET: cannot parse {item!r}")
                 c, expr = item.split("=", 1)
                 assignments[c.strip()] = expr.strip()
-            n = self.store.update_rows(m.group(1), pred, assignments)
+            n = self.store.update_rows(self._resolve(m.group(1)), pred, assignments)
             return self._rows([{"updated_rows": n}], "updated_rows long")
 
         # MERGE INTO (upsert, store.merge_rows — beyond the reference
@@ -454,9 +463,9 @@ class CarbonSession:
             s,
             _I,
         )
-        if m and m.group(1) in self.store.tables():
+        if m and self._resolve(m.group(1)) in self.store.tables():
             return self._merge_stmt(
-                m.group(1), m.group(2), m.group(3), m.group(4), m.group(5)
+                self._resolve(m.group(1)), m.group(2), m.group(3), m.group(4), m.group(5)
             )
 
         m = re.fullmatch(
@@ -555,7 +564,7 @@ class CarbonSession:
 
         m = re.fullmatch(r"clean files for table (\w+)", s, _I)
         if m:
-            removed = self.store.clean_files(m.group(1))
+            removed = self.store.clean_files(self._resolve(m.group(1)))
             return self._rows([{"removed_segment": r} for r in removed], "removed_segment long")
 
         # ALTER CUBE — the reference's restructure statement
@@ -593,7 +602,7 @@ class CarbonSession:
             r"alter table (\w+) add columns \((.+?)\)(?: defaults \((.+?)\))?", s, _I
         )
         if m:
-            name, cols_s, defs_s = m.group(1), m.group(2), m.group(3)
+            name, cols_s, defs_s = self._resolve(m.group(1)), m.group(2), m.group(3)
             fields = []
             for part in _split_cols(cols_s):
                 cname, ctype = part.strip().split(None, 1)
@@ -611,12 +620,12 @@ class CarbonSession:
         m = re.fullmatch(r"alter table (\w+) drop columns \(([\w\s,]+)\)", s, _I)
         if m:
             cols = [c.strip() for c in m.group(2).split(",")]
-            self.store.alter_drop_columns(m.group(1), cols)
+            self.store.alter_drop_columns(self._resolve(m.group(1)), cols)
             return self._rows([{"dropped": c} for c in cols], "dropped string")
 
         m = re.fullmatch(r"alter table (\w+) compact", s, _I)
         if m:
-            new_id = self.store.compact(m.group(1))
+            new_id = self.store.compact(self._resolve(m.group(1)))
             return self._rows(
                 [{"new_segment": new_id if new_id is not None else -1}], "new_segment long"
             )
@@ -631,7 +640,7 @@ class CarbonSession:
             r"(?:describe|desc)( formatted| extended)? (?:\w+\.)?(\w+)", s, _I
         )
         if m:
-            table = m.group(2)
+            table = self._resolve(m.group(2))
             d = self.store.describe(table)
             # a NO_DICTIONARY / DICTIONARY_EXCLUDE column is still a
             # DIMENSION — the reference tracks it as a no-dictionary dim,
@@ -663,7 +672,7 @@ class CarbonSession:
 
         m = re.fullmatch(r"drop table (\w+)", s, _I)
         if m:
-            self.store.drop_table(m.group(1))
+            self.store.drop_table(self._resolve(m.group(1)))
             return self._rows([{"dropped": m.group(1)}], "dropped string")
 
         # CREATE CUBE — the reference's primary DDL front door
@@ -814,7 +823,7 @@ class CarbonSession:
 
         m = re.fullmatch(r"drop cube (\w+)", s, _I)
         if m:
-            self.store.drop_table(m.group(1))
+            self.store.drop_table(self._resolve(m.group(1)))
             return self._rows([{"dropped": m.group(1)}], "dropped string")
 
         # Hive-syntax CREATE TABLE ... STORED BY — the form migrating
@@ -858,6 +867,15 @@ class CarbonSession:
                 cname, ctype = part.strip().split(None, 1)
                 fields.append(T.StructField(cname, _parse_type(ctype)))
             sort_cols = [c.strip() for c in sort_s.split(",")] if sort_s else None
+            if sort_cols:
+                # same decimal zone-map limitation as the CREATE CUBE path
+                # (pyarrow cannot read parquet decimal statistics)
+                types = {f.name.lower(): f.dataType for f in fields}
+                sort_cols = [
+                    c
+                    for c in sort_cols
+                    if not isinstance(types.get(c.lower()), T.DecimalType)
+                ] or None
             part_cols = [c.strip() for c in part_s.split(",")] if part_s else None
             self.store.create_table(
                 name,
@@ -1005,6 +1023,22 @@ class CarbonSession:
                     )
                 ]
             schema = self.store.schema(table)
+            if file_has_header:
+                # A peeked header that matches NO cube column means the
+                # file is headerless (its first DATA line was consumed as
+                # a header) or belongs to a different table — the by-name
+                # projection below would then emit every cube column as
+                # NULL. Refuse loudly instead of loading a table of NULL
+                # rows; the caller's options are FILEHEADER (headerless
+                # files) or a file whose header names the cube's columns.
+                cube_cols = {f.name.lower() for f in schema.fields}
+                if not any(c.lower() in cube_cols for c in fileheader):
+                    raise ValueError(
+                        f"LOAD DATA: no column of the file header "
+                        f"{fileheader[:6]}... matches table {table!r} "
+                        f"({sorted(cube_cols)[:6]}...): pass FILEHEADER "
+                        "for a headerless file, or check the input"
+                    )
             complex_cols = {
                 f.name: f.dataType
                 for f in schema.fields
@@ -1308,11 +1342,17 @@ class CarbonSession:
         # sorted runs; a high-cardinality prefix would destroy them.
         dict_dims = [d for d in dims if d.lower() not in excl]
         no_dict_dims = [d for d in dims if d.lower() in excl]
+        # decimal dims excluded from the sort/zone-map set, like the
+        # CREATE CUBE path (pyarrow cannot read parquet decimal stats)
+        ftypes = {f.name: f.dataType for f in fields}
         self.store.create_table(
             name,
             T.StructType(fields),
             sort_columns=[
-                d for d in dict_dims + no_dict_dims if d not in part_cols
+                d
+                for d in dict_dims + no_dict_dims
+                if d not in part_cols
+                and not isinstance(ftypes.get(d), T.DecimalType)
             ],
             partition_columns=part_cols or None,
             properties=props,
@@ -1344,6 +1384,7 @@ class CarbonSession:
         Parquet dictionary-encodes per column chunk automatically;
         AGGREGATION [agg(col), ...] declares the next auto-named rollup
         over the cube's dimensions, same as CREATE AGGREGATETABLE."""
+        cube = self._resolve(cube)
         if with_s:
             raise ValueError(
                 "ALTER CUBE ... WITH dimension relations is not supported: "

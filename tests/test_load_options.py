@@ -208,3 +208,56 @@ def test_dimension_from_rejected_loudly(cs):
             f"LOAD DATA FACT FROM '{path}' DIMENSION FROM d:'/tmp/d.csv'"
             " INTO CUBE t_rej3 PARTITIONDATA(DELIMITER ',')"
         )
+
+
+# --- r14 review hardening -------------------------------------------------
+
+
+def test_headerless_file_without_fileheader_raises(cs):
+    """A LOAD whose peeked 'header' matches no table column means the
+    file is headerless (its first DATA row would be eaten) or belongs to
+    a different table: the by-name projection would load all-NULL rows.
+    Must raise, not corrupt."""
+    _mk(cs, "t_noheader")
+    p = _write(["1,bonn,2.5", "2,kiel,3.5"])
+    with pytest.raises(ValueError, match="no column of the file header"):
+        cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE t_noheader")
+    # the same file loads fine once FILEHEADER names the columns
+    cs.sql(
+        f"LOAD DATA INPATH '{p}' INTO TABLE t_noheader "
+        "OPTIONS('FILEHEADER'='id,city,amt')"
+    )
+    assert _rows(cs, "t_noheader") == {(1, "bonn", 2.5), (2, "kiel", 3.5)}
+
+
+def test_statements_resolve_table_names_case_insensitively(cs):
+    """The reference's Hive-backed catalog is case-insensitive; its own
+    sortexpr suite CREATEs ...Sort and LOADs INTO ...sort. LOAD,
+    DESCRIBE, SHOW LOADS, ALTER, and DROP must all resolve a
+    case-mismatched spelling."""
+    _mk(cs, "CaseCube")
+    p = _write(["id,city,amt", "1,bonn,2.5"])
+    cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE casecube")
+    assert cs.sql("select count(*) c from CaseCube").collect()[0][0] == 1
+    assert cs.sql("DESCRIBE CASECUBE").count() > 0
+    assert cs.sql("SHOW LOADS FOR CUBE casecube").count() == 1
+    cs.sql("ALTER TABLE casecube ADD COLUMNS (note string)")
+    assert "note" in [f.name for f in cs.store.schema("CaseCube").fields]
+    cs.sql("DROP CUBE IF EXISTS cAsEcUbE")
+    assert "CaseCube" not in cs.store.tables()
+
+
+def test_decimal_sort_column_is_excluded_everywhere(cs, spark):
+    """Bare/precision decimal dimensions load without crashing through
+    every DDL branch (pyarrow cannot read parquet decimal statistics, so
+    decimals are excluded from the zone-map sort set)."""
+    p = _write(["id,city,amt", "1,bonn,2.5", "2,kiel,3.5"])
+    cs.sql("CREATE TABLE t_dec (id decimal(10,2), city string) SORTED BY (id, city)")
+    cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE t_dec")
+    assert cs.sql("select count(*) c from t_dec").collect()[0][0] == 2
+    cs.sql(
+        "CREATE TABLE t_dec_hive (id decimal, city string) STORED BY "
+        "'org.apache.carbondata.format'"
+    )
+    cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE t_dec_hive")
+    assert cs.sql("select count(*) c from t_dec_hive").collect()[0][0] == 2

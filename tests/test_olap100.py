@@ -41,8 +41,16 @@ from __future__ import annotations
 import math
 import os
 import re
+import sys
 
 import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# shared golden-row parsing / multiset comparison (single source of
+# truth with the suite-replay harness — see tests/_scala_replay.py)
+from _scala_replay import assert_rows_equal, canon as _canon, cell_eq as _cell_eq  # noqa: E402
+from _scala_replay import parse_seq as _parse_seq  # noqa: E402
 
 SCALA = (
     "/root/reference/integration/spark/src/test/scala/org/carbondata/"
@@ -88,80 +96,6 @@ def _extract() -> list[tuple[str, str]]:
     return out
 
 
-def _parse_seq(s: str) -> list[tuple]:
-    """Seq(Row(v, ...), ...) -> [tuple]; v ∈ number | "string" | null."""
-
-    def conv(tok: str, quoted: bool):
-        if quoted:
-            return tok
-        if tok == "null":
-            return None
-        try:
-            return int(tok)
-        except ValueError:
-            return float(tok)  # scala doubles incl. 9.31E9 spellings
-
-    rows, i = [], 0
-    while True:
-        j = s.find("Row(", i)
-        if j < 0:
-            break
-        i = j + 4
-        depth, cur, buf, instr, quoted = 1, [], "", False, False
-        while depth:
-            c = s[i]
-            if instr:
-                if c == "\\":
-                    buf += s[i + 1]
-                    i += 2
-                    continue
-                if c == '"':
-                    instr = False
-                else:
-                    buf += c
-            elif c == '"':
-                instr, quoted = True, True
-            elif c == "(":
-                depth += 1
-                buf += c
-            elif c == ")":
-                depth -= 1
-                if depth == 0:
-                    cur.append(conv(buf.strip(), quoted))
-                else:
-                    buf += c
-            elif c == "," and depth == 1:
-                cur.append(conv(buf.strip(), quoted))
-                buf, quoted = "", False
-            else:
-                buf += c
-            i += 1
-        rows.append(tuple(cur))
-    return rows
-
-
-def _canon(v) -> str:
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        return "∅" if math.isnan(v) else f"{v:.4f}"
-    return str(v)
-
-
-def _cell_eq(a, b) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            # rel 1e-6: golden doubles were accumulated by a different
-            # engine in a different order; far tighter than any semantic
-            # divergence, far looser than summation-order ulp drift.
-            return math.isclose(float(a), float(b), rel_tol=1e-6, abs_tol=1e-6)
-        except (TypeError, ValueError):
-            return False
-    return str(a) == str(b)
-
-
 _PAIRS = _extract() if os.path.exists(SCALA) else []
 
 pytestmark = pytest.mark.skipif(
@@ -191,15 +125,7 @@ def test_golden_query(cube, idx):
         pytest.skip(reason)
     expected = _parse_seq(seq)
     got = [tuple(r) for r in cube.sql(query).collect()]
-    assert len(got) == len(expected), (
-        f"[{idx}] {query}: {len(got)} rows vs golden {len(expected)}"
-    )
-    gs = sorted(got, key=lambda r: [_canon(x) for x in r])
-    es = sorted(expected, key=lambda r: [_canon(x) for x in r])
-    for g, e in zip(gs, es):
-        assert len(g) == len(e) and all(_cell_eq(a, b) for a, b in zip(g, e)), (
-            f"[{idx}] {query}: row {g} != golden {e}"
-        )
+    assert_rows_equal(got, expected, f"[{idx}] {query}")
 
 
 # The ANSI bucket of SKIPS: replayable exactly under the reference's own
@@ -217,15 +143,7 @@ def _rows_of(df) -> list[tuple]:
 
 
 def _assert_multiset_equal(got, expected, idx, query):
-    assert len(got) == len(expected), (
-        f"[{idx}] {query}: {len(got)} rows vs golden {len(expected)}"
-    )
-    gs = sorted(got, key=lambda r: [_canon(x) for x in r])
-    es = sorted(expected, key=lambda r: [_canon(x) for x in r])
-    for g, e in zip(gs, es):
-        assert len(g) == len(e) and all(_cell_eq(a, b) for a, b in zip(g, e)), (
-            f"[{idx}] {query}: row {g} != golden {e}"
-        )
+    assert_rows_equal(got, expected, f"[{idx}] {query}")
 
 
 @pytest.mark.parametrize("idx", sorted(_PRE_ANSI))

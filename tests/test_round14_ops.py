@@ -52,6 +52,16 @@ def test_bm25_excludes_nonmatching_and_caps_k(spark, tiny_docs):
         bm25_topk(tiny_docs, [])
 
 
+def test_bm25_terms_match_case_insensitively(spark, tiny_docs):
+    """Documents are tokenized lowercased; a verbatim 'C' query term
+    must match the same postings as 'c', not silently score nothing."""
+    from carbondata_spark.operators.bm25 import bm25_topk
+
+    lower = bm25_topk(tiny_docs, ["c"], k=5).collect()
+    upper = bm25_topk(tiny_docs, ["C"], k=5).collect()
+    assert [tuple(r) for r in upper] == [tuple(r) for r in lower] and lower
+
+
 def test_dup_weight(spark):
     from carbondata_spark.operators.weighting import dup_weight
 
@@ -116,3 +126,18 @@ def test_snapshot_diff_statuses(spark):
     assert got_n[2] == "unchanged" and got_n[3] == "unchanged"
     with pytest.raises(ValueError):
         snapshot_diff(old.select("k"), new.select("k"), "k")
+
+
+def test_snapshot_diff_separator_values_do_not_alias(spark):
+    """Values containing a would-be digest separator must not alias
+    across column boundaries (JSON-struct hashing is injective)."""
+    from carbondata_spark.operators.diffing import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x\x01y", "z"), (2, "a", None)], "k long, s string, t string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", "y\x01z"), (2, "a", "\x00null")], "k long, s string, t string"
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "changed", 2: "changed"}
