@@ -359,12 +359,13 @@ _golden(
     "(binary string collation must agree across engines).",
 )
 
-# NOT registered: the corpus's `cast(series as int)` queries (TC_136/137)
-# expect Hive's silent NULL on malformed casts; Spark 4 runs ANSI mode by
-# default and rejects the cast ([CAST_INVALID_INPUT]). The reference
-# semantics is expressible as try_cast; running the verbatim text would
-# require session-wide spark.sql.ansi.enabled=false, which this rebuild
-# deliberately does not do. Recorded in tests/test_olap100.py's skip list.
+# NOT registered as driver rows: the corpus's ANSI-era queries
+# (string+string arithmetic, `cast(series as int)` → NULL) expect Hive's
+# pre-ANSI coercions; Spark 4 runs ANSI mode by default and this rebuild
+# deliberately keeps it on. Their golden answers ARE still verified —
+# tests/test_olap100.py::test_golden_query_pre_ansi replays each one
+# exactly with spark.sql.ansi.enabled=false toggled around the single
+# query (engine defaults untouched).
 
 _golden(
     "q_olap100_scalar_upper",
