@@ -141,3 +141,45 @@ def test_snapshot_diff_separator_values_do_not_alias(spark):
     )
     got = {r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_dup_weight_mass_conservation(spark):
+    """Invariant: weights sum to the number of DISTINCT normalized
+    texts (each duplicate group contributes exactly one unit of
+    training mass), for an arbitrary duplication pattern."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.operators.weighting import dup_weight
+
+    df = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") % 17).cast("string")).alias("text"),
+    )
+    out = dup_weight(df)
+    assert out.count() == 60  # keep-everything: no row dropped
+    total = out.agg(F.sum("weight")).collect()[0][0]
+    assert total == pytest.approx(17.0, abs=1e-4)
+
+
+def test_rrf_leg_order_invariance(spark):
+    """RRF is a commutative sum: permuting the legs dict must produce
+    identical (id, rrf, rank) rows."""
+    from carbondata_spark.operators.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(i + 3, i) for i in range(1, 8)], "doc_id long, rank int")
+    a = rrf_fuse({"lex": lex, "vec": vec}).select("doc_id", "rrf", "rank").collect()
+    b = rrf_fuse({"vec": vec, "lex": lex}).select("doc_id", "rrf", "rank").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_snapshot_diff_identity(spark, sf_dir):
+    """diff(x, x) is all-unchanged over real data — no false positives
+    from the digest encoding (NULLs, unicode, long text)."""
+    from carbondata_spark.operators.diffing import snapshot_diff
+    from carbondata_spark.queries import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    out = snapshot_diff(docs, docs, "doc_id")
+    assert out.filter("status <> 'unchanged'").count() == 0
+    assert out.count() == docs.count()
