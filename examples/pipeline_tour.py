@@ -121,6 +121,30 @@ def main() -> None:
     print(f"span scrub (3-grams in >=3 docs): removed {stats['rm']}/{stats['tot']} "
           "boilerplate tokens while keeping every document")
 
+    # -- 8. retrieval over the corpus: lexical, vector, hybrid (r14) -----
+    from carbondata_spark.operators.bm25 import bm25_topk
+    from carbondata_spark.operators.hybrid import rrf_fuse
+    from carbondata_spark.operators.similarity import cosine_topk
+
+    lex = bm25_topk(docs, ["vector", "merge", "window"], k=20)
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse({"lex": lex.select("doc_id", "rank"), "vec": vec}, topk=5)
+    print("hybrid retrieval (BM25 + cosine via RRF):")
+    for r in fused.collect():
+        print(f"  #{r['rank']} doc {r['doc_id']} rrf={r['rrf']} "
+              f"(lex {r['lex_rank'] or '-'}, vec {r['vec_rank'] or '-'})")
+
+    # -- 9. corpus versioning: what changed between two snapshots? -------
+    from carbondata_spark.operators.diffing import snapshot_diff
+
+    v2 = docs.filter(F.col("doc_id") % 37 != 0)
+    diff = snapshot_diff(docs, v2, "doc_id", compare_cols=["text"])
+    counts = {r["status"]: r["n"] for r in
+              diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    print(f"snapshot diff vs takedown batch: {counts}")
+
     print("\ndone — every step above is shuffle-bounded and UDF-free; "
           "swap sf_dir for the full corpus to run the identical plan at scale.")
 
