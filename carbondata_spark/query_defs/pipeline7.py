@@ -210,6 +210,17 @@ def p_hybrid_rrf(spark: SparkSession, sf_dir: str):
 _BUILT: dict[tuple[str, str], str] = {}
 
 
+def per_user_agg(batch):
+    """The merge-shaped per-batch transform: one row per user with the
+    batch's aggregates (module-level so tests can replay an epoch —
+    the crash-replay idempotence contract of streaming/upsert.py)."""
+    return batch.groupBy("user_id").agg(
+        F.sum("value").alias("total_value"),
+        F.count("*").alias("n_events"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
 def _profiles_store(spark: SparkSession, sf_dir: str):
     from carbondata_spark.query_defs._tmpdirs import mkdtemp
     from carbondata_spark.store import CarbonStore
@@ -253,20 +264,13 @@ def _profiles_store(spark: SparkSession, sf_dir: str):
         .parquet(stage)
     )
 
-    def per_user(batch):
-        return batch.groupBy("user_id").agg(
-            F.sum("value").alias("total_value"),
-            F.count("*").alias("n_events"),
-            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
-        )
-
     q = stream_merge(
         store,
         "profiles",
         stream,
         keys="user_id",
         checkpoint_dir=mkdtemp(prefix="carbondata_streammerge_ckpt_"),
-        transform=per_user,
+        transform=per_user_agg,
     )
     q.awaitTermination()
     _BUILT[key] = base

@@ -183,3 +183,27 @@ def test_snapshot_diff_identity(spark, sf_dir):
     out = snapshot_diff(docs, docs, "doc_id")
     assert out.filter("status <> 'unchanged'").count() == 0
     assert out.count() == docs.count()
+
+
+def test_stream_merge_epoch_replay_is_idempotent(spark, sf_dir):
+    """streaming/upsert.py's crash contract: a micro-batch that dies
+    AFTER the merge commits but BEFORE the checkpoint advances replays
+    as an upsert of the SAME per-key values — table contents must be
+    unchanged (last-write-wins, like Delta/Hudi streaming MERGE)."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.query_defs.pipeline7 import _profiles_store, per_user_agg
+
+    store = _profiles_store(spark, sf_dir)
+    before = sorted(
+        tuple(r) for r in store.table("profiles").collect()
+    )
+    # simulate the replayed epoch: re-merge one cohort's aggregate batch
+    from carbondata_spark.queries import t as load
+
+    events = load(spark, sf_dir, "events")
+    replay = per_user_agg(events.filter(F.col("user_id") % 3 == 1))
+    store.merge_rows("profiles", replay, keys="user_id",
+                     update_cols=["total_value", "n_events", "last_ts"])
+    after = sorted(tuple(r) for r in store.table("profiles").collect())
+    assert after == before
