@@ -28,9 +28,13 @@ def dup_weight(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, dup_count, weight) per input row: weight = 1/multiplicity of
-    the row's normalized text (lower + trim, then md5 — byte-identical
-    to the exact-dedup grouping key)."""
-    h = F.md5(F.lower(F.trim(F.col(text_col))))
+    the row's normalized text (lower + trim + whitespace collapse, then
+    md5 — byte-identical to the exact-dedup grouping key, dedup.py:96,
+    so both operators agree on document identity and the weights of one
+    dedup group always sum to exactly one unit of training mass)."""
+    h = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
     projected = df.select(F.col(id_col).alias(id_col), h.alias("_h"))
     n = F.count("*").over(Window.partitionBy("_h"))
     return projected.select(

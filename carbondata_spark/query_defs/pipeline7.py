@@ -78,7 +78,9 @@ def p_bm25_topk(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT doc_id, CAST(n AS BIGINT) AS dup_count, round(1.0 / n, 6) AS weight
     FROM (
-      SELECT doc_id, count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n
+      SELECT doc_id, count(*) OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      ) AS n
       FROM documents
     )
     """,

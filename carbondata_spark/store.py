@@ -1123,6 +1123,85 @@ class CarbonStore:
             w = w.partitionBy(*part_cols)
         w.parquet(seg_dir)
 
+    def _write_rewrites(
+        self,
+        table: str,
+        out: DataFrame,
+        rw_col: str,
+        new_ids: list[int],
+        meta: dict,
+        total_rows: int,
+    ) -> dict[int, tuple[int, dict, dict]]:
+        """Write EVERY rewrite segment of a row-level mutation in ONE
+        distributed Spark job (the reference's restructure/merge paths are
+        likewise single distributed jobs — CarbonMergerRDD.scala:31-234;
+        this replaces the former per-affected-segment serial write loop:
+        O(#affected) driver-blocking jobs -> 1, the last such loop left).
+
+        ``out`` carries ``rw_col`` — each row's TARGET rewrite segment id.
+        The target id LEADS the range key, so each rewrite segment's rows
+        occupy a contiguous run of tasks and stay internally sort- (or
+        z-order-) clustered — per-segment zone-map locality is preserved
+        exactly as the old one-write-per-segment shape produced. The job
+        writes once with ``partitionBy(rw_col)`` into a staging directory;
+        each ``rw_col=<id>`` child is then promoted to its segment dir (a
+        driver-side metadata rename, the same commit idiom as an HDFS
+        output-committer move). Row counts/zone maps come from parquet
+        footers — no read-back jobs. Bloom collection (opt-in tables only)
+        remains per-segment: two bounded jobs per new segment.
+        """
+        part_cols = meta.get("partition_columns", [])
+        sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
+        n_parts = max(len(new_ids), total_rows // 4_000_000)
+        writer = out
+        if sort_cols and self._is_zorder(meta):
+            from carbondata_spark.zorder import ZVAL_COL, with_zvalue
+
+            keys = [rw_col, *part_cols, ZVAL_COL]
+            writer = (
+                with_zvalue(writer, sort_cols)
+                .repartitionByRange(n_parts, *keys)
+                .sortWithinPartitions(*keys)
+                .drop(ZVAL_COL)
+            )
+        else:
+            keys = [rw_col, *part_cols, *sort_cols]
+            writer = writer.repartitionByRange(n_parts, *keys).sortWithinPartitions(
+                *keys
+            )
+        staging = os.path.join(
+            self._table_dir(table), "Fact", "Part0", f".rewrite_staging_{min(new_ids)}"
+        )
+        try:
+            writer.write.mode("overwrite").partitionBy(
+                rw_col, *part_cols
+            ).parquet(staging)
+            results: dict[int, tuple[int, dict, dict]] = {}
+            for new_id in sorted(new_ids):
+                src = os.path.join(staging, f"{rw_col}={new_id}")
+                if not os.path.isdir(src):
+                    # a rewrite target with zero surviving rows is
+                    # impossible by construction (full deletes never
+                    # reserve a target; updates/merges preserve rows) —
+                    # reaching here means the write itself lost data
+                    raise RuntimeError(
+                        f"rewrite write produced no rows for segment "
+                        f"{new_id} of {table}; aborting before commit"
+                    )
+                seg_dir = self._segment_dir(table, new_id)
+                if os.path.isdir(seg_dir):
+                    shutil.rmtree(seg_dir)
+                os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
+                os.rename(src, seg_dir)
+                results[new_id] = (
+                    self._segment_rows_from_footers(seg_dir),
+                    self._collect_segment_stats(seg_dir, sort_cols),
+                    self._collect_segment_blooms(seg_dir, meta),
+                )
+            return results
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     def compact(
         self,
         table: str,
@@ -1384,9 +1463,13 @@ class CarbonStore:
                  driver-blocking jobs -> 1);
         phase 2  ALL provisional rewrite ids reserved in ONE manifest
                  lock round-trip (was one per segment);
-        phase 3  each AFFECTED segment read once more for its rewrite
-                 write; new-segment row counts come from parquet footers
-                 (no read-back job);
+        phase 3  ONE more tagged scan of the affected segments feeds ONE
+                 distributed write of every rewrite segment
+                 (``_write_rewrites``: target id leads the range key,
+                 ``partitionBy`` fans the job out per target, staging
+                 dirs promote by rename) — this was the last remaining
+                 per-segment serial loop until r15; new-segment row
+                 counts come from parquet footers (no read-back job);
         phase 4  ONE all-or-nothing manifest swap (compact()'s
                  discipline), unchanged.
         """
@@ -1451,43 +1534,61 @@ class CarbonStore:
                     )
                     next_id += 1
                 self._write_status(table, entries)
-        part_cols = meta.get("partition_columns", [])
-        sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
         rewrites: list[tuple[int, int | None, int, dict, dict, int]] = []
         for e, n in affected:
             if e.segment_id not in new_ids:
                 # every row deleted: no replacement segment at all
                 rewrites.append((e.segment_id, None, 0, {}, {}, n))
-                continue
-            seg_df = self.table(table, segment_ids=[e.segment_id])
+        if replacing:
+            # phase 3: ONE tagged scan of every replacing segment, the
+            # shared transform, then ONE distributed write of every
+            # rewrite segment (_write_rewrites) — no per-segment loop
+            rw = "_cd_rw"
+            while rw in current_cols or rw == tag:
+                rw = f"_{rw}"
+            rep_df = self.table(
+                table,
+                segment_ids=[e.segment_id for e, _n in replacing],
+                _tag_col=tag,
+            )
             if assignments is None:
-                out = seg_df.filter(~F.coalesce(pred, F.lit(False)))
+                out = rep_df.filter(~F.coalesce(pred, F.lit(False)))
             else:
-                out = seg_df.select(
+                out = rep_df.select(
                     *[
                         F.when(
                             F.coalesce(pred, F.lit(False)),
                             F.expr(expr) if isinstance(expr, str) else expr,
                         )
                         .otherwise(F.col(c))
-                        .cast(seg_df.schema[c].dataType)
+                        .cast(rep_df.schema[c].dataType)
                         .alias(c)
                         if c in assignments
                         else F.col(c)
                         for c, expr in [
                             (f.name, assignments.get(f.name))
-                            for f in seg_df.schema.fields
+                            for f in rep_df.schema.fields
                         ]
                     ]
                 )
-            new_id = new_ids[e.segment_id]
-            seg_dir = self._segment_dir(table, new_id)
-            n_parts = max(1, e.rows // 4_000_000)
-            self._write_clustered(out, meta, seg_dir, n_parts)
-            rows = self._segment_rows_from_footers(seg_dir)
-            stats = self._collect_segment_stats(seg_dir, sort_cols)
-            blooms = self._collect_segment_blooms(seg_dir, meta)
-            rewrites.append((e.segment_id, new_id, rows, stats, blooms, n))
+            id_map = F.create_map(
+                *[F.lit(v) for kv in new_ids.items() for v in kv]
+            )
+            out = out.withColumn(
+                rw, F.element_at(id_map, F.col(tag)).cast("int")
+            ).drop(tag)
+            by_rewrite = self._write_rewrites(
+                table,
+                out,
+                rw,
+                list(new_ids.values()),
+                meta,
+                total_rows=sum(e.rows for e, _n in replacing),
+            )
+            for e, n in replacing:
+                new_id = new_ids[e.segment_id]
+                rows, stats, blooms = by_rewrite[new_id]
+                rewrites.append((e.segment_id, new_id, rows, stats, blooms, n))
         # phase 4: ONE all-or-nothing swap (compact()'s discipline)
         old_ids = {old for old, *_ in rewrites}
         new_ids = {new for _, new, *_ in rewrites if new is not None}
@@ -1558,13 +1659,16 @@ class CarbonStore:
         3. ONE detection job (segment-id-tagged union, left-semi join on
            the keys) finds the affected segments and the matched-row
            count;
-        4. the affected segments are rewritten ONCE, joined against the
-           source a single time, into ONE merged updated segment (the
-           compaction write shape — re-sorted, fresh zone maps/blooms);
-           unmatched source rows are written as a separate insert
-           segment (anti-join against the AFFECTED segments' keys only —
-           sound because pruning + detection proved no other segment
-           holds any source key);
+        4. the affected segments are rewritten in ONE distributed job,
+           joined against the source a single time, into ONE rewrite
+           segment PER affected source (``_write_rewrites``: the target
+           id leads the range key, so each rewrite stays internally
+           sorted with fresh zone maps/blooms and per-segment locality —
+           a merge touching N segments never degenerates into one
+           global sort over their union); unmatched source rows are
+           written as a separate insert segment (anti-join against the
+           AFFECTED segments' keys only — sound because pruning +
+           detection proved no other segment holds any source key);
         5. ONE all-or-nothing manifest swap commits both segments and
            retires the affected sources at a single timestamp.
 
@@ -1689,30 +1793,33 @@ class CarbonStore:
         if not affected and not insert:
             return {"updated": 0, "inserted": 0}
 
-        # reserve BOTH provisional segments in one manifest round-trip
+        # reserve ALL provisional segments in one manifest round-trip:
+        # one rewrite target PER affected source segment (per-segment
+        # zone-map locality — a merge touching N segments must not
+        # collapse into one global sort over their union) + the insert
         start = time.time()
-        rewrite_id: int | None = None
+        rewrite_ids: dict[int, int] = {}
         insert_id: int | None = None
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
             next_id = max((x.segment_id for x in entries), default=-1) + 1
-            if affected:
-                rewrite_id = next_id
-                next_id += 1
+            for e in affected:
+                rewrite_ids[e.segment_id] = next_id
                 entries.append(
                     SegmentEntry(
-                        segment_id=rewrite_id,
+                        segment_id=next_id,
                         status=SEGMENT_IN_PROGRESS,
                         rows=0,
                         load_start_ts=start,
                         load_end_ts=0.0,
                         columns=list(tcols),
                         origin={
-                            "rewrite_of": [e.segment_id for e in affected],
+                            "rewrite_of": e.segment_id,
                             "op": "merge",
                         },
                     )
                 )
+                next_id += 1
             if insert:
                 insert_id = next_id
                 entries.append(
@@ -1733,7 +1840,10 @@ class CarbonStore:
         by_new: dict[int, tuple[int, dict, dict]] = {}
         aff_ids = [e.segment_id for e in affected]
         if affected:
-            t = self.table(table, segment_ids=aff_ids).alias("t")
+            rw = "_cd_rw"
+            while rw in tcols or rw == tag:
+                rw = f"_{rw}"
+            t = self.table(table, segment_ids=aff_ids, _tag_col=tag).alias("t")
             s = src.withColumn("_cd_m", F.lit(True)).alias("s")
             cond = F.lit(True)
             for k in keys:
@@ -1750,14 +1860,24 @@ class CarbonStore:
                     )
                 else:
                     sel.append(F.col(f"t.{f.name}").alias(f.name))
-            out = t.join(s, cond, "left").select(*sel)
-            seg_dir = self._segment_dir(table, rewrite_id)
-            n_parts = max(1, sum(e.rows for e in affected) // 4_000_000)
-            self._write_clustered(out, meta, seg_dir, n_parts)
-            by_new[rewrite_id] = (
-                self._segment_rows_from_footers(seg_dir),
-                self._collect_segment_stats(seg_dir, sort_cols),
-                self._collect_segment_blooms(seg_dir, meta),
+            id_map = F.create_map(
+                *[F.lit(v) for kv in rewrite_ids.items() for v in kv]
+            )
+            out = (
+                t.join(s, cond, "left")
+                .select(*sel, F.col(f"t.{tag}").alias(tag))
+                .withColumn(rw, F.element_at(id_map, F.col(tag)).cast("int"))
+                .drop(tag)
+            )
+            by_new.update(
+                self._write_rewrites(
+                    table,
+                    out,
+                    rw,
+                    list(rewrite_ids.values()),
+                    meta,
+                    total_rows=sum(e.rows for e in affected),
+                )
             )
         inserted = 0
         if insert:
@@ -1782,9 +1902,8 @@ class CarbonStore:
 
         # ONE all-or-nothing swap (compact()'s discipline)
         old_ids = set(aff_ids)
-        new_ids = (
-            ({rewrite_id} if rewrite_id is not None else set())
-            | ({insert_id} if insert_id is not None else set())
+        new_ids = set(rewrite_ids.values()) | (
+            {insert_id} if insert_id is not None else set()
         )
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)

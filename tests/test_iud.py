@@ -96,21 +96,22 @@ def test_concurrent_state_change_aborts_whole_rewrite(store, monkeypatch):
     """If a source segment's state changes while the rewrite is being
     written (simulated: a DELETE LOAD lands mid-write), the swap must
     abort ALL provisional segments and modify nothing."""
-    real = CarbonStore._write_clustered
+    real = CarbonStore._write_rewrites
     fired = {"done": False}
 
-    def racy(self, df, meta, seg_dir, n_parts):
-        real(self, df, meta, seg_dir, n_parts)
+    def racy(self, table, out, rw_col, new_ids, meta, total_rows):
+        got = real(self, table, out, rw_col, new_ids, meta, total_rows)
         if not fired["done"]:
             fired["done"] = True
-            # concurrent whole-load delete of the segment whose rewrite
+            # concurrent whole-load delete of a segment whose rewrite
             # was JUST written: promoting it would resurrect its rows
             self.delete_segments("t", [0])
+        return got
 
-    monkeypatch.setattr(CarbonStore, "_write_clustered", racy)
+    monkeypatch.setattr(CarbonStore, "_write_rewrites", racy)
     with pytest.raises(RuntimeError, match="aborted"):
         store.delete_rows("t", "id % 2 = 0")  # touches BOTH segments
-    monkeypatch.setattr(CarbonStore, "_write_clustered", real)
+    monkeypatch.setattr(CarbonStore, "_write_rewrites", real)
     # nothing beyond the concurrent delete itself: segment 1 untouched,
     # its even ids still present (the row-delete did NOT half-apply)
     assert store.table("t").count() == 10

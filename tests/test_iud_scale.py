@@ -204,3 +204,97 @@ def test_partitioned_table_tagged_detection(spark, tmp_path):
     assert store.table("pt").filter("v % 2 = 1").count() == 2
     # the tag itself never leaks into results
     assert all(not c.startswith("_cd_seg") for c in store.table("pt").columns)
+
+
+def test_multi_segment_update_one_rewrite_write_job(spark, tmp_path):
+    """r15: phase 3 writes EVERY rewrite segment in ONE distributed job
+    (_write_rewrites) — the job count of an UPDATE must NOT grow with
+    the number of affected segments (the old shape ran one write job,
+    plus its range-sampling job, per affected segment). Pinned by
+    running the same-shape UPDATE against 2 and 6 affected segments
+    with an unprunable predicate and requiring identical job counts."""
+
+    def build(n_segs: int, name: str) -> CarbonStore:
+        store = CarbonStore(spark, str(tmp_path / name))
+        df = spark.range(0, 60 * n_segs).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        store.create_table("t", df.schema, sort_columns=["k"])
+        for i in range(n_segs):
+            store.load(
+                "t",
+                df.filter((F.col("k") >= i * 60) & (F.col("k") < (i + 1) * 60)),
+            )
+        return store
+
+    counts = {}
+    for n_segs in (2, 6):
+        store = build(n_segs, f"u{n_segs}")
+        before = _jobs(spark)
+        # v % 120 == 0 hits every segment (k ≡ 0 mod 60) and is
+        # unprunable (modulo conjunct): all segments affected
+        assert store.update_rows("t", "v % 120 = 0", {"v": "-1"}) == n_segs
+        counts[n_segs] = _jobs(spark) - before
+        # every affected segment got its own rewrite (per-segment
+        # locality), all written by the one job
+        rewrites = sorted(
+            s["origin"]["rewrite_of"]
+            for s in store.show_segments("t")
+            if s["origin"].get("op") == "update"
+        )
+        assert rewrites == list(range(n_segs))
+        assert store.table("t").filter("v = -1").count() == n_segs
+    assert counts[2] == counts[6], (
+        f"update rewrite job count grew with affected-segment count: {counts}"
+    )
+    assert counts[6] <= 8, f"multi-segment update ran {counts[6]} jobs"
+
+
+def test_multi_segment_merge_per_source_rewrites_constant_jobs(spark, tmp_path):
+    """r15: a MERGE touching N segments produces N per-source rewrite
+    segments written by ONE job — never one global sort over the union
+    — and its job count must not grow with N."""
+    from pyspark.sql import Row
+
+    def build(n_segs: int, name: str) -> CarbonStore:
+        store = CarbonStore(spark, str(tmp_path / name))
+        df = spark.range(0, 60 * n_segs).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+        store.create_table("m", df.schema, sort_columns=["k"])
+        for i in range(n_segs):
+            store.load(
+                "m",
+                df.filter((F.col("k") >= i * 60) & (F.col("k") < (i + 1) * 60)),
+            )
+        return store
+
+    counts = {}
+    for n_segs in (2, 4):
+        store = build(n_segs, f"m{n_segs}")
+        src = spark.createDataFrame(
+            [Row(k=i * 60, v=-1.0) for i in range(n_segs)]
+        )
+        before = _jobs(spark)
+        res = store.merge_rows("m", src, keys="k", update_cols=["v"], insert=False)
+        counts[n_segs] = _jobs(spark) - before
+        assert res == {"updated": n_segs, "inserted": 0}
+        rewrites = sorted(
+            s["origin"]["rewrite_of"]
+            for s in store.show_segments("m")
+            if s["origin"].get("op") == "merge"
+        )
+        assert rewrites == list(range(n_segs)), (
+            "merge must rewrite per source segment, not one merged union"
+        )
+        # each rewrite preserves exactly its source's rows (locality)
+        rows = {
+            s["origin"]["rewrite_of"]: s["rows"]
+            for s in store.show_segments("m")
+            if s["origin"].get("op") == "merge" and s["status"] == "Success"
+        }
+        assert all(n == 60 for n in rows.values())
+        assert store.table("m").filter("v = -1.0").count() == n_segs
+    assert counts[2] == counts[4], (
+        f"merge job count grew with affected-segment count: {counts}"
+    )

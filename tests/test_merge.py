@@ -53,7 +53,7 @@ def test_merge_prunes_unaffected_segment(store, spark):
         s for s in segs.values() if "rewrite_of" in (s["origin"] or {})
     ]
     assert len(rewrites) == 1
-    assert rewrites[0]["origin"]["rewrite_of"] == [0]
+    assert rewrites[0]["origin"]["rewrite_of"] == 0
     assert segs[1]["status"] == "Success"  # never touched
     # the empty reserved insert segment never went live
     ins = [s for s in segs.values() if s["origin"].get("op") == "merge_insert"]
