@@ -112,10 +112,13 @@ def bm25_topk(
         .agg(dround(F.sum(idf * tf_norm), 4).alias("score"))
     )
     top = scored.orderBy(F.desc("score"), "doc_id").limit(k)
-    # rank over the ≤k surviving rows only (single tiny partition).
+    # rank over the ≤k surviving rows only. The literal partition key
+    # keeps semantics identical (one partition either way) but silences
+    # the WindowExec no-partition warning — sweep logs showing it should
+    # always mean a REAL unbounded window somewhere.
     return top.withColumn(
         "rank",
         F.row_number()
-        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .over(Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), "doc_id"))
         .cast("int"),
     )

@@ -63,8 +63,13 @@ def rrf_fuse(
         dround(reduce(lambda a, b: a + b, contrib), 6).alias("rrf"),
     )
     top = fused.orderBy(F.desc("rrf"), id_col).limit(topk)
-    # rank over the ≤topk surviving rows only (single tiny partition).
+    # rank over the ≤topk surviving rows only. Literal partition key:
+    # identical semantics (one partition either way), but no WindowExec
+    # no-partition warning — so that warning in a sweep log always
+    # means a real unbounded window.
     return top.withColumn(
         "rank",
-        F.row_number().over(Window.orderBy(F.desc("rrf"), id_col)).cast("int"),
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy(F.desc("rrf"), id_col))
+        .cast("int"),
     )

@@ -1,0 +1,235 @@
+"""REAL codec-free media decode kernels (r15).
+
+The sandbox has no image/audio codecs (PIL/av/cv2/ffmpeg absent — probed
+every round, see operators/multimodal.py), but UNCOMPRESSED formats need
+none: binary PPM (P6) is a whitespace header plus raw RGB bytes, and
+RIFF/WAVE PCM16 is a chunk list plus raw samples — so a pure
+NumPy/stdlib parse IS the full decoder, not a stub. These kernels run in
+the same mapInPandas plumbing as multimodal.py's codec-bound stubs and
+turn the standing multimodal `weak` into tested decode paths with
+closed-form fixtures (synth_ppm / synth_wav) that a SQL oracle can
+recompute exactly (query_defs/media_q.py).
+
+This lives in its own module (not multimodal.py) deliberately: the
+ledger's closure digests (carbondata_spark/ledger.py) track result
+machinery per module, and multimodal.py sits inside the closure of
+every pipeline.py driver row — landing NEW kernels there would dirty 40
+unrelated rows' digests for a change that cannot affect their results.
+
+Binary payload model (same as multimodal.py):
+
+    media: struct fields (doc_id, media_type, content: binary,
+           meta: struct<codec string, n_bytes long>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, content binary, "
+    "meta struct<codec string, n_bytes long>"
+)
+
+PPM_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, maxval int, pixel_sum long"
+)
+
+WAV_DECODED_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, bits int, "
+    "n_samples long, amp_sum long"
+)
+
+
+def synth_ppm(docs: DataFrame) -> DataFrame:
+    """Deterministic binary-PPM (P6) fixture encoder: one real image per
+    doc_id in the media column model. width = 4 + doc_id % 5, height =
+    2 + doc_id % 3, maxval 255, pixel byte i = (doc_id*7 + i) % 256 in
+    row-major RGB order — closed forms a SQL oracle can recompute. The
+    header carries a comment line so the decoder's comment handling is
+    exercised on every image."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(doc_id: int) -> bytes:
+            w, h = 4 + doc_id % 5, 2 + doc_id % 3
+            header = b"P6\n# synth fixture\n%d %d\n255\n" % (w, h)
+            return header + bytes(
+                (doc_id * 7 + i) % 256 for i in range(3 * w * h)
+            )
+
+        for pdf in it:
+            content = [enc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "content": content,
+                    "meta": [
+                        {"codec": "image/x-portable-pixmap", "n_bytes": len(c)}
+                        for c in content
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """REAL image decode kernel — no external codec: binary PPM (P6) is
+    an uncompressed format (magic, whitespace-separated width/height/
+    maxval with ``#`` comments, then raw RGB bytes), so a header parse +
+    ``np.frombuffer`` IS the full decoder. Emits per-image dimensions
+    and pixel statistics; malformed or truncated payloads raise (bad
+    media must fail loudly, not decode to garbage)."""
+
+    # closure stays self-contained (stdlib + numpy/pandas only): executor
+    # workers cannot import carbondata_spark when the driver runs from
+    # outside the repo
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def parse(buf: bytes) -> tuple[int, int, int, int]:
+            if buf[:2] != b"P6":
+                raise ValueError("not a binary PPM (P6) payload")
+            fields: list[int] = []
+            pos = 2
+            while len(fields) < 3:
+                while pos < len(buf) and buf[pos : pos + 1].isspace():
+                    pos += 1
+                if buf[pos : pos + 1] == b"#":
+                    while pos < len(buf) and buf[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                if start == pos:
+                    raise ValueError("truncated PPM header")
+                fields.append(int(buf[start:pos]))
+            pos += 1  # exactly one whitespace byte after maxval
+            w, h, maxval = fields
+            if not (0 < maxval < 256):
+                raise ValueError(f"unsupported PPM maxval {maxval}")
+            n = 3 * w * h
+            px = np.frombuffer(buf, dtype=np.uint8, offset=pos)
+            if px.size < n:
+                raise ValueError(
+                    f"truncated PPM payload: {px.size} of {n} pixel bytes"
+                )
+            px = px[:n]
+            return w, h, maxval, int(px.sum(dtype=np.int64))
+
+        for pdf in it:
+            parsed = [parse(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
+                    "maxval": [p[2] for p in parsed],
+                    "pixel_sum": [p[3] for p in parsed],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PPM_DECODED_SCHEMA)
+
+
+def synth_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic RIFF/WAVE PCM16 fixture encoder: n_channels =
+    1 + doc_id % 2, sample_rate = 8000 + 1000*(doc_id % 3), frames =
+    16 + doc_id % 7; interleaved sample j = ((doc_id*13 + j) % 4001) -
+    2000. A junk ``LIST`` chunk precedes ``data`` so the decoder's
+    chunk walk (not a fixed offset) is exercised on every payload."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def enc(doc_id: int) -> bytes:
+            ch = 1 + doc_id % 2
+            rate = 8000 + 1000 * (doc_id % 3)
+            n = (16 + doc_id % 7) * ch
+            data = b"".join(
+                struct.pack("<h", ((doc_id * 13 + j) % 4001) - 2000)
+                for j in range(n)
+            )
+            fmt = struct.pack(
+                "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+            )
+            junk = b"fake"  # exercises the chunk walk
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"LIST" + struct.pack("<I", len(junk)) + junk
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in it:
+            content = [enc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "audio",
+                    "content": content,
+                    "meta": [
+                        {"codec": "audio/wav", "n_bytes": len(c)}
+                        for c in content
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL audio decode kernel — no external codec: RIFF/WAVE with PCM16
+    is header + raw samples. Walks the chunk list (skipping unknown
+    chunks, honoring the odd-size pad byte) to ``fmt `` and ``data``,
+    then ``np.frombuffer('<i2')`` for the sample statistics."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse(buf: bytes) -> tuple[int, int, int, int, int]:
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = buf[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", body[:16])
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)  # odd chunks carry a pad byte
+            if fmt is None or data is None:
+                raise ValueError("WAVE missing fmt/data chunk")
+            audio_format, ch, rate, _brate, _align, bits = fmt
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (format={audio_format}, bits={bits})"
+                )
+            samples = np.frombuffer(data, dtype="<i2")
+            return ch, rate, bits, samples.size, int(samples.sum(dtype=np.int64))
+
+        for pdf in it:
+            parsed = [parse(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_channels": [p[0] for p in parsed],
+                    "sample_rate": [p[1] for p in parsed],
+                    "bits": [p[2] for p in parsed],
+                    "n_samples": [p[3] for p in parsed],
+                    "amp_sum": [p[4] for p in parsed],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=WAV_DECODED_SCHEMA)

@@ -1,0 +1,100 @@
+"""Multimodal decode driver rows — REAL codec-free kernels (r15).
+
+``p_media_decode`` here OVERRIDES the r1 stub row registered in
+pipeline.py (the registry is last-write-wins; query_defs/__init__.py
+imports this module after pipeline): the row's certified machinery is
+now the genuine PPM decoder in operators/media_codecs.py, not the md5
+fake. The superseded definition in pipeline.py is deliberately left
+byte-untouched this round — the ledger's per-module closure digests
+(carbondata_spark/ledger.py) would otherwise mark all 39 of its sibling
+rows dirty for a change that cannot affect their results; fold the
+physical removal into the next round that edits pipeline.py for real.
+
+Both rows verify a full decode chain against a CLOSED-FORM oracle: the
+fixture bytes are synthesized deterministically from doc_id
+(media_codecs.synth_ppm/synth_wav), the kernels parse them back with an
+independent code path (header walk + np.frombuffer), and DuckDB
+recomputes every statistic from the generator's arithmetic — a wrong
+dimension parse, sample decode, or chunk walk changes the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from carbondata_spark.queries import register, t
+
+
+@register(
+    "p_media_decode",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w,
+             2 + doc_id % 3 AS h,
+             unnest(range(0, 3 * (4 + doc_id % 5) * (2 + doc_id % 3))) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(255 AS INT) AS maxval,
+           CAST(sum((doc_id * 7 + i) % 256) AS BIGINT) AS pixel_sum,
+           round(CAST(sum((doc_id * 7 + i) % 256) AS BIGINT)
+                 / (3.0 * w * h), 6) AS pixel_mean
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="REAL image decode (r15, codec-free): one binary PPM (P6) image "
+    "per document — deterministic bytes synthesized by synth_ppm, "
+    "including a header comment line — parsed by the pure-NumPy "
+    "decode_ppm kernel inside mapInPandas; the oracle recomputes every "
+    "dimension and pixel statistic from the generator's closed form. "
+    "Supersedes the r1 md5-stub row of the same name (pipeline.py).",
+)
+def p_media_decode(spark: SparkSession, sf_dir: str):
+    from carbondata_spark.functions import dround
+    from carbondata_spark.operators.media_codecs import decode_ppm, synth_ppm
+
+    dec = decode_ppm(synth_ppm(t(spark, sf_dir, "documents")))
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        "maxval",
+        "pixel_sum",
+        dround(
+            F.col("pixel_sum") / (3.0 * F.col("width") * F.col("height")), 6
+        ).alias("pixel_mean"),
+    )
+
+
+@register(
+    "p_media_wav",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             8000 + 1000 * (doc_id % 3) AS rate,
+             (16 + doc_id % 7) * (1 + doc_id % 2) AS n,
+             unnest(range(0, (16 + doc_id % 7) * (1 + doc_id % 2))) AS j
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ch AS INT) AS n_channels,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum((doc_id * 13 + j) % 4001 - 2000) AS BIGINT) AS amp_sum
+    FROM s GROUP BY doc_id, ch, rate, n
+    """,
+    doc="REAL audio decode (r15, codec-free): one RIFF/WAVE PCM16 payload "
+    "per document (synth_wav, with a junk LIST chunk so the chunk walk "
+    "is exercised) parsed by decode_wav inside mapInPandas; the oracle "
+    "recomputes channel/rate/sample statistics from the generator's "
+    "closed form.",
+)
+def p_media_wav(spark: SparkSession, sf_dir: str):
+    from carbondata_spark.operators.media_codecs import decode_wav, synth_wav
+
+    return decode_wav(synth_wav(t(spark, sf_dir, "documents")))

@@ -25,6 +25,37 @@ from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
+# the reference's documented control-character spellings for delimiter
+# values (CarbonUtil.unescapeChar, core/.../CarbonUtil.java:1559-1576)
+_CONTROL_SPELLINGS = {
+    "\\001": "\x01",
+    "\\t": "\t",
+    "\\r": "\r",
+    "\\b": "\b",
+    "\\f": "\f",
+    "\\n": "\n",
+}
+
+
+def unescape_delimiter(value: str) -> str:
+    """DELIMITER spelling normalization: '\\t', '\\001', '\\r', '\\b',
+    '\\f', '\\n' mean the control character (CarbonUtil.java:1559-1576);
+    anything else passes through verbatim."""
+    return _CONTROL_SPELLINGS.get(value, value)
+
+
+def normalize_escapechar(value: str | None) -> str:
+    """ESCAPECHAR value semantics (CSVFilePartitioner.getCustomParser,
+    integration/.../CSVFilePartitioner.java:241-246): absent, empty or
+    whitespace-only disables escaping entirely (the reference's default —
+    a backslash in data stays literal); otherwise the FIRST character of
+    the (spelling-normalized) value is the escape character. Spark's csv
+    reader cannot unset its escape option, so 'disabled' maps to NUL,
+    which never occurs in text data."""
+    if value is None or not value.strip():
+        return "\x00"
+    return _CONTROL_SPELLINGS.get(value, value)[0]
+
 
 def read_csv(
     spark: SparkSession,

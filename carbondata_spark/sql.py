@@ -43,6 +43,7 @@ Supported statements (case-insensitive keywords):
 
 from __future__ import annotations
 
+import os
 import re
 from datetime import datetime, timezone
 
@@ -871,11 +872,24 @@ class CarbonSession:
                 # same decimal zone-map limitation as the CREATE CUBE path
                 # (pyarrow cannot read parquet decimal statistics)
                 types = {f.name.lower(): f.dataType for f in fields}
-                sort_cols = [
+                dropped = [
                     c
                     for c in sort_cols
-                    if not isinstance(types.get(c.lower()), T.DecimalType)
-                ] or None
+                    if isinstance(types.get(c.lower()), T.DecimalType)
+                ]
+                if dropped:
+                    import warnings
+
+                    warnings.warn(
+                        f"SORTED BY: decimal column(s) {dropped} cannot "
+                        "carry zone-map statistics and were dropped from "
+                        "the sort key",
+                        stacklevel=2,
+                    )
+                # an explicitly-empty remainder stays [] (user asked for
+                # THIS clustering; do not silently fall back to the
+                # default dims-sorted set by passing None)
+                sort_cols = [c for c in sort_cols if c not in dropped]
             part_cols = [c.strip() for c in part_s.split(",")] if part_s else None
             self.store.create_table(
                 name,
@@ -989,10 +1003,27 @@ class CarbonSession:
             df = read_orc(self.spark, path)
         else:
             from carbondata_spark.sources.csv import (
+                normalize_escapechar,
                 read_csv,
                 split_bad_records,
+                unescape_delimiter,
                 with_complex_columns,
             )
+
+            delimiter = unescape_delimiter(opts.get("delimiter", ","))
+            # the reference rejects a field delimiter colliding with
+            # either complex-type delimiter outright
+            # (cubeSchema.scala:1881-1885)
+            cd1 = opts.get("complex_delimiter_level_1", "$")
+            cd2 = opts.get("complex_delimiter_level_2", ":")
+            if (
+                delimiter.lower() == cd1.lower()
+                or delimiter.lower() == cd2.lower()
+                or cd1.lower() == cd2.lower()
+            ):
+                raise ValueError(
+                    "Field Delimiter & Complex types delimiter are same"
+                )
 
             fileheader = None
             # FILEHEADER '' (the reference's FilterProcessor_FT spelling)
@@ -1009,19 +1040,54 @@ class CarbonSession:
                 # and reuse the FILEHEADER by-name machinery below.
                 import csv as _csv
 
+                def _parse_header(line: str) -> list[str]:
+                    return [
+                        c.strip()
+                        for c in next(
+                            _csv.reader(
+                                [line],
+                                delimiter=delimiter,
+                                quotechar=opts.get("quotechar", '"'),
+                            )
+                        )
+                    ]
+
                 first = self.spark.read.text(path).first()
                 if first is None:
                     raise ValueError(f"LOAD DATA: empty input {path!r}")
-                fileheader = [
-                    c.strip()
-                    for c in next(
-                        _csv.reader(
-                            [first[0]],
-                            delimiter=opts.get("delimiter", ","),
-                            quotechar=opts.get("quotechar", '"'),
-                        )
+                fileheader = _parse_header(first[0])
+                # header=True below skips the first line of EVERY file,
+                # but the peek above read ONE arbitrary file — a
+                # directory mixing header orders would silently
+                # mis-project all the others. Validate each local file's
+                # first line against the peeked header (bounded: this is
+                # a management-path load, and the check is a header-line
+                # read per file, not a data scan); non-local URIs keep
+                # the documented uniform-header assumption.
+                local = re.sub(r"^file:(//)?", "", path)
+                if os.path.isdir(local):
+                    import glob as _glob
+
+                    members = sorted(
+                        f
+                        for f in _glob.glob(os.path.join(local, "*"))
+                        if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
                     )
-                ]
+                    # check every member (the peeked file compares equal
+                    # to itself); cap keeps this a bounded check
+                    for m in members[:64]:
+                        with open(m, errors="replace") as fh:
+                            line = fh.readline().rstrip("\r\n")
+                        # ORDER matters: the projection below binds data
+                        # lines positionally to the peeked-header schema
+                        if line and _parse_header(line) != fileheader:
+                            raise ValueError(
+                                f"LOAD DATA: file {m!r} carries a header "
+                                f"different from the peeked one "
+                                f"({fileheader[:6]}...); multi-file "
+                                "header-carrying loads must share one "
+                                "header (or pass FILEHEADER explicitly)"
+                            )
             schema = self.store.schema(table)
             if file_has_header:
                 # A peeked header that matches NO cube column means the
@@ -1038,6 +1104,22 @@ class CarbonSession:
                         f"{fileheader[:6]}... matches table {table!r} "
                         f"({sorted(cube_cols)[:6]}...): pass FILEHEADER "
                         "for a headerless file, or check the input"
+                    )
+                # a PARTIALLY matching header (e.g. one renamed column)
+                # loads NULL into every unmatched cube column — quiet
+                # data loss if unintended; say which columns
+                header_lc = {c.lower() for c in fileheader}
+                absent = [
+                    f.name for f in schema.fields if f.name.lower() not in header_lc
+                ]
+                if absent:
+                    import warnings
+
+                    warnings.warn(
+                        f"LOAD DATA into {table!r}: cube column(s) "
+                        f"{absent} are absent from the file header and "
+                        "will load as NULL",
+                        stacklevel=2,
                     )
             complex_cols = {
                 f.name: f.dataType
@@ -1110,9 +1192,11 @@ class CarbonSession:
                 self.spark,
                 path,
                 schema=read_schema,
-                delimiter=opts.get("delimiter", ","),
+                delimiter=delimiter,
                 quotechar=opts.get("quotechar", '"'),
-                escapechar=opts.get("escapechar", "\\"),
+                # reference default: NO escaping (escapechar "", i.e.
+                # ignoreEscape — a backslash in data stays literal)
+                escapechar=normalize_escapechar(opts.get("escapechar")),
                 fileheader=fileheader,
                 multiline=opts.get("multiline", "false").lower() == "true",
                 timestamp_format=ts_format,

@@ -49,9 +49,41 @@ BASE = (
 def strip_comments(src: str) -> str:
     """Remove /* */ blocks and // line comments (the reference leaves
     whole test bodies inside block comments — those are NOT part of its
-    acceptance surface and must not be extracted)."""
-    src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
-    return re.sub(r"^\s*//.*$", "", src, flags=re.M)
+    acceptance surface and must not be extracted).
+
+    Quote-aware: a ``/*`` inside a Scala string literal (e.g. a SQL hint
+    or glob in a future reference suite) must NOT open a comment — a
+    regex strip would truncate extraction mid-statement and silently
+    drop every op/checkAnswer after it."""
+    out, i, n = [], 0, len(src)
+    while i < n:
+        ch = src[i]
+        if ch == '"':
+            # copy the string literal verbatim (escape-aware); triple-
+            # quoted strings copy as three adjacent literals, of which
+            # the middle sees no escapes worth interpreting here
+            out.append(ch)
+            i += 1
+            while i < n and src[i] != '"':
+                if src[i] == "\\" and i + 1 < n:
+                    out.append(src[i : i + 2])
+                    i += 2
+                else:
+                    out.append(src[i])
+                    i += 1
+            if i < n:
+                out.append('"')
+                i += 1
+        elif src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        elif src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j < 0 else j  # keep the newline
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _skip_ws(s: str, i: int) -> int:

@@ -261,3 +261,87 @@ def test_decimal_sort_column_is_excluded_everywhere(cs, spark):
     )
     cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE t_dec_hive")
     assert cs.sql("select count(*) c from t_dec_hive").collect()[0][0] == 2
+
+
+# --- r15: option VALUE semantics sweep (spellings, defaults, collisions) --
+
+
+def test_delimiter_tab_spelling(cs):
+    # CarbonUtil.unescapeChar (CarbonUtil.java:1559-1576): '\t' means TAB
+    path = _write(["id\tcity\tamt", "1\tx\t2.5"])
+    _mk(cs, "t_tab")
+    cs.sql(
+        f"LOAD DATA FACT FROM '{path}' INTO CUBE t_tab "
+        r"PARTITIONDATA(DELIMITER '\t')"
+    )
+    assert _rows(cs, "t_tab") == {(1, "x", 2.5)}
+
+
+def test_delimiter_001_spelling(cs):
+    path = _write(["id\x01city\x01amt", "1\x01x\x012.5"])
+    _mk(cs, "t_soh")
+    cs.sql(
+        f"LOAD DATA FACT FROM '{path}' INTO CUBE t_soh "
+        r"PARTITIONDATA(DELIMITER '\001')"
+    )
+    assert _rows(cs, "t_soh") == {(1, "x", 2.5)}
+
+
+def test_escapechar_default_backslash_stays_literal(cs):
+    # reference default escapeChar "" -> ignoreEscape
+    # (CSVFilePartitioner.java:241-246): a backslash in data is DATA
+    path = _write(["id,city,amt", r"1,a\b,2.5"])
+    _mk(cs, "t_noesc")
+    cs.sql(f"LOAD DATA FACT FROM '{path}' INTO CUBE t_noesc PARTITIONDATA(DELIMITER ',')")
+    assert _rows(cs, "t_noesc") == {(1, r"a\b", 2.5)}
+
+
+def test_escapechar_empty_explicitly_disables(cs):
+    path = _write(["id,city,amt", r"1,a\b,2.5"])
+    _mk(cs, "t_esc0")
+    cs.sql(
+        f"LOAD DATA FACT FROM '{path}' INTO CUBE t_esc0 "
+        "PARTITIONDATA(ESCAPECHAR '')"
+    )
+    assert _rows(cs, "t_esc0") == {(1, r"a\b", 2.5)}
+
+
+def test_escapechar_first_char_of_longer_value(cs):
+    # reference: escapeChar.charAt(0) — extra characters are ignored
+    path = _write(["id,city,amt", '1,"a!"b",2.5'])
+    _mk(cs, "t_esc1")
+    cs.sql(
+        f"LOAD DATA FACT FROM '{path}' INTO CUBE t_esc1 "
+        "PARTITIONDATA(ESCAPECHAR '!ignored')"
+    )
+    assert _rows(cs, "t_esc1") == {(1, 'a"b', 2.5)}
+
+
+def test_multiline_true_quoted_newline(cs):
+    d = mkdtemp(prefix="loadopts_ml_")
+    p = os.path.join(d, "data.csv")
+    with open(p, "w") as f:
+        f.write('id,city,amt\n1,"two\nlines",2.5\n')
+    _mk(cs, "t_ml")
+    cs.sql(
+        f"LOAD DATA FACT FROM '{p}' INTO CUBE t_ml "
+        "PARTITIONDATA(MULTILINE 'true')"
+    )
+    assert _rows(cs, "t_ml") == {(1, "two\nlines", 2.5)}
+
+
+def test_delimiter_complex_collision_rejected(cs):
+    # cubeSchema.scala:1881-1885: field delimiter colliding with either
+    # complex-type delimiter is an outright error
+    path = _write(["id$city$amt", "1$x$2.5"])
+    _mk(cs, "t_coll")
+    with pytest.raises(Exception, match="delimiter are same"):
+        cs.sql(
+            f"LOAD DATA FACT FROM '{path}' INTO CUBE t_coll "
+            "PARTITIONDATA(DELIMITER '$')"
+        )
+    with pytest.raises(Exception, match="delimiter are same"):
+        cs.sql(
+            f"LOAD DATA FACT FROM '{path}' INTO CUBE t_coll "
+            "PARTITIONDATA(COMPLEX_DELIMITER_LEVEL_1 ':')"
+        )
