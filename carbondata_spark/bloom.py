@@ -51,19 +51,23 @@ MIN_BITS = 1 << 10
 MAX_BITS = 1 << 23  # 1 MiB bitset per (segment, column) cap
 
 
-def _position_exprs(col: str, m: int, k: int = K_HASHES):
+def _position_exprs(col: str, m, k: int = K_HASHES):
     """The k bit positions of a value, as Spark Column expressions —
     Kirsch-Mitzenmacher double hashing over two independent xxhash64
     streams (the second salted with the column name). Shared verbatim by
-    the load-side bit setter and the probe, so the JVM's 64-bit wrapping
-    arithmetic is the single source of truth."""
-    h1 = F.pmod(F.xxhash64(F.col(col)), F.lit(m))
-    h2 = F.pmod(F.xxhash64(F.col(col), F.lit(col)), F.lit(m))
+    the load-side bit setter, the probe, AND the grouped multi-segment
+    collector, so the JVM's 64-bit wrapping arithmetic is the single
+    source of truth. ``m`` may be an int literal or a Column (the grouped
+    collector maps each row's segment tag to that segment's bitset size —
+    same modular math either way)."""
+    m_col = F.lit(m) if isinstance(m, int) else m
+    h1 = F.pmod(F.xxhash64(F.col(col)), m_col)
+    h2 = F.pmod(F.xxhash64(F.col(col), F.lit(col)), m_col)
     # each hash is reduced mod m BEFORE the linear combination, so the
     # largest intermediate is (k-1)*m + m <= 2^26 — no 64-bit overflow
     # under ANSI arithmetic, and the combination is exact modular math
     # rather than relying on JVM wrapping
-    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int") for i in range(k)]
+    return [F.pmod(h1 + F.lit(i) * h2, m_col).cast("int") for i in range(k)]
 
 
 def _size_bits(ndv: int) -> int | None:
@@ -117,6 +121,75 @@ def compute_segment_blooms(df: DataFrame, cols: list[str]) -> dict[str, dict]:
         for p in positions.get(c, []):
             ba[p >> 3] |= 1 << (p & 7)
         out[c] = {
+            "m": m,
+            "k": K_HASHES,
+            "bits": base64.b64encode(bytes(ba)).decode("ascii"),
+        }
+    return out
+
+
+def compute_segment_blooms_grouped(
+    df: DataFrame, tag_col: str, cols: list[str]
+) -> dict[int, dict[str, dict]]:
+    """Per-(segment, column) blooms for a TAGGED multi-segment frame —
+    the batch companion of ``compute_segment_blooms`` for the r15
+    single-job rewrite writer (store._write_rewrites): a broad UPDATE or
+    MERGE on a bloom table produces many new segments at once, and
+    collecting their filters one segment at a time would be the last
+    O(#affected) job loop on that path.
+
+    TWO distributed jobs total regardless of segment count: one grouped
+    approx_count_distinct sizes every (segment, column) bitset, then one
+    union of per-column position frames — each row's positions computed
+    with ITS segment's bitset size via a tag→m map column through the
+    SAME ``_position_exprs`` builder the probe uses (hash parity by
+    construction) — aggregated by (segment, column) ``collect_set``.
+    Driver state stays bounded by Σ min(k·ndv, m) bits, the same
+    metadata class as the single-segment path; a (segment, column)
+    whose cardinality would saturate MAX_BITS stores no bloom, exactly
+    like the single-segment sizing rule."""
+    present = [c for c in cols if c in df.columns]
+    if not present:
+        return {}
+    ndv_rows = df.groupBy(tag_col).agg(
+        *[F.approx_count_distinct(c).alias(c) for c in present]
+    ).collect()
+    out: dict[int, dict[str, dict]] = {int(r[tag_col]): {} for r in ndv_rows}
+    m_by: dict[int, dict[str, int]] = {}
+    for r in ndv_rows:
+        ms = {c: m for c in present if (m := _size_bits(r[c])) is not None}
+        if ms:
+            m_by[int(r[tag_col])] = ms
+    if not m_by:
+        return out
+    frames = []
+    for c in present:
+        pairs = [x for t, ms in m_by.items() if c in ms for x in (t, ms[c])]
+        if not pairs:
+            continue
+        m_col = F.element_at(
+            F.create_map(*[F.lit(v) for v in pairs]), F.col(tag_col)
+        )
+        frames.append(
+            df.where(F.col(c).isNotNull() & m_col.isNotNull()).select(
+                F.col(tag_col).cast("int").alias("_tag"),
+                F.lit(c).alias("col"),
+                F.explode(F.array(*_position_exprs(c, m_col))).alias("pos"),
+            )
+        )
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionAll(f)
+    rows = union.groupBy("_tag", "col").agg(
+        F.collect_set("pos").alias("ps")
+    ).collect()
+    for r in rows:
+        t, c = int(r["_tag"]), r["col"]
+        m = m_by[t][c]
+        ba = bytearray(m // 8)
+        for p in r["ps"]:
+            ba[p >> 3] |= 1 << (p & 7)
+        out[t][c] = {
             "m": m,
             "k": K_HASHES,
             "bits": base64.b64encode(bytes(ba)).decode("ascii"),

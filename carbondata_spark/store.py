@@ -971,22 +971,32 @@ class CarbonStore:
             if part_cols:
                 # hive-style partition discovery is rooted per segment dir:
                 # read each segment separately and union (filters still
-                # push into every scan, so pruning is unaffected)
+                # push into every scan, so pruning is unaffected). The tag
+                # is a per-read LITERAL here — the segment id is known at
+                # plan time, and `_metadata` does not resolve through the
+                # Union a multi-segment read becomes (r15: a multi-
+                # candidate tagged detection on a partitioned table hit
+                # exactly that)
                 raws = [self.spark.read.parquet(p) for p in paths]
+                if _tag_col is not None:
+                    raws = [
+                        r.withColumn(_tag_col, F.lit(sid).cast("int"))
+                        for r, sid in zip(raws, seg_ids)
+                    ]
                 raw = raws[0]
                 for r in raws[1:]:
                     raw = raw.unionByName(r)
             else:
                 raw = self.spark.read.parquet(*paths)
-            if _tag_col is not None:
-                raw = raw.withColumn(
-                    _tag_col,
-                    F.regexp_extract(
-                        F.col("_metadata.file_path"),
-                        r"/Fact/Part0/Segment_(\d+)/",
-                        1,
-                    ).cast("int"),
-                )
+                if _tag_col is not None:
+                    raw = raw.withColumn(
+                        _tag_col,
+                        F.regexp_extract(
+                            F.col("_metadata.file_path"),
+                            r"/Fact/Part0/Segment_(\d+)/",
+                            1,
+                        ).cast("int"),
+                    )
             raw_types = {f.name: f.dataType for f in raw.schema.fields}
             sel = []
             for fld in target.fields:
@@ -1196,8 +1206,36 @@ class CarbonStore:
                 results[new_id] = (
                     self._segment_rows_from_footers(seg_dir),
                     self._collect_segment_stats(seg_dir, sort_cols),
-                    self._collect_segment_blooms(seg_dir, meta),
+                    {},
                 )
+            # blooms (opt-in tables) for ALL new segments in TWO jobs,
+            # not two per segment: one tagged union of the promoted
+            # segment dirs through the grouped collector
+            bloom_cols = [
+                c.strip()
+                for c in meta.get("properties", {})
+                .get("bloom_columns", "")
+                .split(",")
+                if c.strip()
+            ]
+            if bloom_cols:
+                from carbondata_spark.bloom import compute_segment_blooms_grouped
+
+                # explicit schema: a schema-inference job per segment dir
+                # would reintroduce the O(#affected) job growth this path
+                # exists to remove (pinned in tests/test_iud_scale.py)
+                read_schema = T.StructType.fromJson(meta["schema"])
+                tagged = None
+                for new_id in sorted(results):
+                    r = self.spark.read.schema(read_schema).parquet(
+                        self._segment_dir(table, new_id)
+                    ).withColumn(rw_col, F.lit(new_id).cast("int"))
+                    tagged = r if tagged is None else tagged.unionByName(r)
+                by_seg = compute_segment_blooms_grouped(tagged, rw_col, bloom_cols)
+                results = {
+                    nid: (rows, stats, by_seg.get(nid, {}))
+                    for nid, (rows, stats, _b) in results.items()
+                }
             return results
         finally:
             shutil.rmtree(staging, ignore_errors=True)

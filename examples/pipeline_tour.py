@@ -145,8 +145,21 @@ def main() -> None:
               diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
     print(f"snapshot diff vs takedown batch: {counts}")
 
-    print("\ndone — every step above is shuffle-bounded and UDF-free; "
-          "swap sf_dir for the full corpus to run the identical plan at scale.")
+    # -- 10. multimodal: REAL codec-free decode (r15) ---------------------
+    from carbondata_spark.operators.media_codecs import decode_ppm, synth_ppm
+
+    media = synth_ppm(docs.limit(200))
+    decoded = decode_ppm(media)
+    m = decoded.agg(
+        F.count("*").alias("n"), F.sum("pixel_sum").alias("px")
+    ).collect()[0]
+    print(f"media decode (binary PPM, pure-NumPy kernel in mapInPandas): "
+          f"{m['n']} images, {m['px']} total pixel value")
+
+    print("\ndone — every step above is shuffle-bounded and UDF-free "
+          "(media decode is Arrow-batched mapInPandas, the one sanctioned "
+          "Python hop); swap sf_dir for the full corpus to run the "
+          "identical plan at scale.")
 
 
 if __name__ == "__main__":

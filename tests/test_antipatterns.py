@@ -22,6 +22,10 @@ PKG_DIR = os.path.join(
 # demo query. Everything else must stay JVM-side codegen.
 ARROW_BATCH_ALLOWED = {
     "operators/multimodal.py",
+    # r15: the REAL codec-free decoders (PPM/WAV) — decode is inherently
+    # per-payload Python, Arrow-batched through the same mapInPandas
+    # plumbing as multimodal.py; embarrassingly parallel, no shuffle
+    "operators/media_codecs.py",
     "streaming/ingest.py",
     "query_defs/olap3.py",
 }

@@ -2,7 +2,11 @@
 pre-prune, single-job detection over a segment-id-tagged union, single
 manifest round-trip for provisional ids, footer-derived row counts.
 
-Job arithmetic pinned here (local mode counts every job):
+Job arithmetic pinned here (local mode counts every job; the r15
+multi-segment pins measure with AQE OFF — adaptive query-stage
+materialization adds session-state-dependent jitter jobs that are
+orthogonal to the invariant under pin, job count constant in the
+number of affected segments):
   - a DELETE whose predicate zone-prunes EVERY segment runs ZERO jobs;
   - a DELETE affecting 1 of 4 segments runs the 1 detection job plus the
     one rewrite write (repartitionByRange adds its sampling job) — far
@@ -228,22 +232,26 @@ def test_multi_segment_update_one_rewrite_write_job(spark, tmp_path):
         return store
 
     counts = {}
-    for n_segs in (2, 6):
-        store = build(n_segs, f"u{n_segs}")
-        before = _jobs(spark)
-        # v % 120 == 0 hits every segment (k ≡ 0 mod 60) and is
-        # unprunable (modulo conjunct): all segments affected
-        assert store.update_rows("t", "v % 120 = 0", {"v": "-1"}) == n_segs
-        counts[n_segs] = _jobs(spark) - before
-        # every affected segment got its own rewrite (per-segment
-        # locality), all written by the one job
-        rewrites = sorted(
-            s["origin"]["rewrite_of"]
-            for s in store.show_segments("t")
-            if s["origin"].get("op") == "update"
-        )
-        assert rewrites == list(range(n_segs))
-        assert store.table("t").filter("v = -1").count() == n_segs
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for n_segs in (2, 6):
+            store = build(n_segs, f"u{n_segs}")
+            before = _jobs(spark)
+            # v % 120 == 0 hits every segment (k ≡ 0 mod 60) and is
+            # unprunable (modulo conjunct): all segments affected
+            assert store.update_rows("t", "v % 120 = 0", {"v": "-1"}) == n_segs
+            counts[n_segs] = _jobs(spark) - before
+            # every affected segment got its own rewrite (per-segment
+            # locality), all written by the one job
+            rewrites = sorted(
+                s["origin"]["rewrite_of"]
+                for s in store.show_segments("t")
+                if s["origin"].get("op") == "update"
+            )
+            assert rewrites == list(range(n_segs))
+            assert store.table("t").filter("v = -1").count() == n_segs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert counts[2] == counts[6], (
         f"update rewrite job count grew with affected-segment count: {counts}"
     )
@@ -270,31 +278,81 @@ def test_multi_segment_merge_per_source_rewrites_constant_jobs(spark, tmp_path):
         return store
 
     counts = {}
-    for n_segs in (2, 4):
-        store = build(n_segs, f"m{n_segs}")
-        src = spark.createDataFrame(
-            [Row(k=i * 60, v=-1.0) for i in range(n_segs)]
-        )
-        before = _jobs(spark)
-        res = store.merge_rows("m", src, keys="k", update_cols=["v"], insert=False)
-        counts[n_segs] = _jobs(spark) - before
-        assert res == {"updated": n_segs, "inserted": 0}
-        rewrites = sorted(
-            s["origin"]["rewrite_of"]
-            for s in store.show_segments("m")
-            if s["origin"].get("op") == "merge"
-        )
-        assert rewrites == list(range(n_segs)), (
-            "merge must rewrite per source segment, not one merged union"
-        )
-        # each rewrite preserves exactly its source's rows (locality)
-        rows = {
-            s["origin"]["rewrite_of"]: s["rows"]
-            for s in store.show_segments("m")
-            if s["origin"].get("op") == "merge" and s["status"] == "Success"
-        }
-        assert all(n == 60 for n in rows.values())
-        assert store.table("m").filter("v = -1.0").count() == n_segs
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for n_segs in (2, 4):
+            store = build(n_segs, f"m{n_segs}")
+            src = spark.createDataFrame(
+                [Row(k=i * 60, v=-1.0) for i in range(n_segs)]
+            )
+            before = _jobs(spark)
+            res = store.merge_rows("m", src, keys="k", update_cols=["v"], insert=False)
+            counts[n_segs] = _jobs(spark) - before
+            assert res == {"updated": n_segs, "inserted": 0}
+            rewrites = sorted(
+                s["origin"]["rewrite_of"]
+                for s in store.show_segments("m")
+                if s["origin"].get("op") == "merge"
+            )
+            assert rewrites == list(range(n_segs)), (
+                "merge must rewrite per source segment, not one merged union"
+            )
+            # each rewrite preserves exactly its source's rows (locality)
+            rows = {
+                s["origin"]["rewrite_of"]: s["rows"]
+                for s in store.show_segments("m")
+                if s["origin"].get("op") == "merge" and s["status"] == "Success"
+            }
+            assert all(n == 60 for n in rows.values())
+            assert store.table("m").filter("v = -1.0").count() == n_segs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert counts[2] == counts[4], (
         f"merge job count grew with affected-segment count: {counts}"
+    )
+
+
+def test_bloom_table_multi_segment_update_constant_jobs(spark, tmp_path):
+    """r15: bloom collection for rewrite segments is GROUPED (two jobs
+    for all new segments, bloom.compute_segment_blooms_grouped) — an
+    UPDATE touching N segments of a bloom table must run the same job
+    count for N=2 and N=5, and the rewritten segments' blooms must
+    still point-prune correctly."""
+
+    def build(n_segs: int, name: str) -> CarbonStore:
+        store = CarbonStore(spark, str(tmp_path / name))
+        df = spark.range(0, 60 * n_segs).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        store.create_table(
+            "b", df.schema, sort_columns=["k"],
+            properties={"bloom_columns": "k"},
+        )
+        for i in range(n_segs):
+            store.load(
+                "b",
+                df.filter((F.col("k") >= i * 60) & (F.col("k") < (i + 1) * 60)),
+            )
+        return store
+
+    counts = {}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for n_segs in (2, 5):
+            store = build(n_segs, f"b{n_segs}")
+            before = _jobs(spark)
+            assert store.update_rows("b", "v % 120 = 0", {"v": "-1"}) == n_segs
+            counts[n_segs] = _jobs(spark) - before
+            # rewritten segments carry fresh blooms and still point-prune
+            segs = store.valid_segments("b")
+            assert all(e.blooms.get("k") for e in segs)
+            kept = store._prune_mutation_candidates(
+                segs, "k = 60", store._read_schema("b")
+            )
+            assert len(kept) == 1
+            assert store.scan("b", column="k", eq=60).count() == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert counts[2] == counts[5], (
+        f"bloom-table update job count grew with affected segments: {counts}"
     )

@@ -211,3 +211,120 @@ def test_strip_comments_quote_aware():
     assert "checkAnswer(x, y)" in out
     assert "trailing" not in out
     assert "a block" not in out
+
+
+# ---------------------------------------------------------------------------
+# r15 single-job rewrite writer: clustering-variant coverage (z-order
+# tables and hive-partitioned tables go through _write_rewrites too)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_table_update_delete_roundtrip(spark, tmp_path):
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "z"))
+    df = spark.range(0, 200).select(
+        F.col("id").alias("a"), (199 - F.col("id")).alias("b"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    store.create_table(
+        "z", df.schema, sort_columns=["a", "b"],
+        properties={"clustering": "zorder"},
+    )
+    store.load("z", df.filter("a < 100"))
+    store.load("z", df.filter("a >= 100"))
+    assert store.update_rows("z", "a IN (5, 150)", {"v": "-1"}) == 2
+    assert store.delete_rows("z", "a = 7") == 1
+    tbl = store.table("z")
+    assert tbl.count() == 199
+    assert tbl.filter("v = -1").count() == 2
+    # rewrites keep fresh zone maps (z-order stats recomputed)
+    rewrites = [
+        s for s in store.show_segments("z")
+        if s["origin"].get("op") in ("update", "delete")
+        and s["status"] == "Success"
+    ]
+    assert rewrites and all(s["stats"] for s in rewrites)
+
+
+def test_partitioned_table_merge_per_source(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "pm"))
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    store.create_table(
+        "pm", df.schema, sort_columns=["k"], partition_columns=["p"]
+    )
+    store.load("pm", df.filter("k < 60"))
+    store.load("pm", df.filter("k >= 60"))
+    src = spark.createDataFrame(
+        [Row(k=10, p="1", v=-1.0), Row(k=70, p="1", v=-2.0),
+         Row(k=500, p="2", v=-3.0)]
+    )
+    res = store.merge_rows("pm", src, keys="k")
+    assert res == {"updated": 2, "inserted": 1}
+    tbl = store.table("pm")
+    assert tbl.count() == 121
+    got = {r["k"]: (r["p"], r["v"]) for r in tbl.filter("v < 0").collect()}
+    assert got == {10: ("1", -1.0), 70: ("1", -2.0), 500: ("2", -3.0)}
+    # per-source rewrites, hive layout intact under each
+    rw = sorted(
+        s["origin"]["rewrite_of"] for s in store.show_segments("pm")
+        if s["origin"].get("op") == "merge"
+    )
+    assert rw == [0, 1]
+
+
+def test_partitioned_table_spanning_delete(spark, tmp_path):
+    """Regression (r15): a mutation whose candidates span MULTIPLE
+    segments of a hive-partitioned table — the tagged detection union
+    used to reference _metadata through the Union and crash; the tag is
+    now a per-read literal."""
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "sp"))
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    store.create_table("sp", df.schema, sort_columns=["k"], partition_columns=["p"])
+    store.load("sp", df.filter("k < 50"))
+    store.load("sp", df.filter("k >= 50"))
+    # v is not a sort column: no zone stats, both segments stay candidates
+    assert store.delete_rows("sp", "v IN (20.0, 140.0)") == 2
+    assert store.table("sp").count() == 98
+
+
+def test_grouped_bloom_bit_identical_to_single_segment(spark):
+    """Hash parity by construction: the grouped collector
+    (compute_segment_blooms_grouped, r15) must emit byte-identical
+    bitsets to the single-segment collector for the same rows — both go
+    through the same _position_exprs builder, one with a literal m, one
+    with a tag→m map column."""
+    from carbondata_spark.bloom import (
+        compute_segment_blooms,
+        compute_segment_blooms_grouped,
+    )
+
+    a = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("s")
+    )
+    b = spark.range(500, 600).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    singles = {
+        0: compute_segment_blooms(a, ["k", "s"]),
+        1: compute_segment_blooms(b, ["k", "s"]),
+    }
+    tagged = a.withColumn("_t", F.lit(0)).unionByName(
+        b.withColumn("_t", F.lit(1))
+    )
+    grouped = compute_segment_blooms_grouped(tagged, "_t", ["k", "s"])
+    assert grouped == singles
