@@ -1083,6 +1083,21 @@ class CarbonStore:
                 else:
                     keep.append(e)
             self._write_status(table, keep)
+            # GC orphaned rewrite staging dirs (a mutation killed between
+            # its staging write and the dir promotions leaves
+            # `.rewrite_staging_<id>` behind — the finally-cleanup never
+            # ran). Age-gated by the same grace as stale in-progress
+            # entries; a LIVE mutation holds reserved in-progress entries
+            # younger than that, so its staging is never touched.
+            part_dir = os.path.join(self._table_dir(table), "Fact", "Part0")
+            if os.path.isdir(part_dir):
+                for name in os.listdir(part_dir):
+                    p = os.path.join(part_dir, name)
+                    if (
+                        name.startswith(".rewrite_staging_")
+                        and now - os.path.getmtime(p) > stale_in_progress_s
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
         if floor:
             # advance the time-travel history floor: views older than the
             # newest invalidation we just physically removed are no longer

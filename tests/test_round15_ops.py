@@ -328,3 +328,26 @@ def test_grouped_bloom_bit_identical_to_single_segment(spark):
     )
     grouped = compute_segment_blooms_grouped(tagged, "_t", ["k", "s"])
     assert grouped == singles
+
+
+def test_clean_files_gcs_orphan_rewrite_staging(spark, tmp_path):
+    """A mutation killed between its staging write and the dir
+    promotions leaves `.rewrite_staging_<id>` behind; CLEAN FILES GCs
+    it with the same grace period as stale in-progress entries, and a
+    fresh staging dir survives."""
+    import os
+
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "gc"))
+    df = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    store.create_table("gc", df.schema, sort_columns=["k"])
+    store.load("gc", df)
+    part_dir = os.path.join(store._table_dir("gc"), "Fact", "Part0")
+    orphan = os.path.join(part_dir, ".rewrite_staging_99")
+    os.makedirs(orphan)
+    store.clean_files("gc", stale_in_progress_s=3600.0)
+    assert os.path.isdir(orphan), "young staging must survive (live mutation)"
+    store.clean_files("gc", stale_in_progress_s=0.0)
+    assert not os.path.isdir(orphan), "stale staging must be GCed"
+    assert store.table("gc").count() == 10
