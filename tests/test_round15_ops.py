@@ -351,3 +351,63 @@ def test_clean_files_gcs_orphan_rewrite_staging(spark, tmp_path):
     store.clean_files("gc", stale_in_progress_s=0.0)
     assert not os.path.isdir(orphan), "stale staging must be GCed"
     assert store.table("gc").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# property tests: arbitrary well-formed payloads decode exactly
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_property_random_payloads(spark):
+    import random
+    import struct
+
+    rng = random.Random(1517)
+    rows = []
+    expected = {}
+    for doc_id in range(24):
+        w, h = rng.randint(1, 17), rng.randint(1, 9)
+        px = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        # vary header whitespace/comment shapes
+        sep = rng.choice([b"\n", b" ", b"\t", b"\n# noise\n"])
+        buf = b"P6" + sep + str(w).encode() + b" " + str(h).encode() + b"\n255\n" + px
+        rows.append((doc_id, "image", bytearray(buf), ("ppm", len(buf))))
+        expected[doc_id] = (w, h, sum(px))
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, content binary, "
+        "meta struct<codec string, n_bytes long>",
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["pixel_sum"])
+        for r in decode_ppm(media).collect()
+    }
+    assert got == expected
+
+    # WAV: random channel/rate/amplitude payloads incl. extremes
+    rows2, exp2 = [], {}
+    for doc_id in range(24):
+        ch = rng.randint(1, 4)
+        rate = rng.choice([8000, 16000, 44100])
+        n = rng.randint(1, 64) * ch
+        samples = [rng.randint(-32768, 32767) for _ in range(n)]
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        buf = b"RIFF" + struct.pack("<I", len(body)) + body
+        rows2.append((doc_id, "audio", bytearray(buf), ("wav", len(buf))))
+        exp2[doc_id] = (ch, rate, n, sum(samples))
+    media2 = spark.createDataFrame(
+        rows2,
+        "doc_id long, media_type string, content binary, "
+        "meta struct<codec string, n_bytes long>",
+    )
+    got2 = {
+        r["doc_id"]: (r["n_channels"], r["sample_rate"], r["n_samples"], r["amp_sum"])
+        for r in decode_wav(media2).collect()
+    }
+    assert got2 == exp2
