@@ -411,3 +411,84 @@ def test_ppm_property_random_payloads(spark):
         for r in decode_wav(media2).collect()
     }
     assert got2 == exp2
+
+
+# ---------------------------------------------------------------------------
+# r15 rewrite paths × schema evolution and concurrent aborts
+# ---------------------------------------------------------------------------
+
+
+def test_update_and_merge_after_alter_add(spark, tmp_path):
+    """Mutations run through the single-job rewrite writer on a table
+    whose OLD segments predate an ALTER ADD: the tagged scan aligns old
+    segments with the default-filled new column, and the rewrite
+    segments materialize the current schema."""
+    from pyspark.sql import Row, types as T
+
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "ev"))
+    df = spark.range(0, 40).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    store.create_table("ev", df.schema, sort_columns=["k"])
+    store.load("ev", df.filter("k < 20"))
+    store.alter_add_columns(
+        "ev", [T.StructField("w", T.StringType())], defaults={"w": "old"}
+    )
+    store.load(
+        "ev",
+        df.filter("k >= 20").withColumn("w", F.lit("new")),
+    )
+    # update spans one pre-evolution and one post-evolution segment
+    assert store.update_rows("ev", "k IN (5, 25)", {"w": "'upd'"}) == 2
+    got = {r["k"]: r["w"] for r in store.table("ev").filter("k IN (4,5,24,25)").collect()}
+    assert got == {4: "old", 5: "upd", 24: "new", 25: "upd"}
+    # merge updates + inserts across the same mix
+    src = spark.createDataFrame(
+        [Row(k=6, v=-1.0, w="m"), Row(k=26, v=-2.0, w="m"), Row(k=99, v=-3.0, w="m")]
+    )
+    res = store.merge_rows("ev", src, keys="k")
+    assert res == {"updated": 2, "inserted": 1}
+    got = {r["k"]: (r["v"], r["w"]) for r in store.table("ev").filter("v < 0").collect()}
+    assert got == {6: (-1.0, "m"), 26: (-2.0, "m"), 99: (-3.0, "m")}
+    # pre-evolution rows outside the mutations (20 - k5 - k6) still
+    # read the default
+    assert store.table("ev").filter("w = 'old'").count() == 18
+
+
+def test_concurrent_state_change_aborts_merge(spark, tmp_path, monkeypatch):
+    """merge_rows shares _mutate_rows' all-or-nothing swap: a source
+    segment invalidated between the rewrite write and the manifest swap
+    aborts EVERY provisional segment (rewrites AND insert) and modifies
+    nothing."""
+    from pyspark.sql import Row
+
+    from carbondata_spark.store import CarbonStore
+
+    store = CarbonStore(spark, str(tmp_path / "ab"))
+    df = spark.range(0, 40).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    store.create_table("ab", df.schema, sort_columns=["k"])
+    store.load("ab", df.filter("k < 20"))
+    store.load("ab", df.filter("k >= 20"))
+
+    real = CarbonStore._write_rewrites
+    fired = {"done": False}
+
+    def racy(self, table, out, rw_col, new_ids, meta, total_rows):
+        got = real(self, table, out, rw_col, new_ids, meta, total_rows)
+        if not fired["done"]:
+            fired["done"] = True
+            self.delete_segments("ab", [0])
+        return got
+
+    monkeypatch.setattr(CarbonStore, "_write_rewrites", racy)
+    src = spark.createDataFrame([Row(k=5, v=-1.0), Row(k=25, v=-2.0), Row(k=99, v=-3.0)])
+    with pytest.raises(RuntimeError, match="MERGE aborted"):
+        store.merge_rows("ab", src, keys="k")
+    monkeypatch.setattr(CarbonStore, "_write_rewrites", real)
+    # only the concurrent whole-segment delete took effect
+    assert store.table("ab").count() == 20
+    assert store.table("ab").filter("v < 0").count() == 0
+    # provisional segments are dead and GC-able
+    store.clean_files("ab", stale_in_progress_s=0.0)
+    live = sorted(e.segment_id for e in store.valid_segments("ab"))
+    assert live == [1]
