@@ -595,16 +595,32 @@ class CarbonStore:
         IUD rewrite (one fewer job per rewritten segment; at 100 TB the
         footer walk is the same bounded metadata pass the zone-map
         collection already does)."""
+        return sum(
+            md.num_rows for md in self._footer_metadata(seg_dir).values()
+        )
+
+    @staticmethod
+    def _footer_metadata(seg_dir: str) -> dict[str, Any]:
+        """{file -> parquet FileMetaData} for every parquet file under a
+        segment dir, read through a bounded thread pool: footer reads are
+        tiny I/O-bound requests (pyarrow releases the GIL), and a broad
+        mutation promoting MANY rewrite segments would otherwise serialize
+        hundreds of them on the driver — noticeable on object stores."""
         import glob as _glob
+        from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
-        return sum(
-            pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(
-                os.path.join(seg_dir, "**", "*.parquet"), recursive=True
-            )
+        files = sorted(
+            _glob.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True)
         )
+        if not files:
+            return {}
+        if len(files) == 1:
+            return {files[0]: pq.ParquetFile(files[0]).metadata}
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            metas = list(ex.map(lambda f: pq.ParquetFile(f).metadata, files))
+        return dict(zip(files, metas))
 
     def _collect_segment_stats(self, seg_dir: str, cols: list[str]) -> dict[str, list]:
         """Per-segment [min, max] for the sort columns, from parquet row-
@@ -617,9 +633,6 @@ class CarbonStore:
         JSON-unfriendly or statless columns are skipped (never pruned on).
         """
         import datetime
-        import glob as _glob
-
-        import pyarrow.parquet as pq
 
         if not cols:
             return {}
@@ -635,8 +648,7 @@ class CarbonStore:
 
         acc: dict[str, list] = {}
         unknown: set[str] = set()
-        for f in _glob.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True):
-            md = pq.ParquetFile(f).metadata
+        for md in self._footer_metadata(seg_dir).values():
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             for c in cols:
                 if c not in idx or c in unknown:
