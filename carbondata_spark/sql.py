@@ -166,6 +166,15 @@ _LOAD_OPTION_KEYS = frozenset(
 )
 
 
+def _local_load_path(path: str) -> str | None:
+    """Resolve a LOAD DATA input to a local filesystem path, or None for
+    a non-local URI (hdfs://, s3a://, ...) where the per-file header
+    validation's raw readline is impossible and the documented
+    uniform-header assumption applies."""
+    local = re.sub(r"^file:(//)?", "", path)
+    return local if os.path.exists(local) else None
+
+
 class CarbonSession:
     """sql() entry point over a CarbonStore."""
 
@@ -1010,15 +1019,21 @@ class CarbonSession:
                 with_complex_columns,
             )
 
-            delimiter = unescape_delimiter(opts.get("delimiter", ","))
+            raw_delimiter = opts.get("delimiter", ",")
+            delimiter = unescape_delimiter(raw_delimiter)
             # the reference rejects a field delimiter colliding with
-            # either complex-type delimiter outright
-            # (cubeSchema.scala:1881-1885)
+            # either complex-type delimiter outright, comparing the RAW
+            # option spellings (cubeSchema.scala:1881-1885) — DELIMITER
+            # '\t' vs COMPLEX_DELIMITER_LEVEL_1 '\t' errors there even
+            # though only the field delimiter is later unescaped. Match
+            # that, and ALSO reject when the unescaped delimiter equals a
+            # complex delimiter (differing spellings of the same byte
+            # would corrupt the complex-column split downstream).
             cd1 = opts.get("complex_delimiter_level_1", "$")
             cd2 = opts.get("complex_delimiter_level_2", ":")
             if (
-                delimiter.lower() == cd1.lower()
-                or delimiter.lower() == cd2.lower()
+                raw_delimiter.lower() in (cd1.lower(), cd2.lower())
+                or delimiter.lower() in (cd1.lower(), cd2.lower())
                 or cd1.lower() == cd2.lower()
             ):
                 raise ValueError(
@@ -1064,14 +1079,39 @@ class CarbonSession:
                 # a management-path load, and the check is a header-line
                 # read per file, not a data scan); non-local URIs keep
                 # the documented uniform-header assumption.
-                local = re.sub(r"^file:(//)?", "", path)
-                if os.path.isdir(local):
+                local = _local_load_path(path)
+                if local is None:
+                    # non-local URI (hdfs://, s3a://, ...): the per-file
+                    # validation below needs a local readline; keep the
+                    # documented uniform-header assumption but say so —
+                    # a directory mixing header orders would silently
+                    # mis-project every non-peeked file.
+                    import warnings
+
+                    warnings.warn(
+                        f"LOAD DATA from non-local path {path!r} with a "
+                        "file-carried header: per-file header validation "
+                        "is skipped; all files are assumed to share the "
+                        "peeked header (pass FILEHEADER to be explicit)",
+                        stacklevel=2,
+                    )
+                if local is not None and os.path.isdir(local):
                     import glob as _glob
 
+                    # compressed members (Spark decompresses transparently
+                    # on read; a raw readline here would see gzip bytes
+                    # and spuriously mismatch) keep the documented
+                    # uniform-header assumption, like non-local URIs
+                    _compressed = (
+                        ".gz", ".bz2", ".zst", ".lz4", ".deflate",
+                        ".snappy", ".xz", ".br",
+                    )
                     members = sorted(
                         f
                         for f in _glob.glob(os.path.join(local, "*"))
-                        if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+                        if os.path.isfile(f)
+                        and not os.path.basename(f).startswith((".", "_"))
+                        and not f.lower().endswith(_compressed)
                     )
                     # check every member (the peeked file compares equal
                     # to itself); cap keeps this a bounded check

@@ -58,7 +58,19 @@ def strip_comments(src: str) -> str:
     out, i, n = [], 0, len(src)
     while i < n:
         ch = src[i]
-        if ch == '"':
+        if ch == "'" and (
+            (i + 2 < n and src[i + 1] != "\\" and src[i + 2] == "'")
+            or (i + 3 < n and src[i + 1] == "\\" and src[i + 3] == "'")
+        ):
+            # Scala char literal ('x', '\n', '"', '\\'): copy verbatim so
+            # a '"' literal does not open a pseudo-string that would
+            # swallow real comments until the next double quote. A bare
+            # apostrophe (Scala symbol / Hive-style quote inside SQL
+            # text) falls through — only quote-char-quote shapes match.
+            width = 4 if src[i + 1] == "\\" else 3
+            out.append(src[i : i + width])
+            i += width
+        elif ch == '"':
             # copy the string literal verbatim (escape-aware); triple-
             # quoted strings copy as three adjacent literals, of which
             # the middle sees no escapes worth interpreting here

@@ -345,3 +345,77 @@ def test_delimiter_complex_collision_rejected(cs):
             f"LOAD DATA FACT FROM '{path}' INTO CUBE t_coll "
             "PARTITIONDATA(COMPLEX_DELIMITER_LEVEL_1 ':')"
         )
+
+
+def test_delimiter_complex_collision_raw_spelling(cs):
+    """r16 (ADVICE): the reference compares RAW option spellings
+    (cubeSchema.scala:1881-1885) — DELIMITER '\\t' (backslash-t, later
+    unescaped to a tab) against COMPLEX_DELIMITER_LEVEL_1 '\\t' (kept
+    raw) must collide, even though the unescaped byte differs from the
+    raw spelling."""
+    path = _write(["id\tcity\tamt", "1\tx\t2.5"])
+    _mk(cs, "t_collraw")
+    with pytest.raises(Exception, match="delimiter are same"):
+        cs.sql(
+            f"LOAD DATA INPATH '{path}' INTO TABLE t_collraw "
+            "OPTIONS('delimiter'='\\t', 'complex_delimiter_level_1'='\\t')"
+        )
+    # and the unescaped-byte collision is still caught: an ACTUAL tab
+    # complex delimiter vs the unescaped '\t' field delimiter (only
+    # constructible through the options dict — SQL text trims the tab)
+    with pytest.raises(Exception, match="delimiter are same"):
+        cs._load_data(
+            path,
+            "t_collraw",
+            {"delimiter": "\\t", "complex_delimiter_level_1": "\t"},
+        )
+
+
+def test_header_peek_skips_compressed_members(cs):
+    """r16 (ADVICE): a .csv.gz member is decompressed transparently by
+    Spark's reader, but the per-file header validation's raw readline
+    would see gzip bytes and spuriously reject the load — compressed
+    members keep the documented uniform-header assumption instead."""
+    import gzip
+
+    d = mkdtemp(prefix="loadopts_gzdir_")
+    with open(os.path.join(d, "a.csv"), "w") as f:
+        f.write("id,city,amt\n1,bonn,2.5\n")
+    with gzip.open(os.path.join(d, "b.csv.gz"), "wt") as f:
+        f.write("id,city,amt\n2,kiel,3.5\n")
+    _mk(cs, "t_gz")
+    cs.sql(f"LOAD DATA INPATH '{d}' INTO TABLE t_gz")
+    assert _rows(cs, "t_gz") == {(1, "bonn", 2.5), (2, "kiel", 3.5)}
+
+
+def test_file_uri_conflicting_headers_rejected(cs):
+    """r16: the per-file header validation also covers file:// URIs —
+    a two-file directory whose members carry DIFFERENT headers would
+    silently mis-project every non-peeked file and must raise."""
+    d = mkdtemp(prefix="loadopts_conflict_")
+    with open(os.path.join(d, "a.csv"), "w") as f:
+        f.write("id,city,amt\n1,bonn,2.5\n")
+    with open(os.path.join(d, "b.csv"), "w") as f:
+        f.write("amt,city,id\n3.5,kiel,2\n")
+    _mk(cs, "t_conflict")
+    with pytest.raises(ValueError, match="different from the peeked"):
+        cs.sql(f"LOAD DATA INPATH 'file://{d}' INTO TABLE t_conflict")
+
+
+def test_nonlocal_header_carried_load_warns(cs, monkeypatch):
+    """r16: a non-local URI (hdfs://, s3a://, ...) with a file-carried
+    header cannot be per-file validated driver-side — the load proceeds
+    under the documented uniform-header assumption but WARNS, so a
+    directory mixing header orders is at least diagnosable."""
+    import warnings
+
+    import carbondata_spark.sql as sql_mod
+
+    p = _write(["id,city,amt", "1,bonn,2.5"])
+    monkeypatch.setattr(sql_mod, "_local_load_path", lambda path: None)
+    _mk(cs, "t_nonlocal")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE t_nonlocal")
+    assert any("per-file header validation is skipped" in str(x.message) for x in w)
+    assert _rows(cs, "t_nonlocal") == {(1, "bonn", 2.5)}

