@@ -120,36 +120,60 @@ def _q03_raw_parquet_form(spark, sf_dir):
 
 
 _CDC_BASE: dict[str, str] = {}  # sf_dir -> pre-built base store path
+_CDC_FRESH: list[str] = []  # store copies staged OUTSIDE the timed window
 
 
-def _merge_cdc_form(spark, sf_dir):
-    """A FULL MERGE INTO cycle per measurement (r15 headline): the
-    registry's q_store_merge caches its build, so its steady-state
-    timing is only the merged-table read — this form copies a pre-built
-    two-segment orders store and runs merge_rows (zone-map candidate
-    prune → one semi-join detection job → per-source-segment rewrite in
-    one job → insert segment → atomic swap) fresh each time, so drift
-    in the CDC path itself is a measured number per round."""
+def _merge_cdc_prepare(spark, sf_dir):
+    """Per-iteration setup for q_store_merge_cdc, run BEFORE the timer
+    starts (r16: the ~0.2 s driver-side shutil copy of the base store
+    was ~7% of the r15 headline and would mask real CDC-path drift)."""
     import shutil as _shutil
 
+    from carbondata_spark.query_defs._tmpdirs import mkdtemp
+
+    _ensure_cdc_base(spark, sf_dir)
+    fresh = mkdtemp(prefix="carbondata_benchcdc_run_")
+    _shutil.rmtree(fresh)
+    _shutil.copytree(_CDC_BASE[sf_dir], fresh)
+    _CDC_FRESH.append(fresh)
+
+
+def _ensure_cdc_base(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from carbondata_spark.catalog import load_table
     from carbondata_spark.query_defs._tmpdirs import mkdtemp
     from carbondata_spark.store import CarbonStore
 
-    orders = load_table(spark, sf_dir, "orders")
     if sf_dir not in _CDC_BASE:
+        orders = load_table(spark, sf_dir, "orders")
         base = mkdtemp(prefix="carbondata_benchcdc_base_")
         st = CarbonStore(spark, base)
         st.create_table("ord", orders.schema, sort_columns=["o_orderkey"])
         st.load("ord", orders.filter(F.col("o_orderkey") % 2 == 0))
         st.load("ord", orders.filter(F.col("o_orderkey") % 2 == 1))
         _CDC_BASE[sf_dir] = base
-    fresh = mkdtemp(prefix="carbondata_benchcdc_run_")
-    _shutil.rmtree(fresh)
-    _shutil.copytree(_CDC_BASE[sf_dir], fresh)
-    store = CarbonStore(spark, fresh)
+
+
+def _merge_cdc_form(spark, sf_dir):
+    """A FULL MERGE INTO cycle per measurement (r15 headline): the
+    registry's q_store_merge caches its build, so its steady-state
+    timing is only the merged-table read — this form runs merge_rows
+    (zone-map candidate prune → one semi-join detection job →
+    per-source-segment rewrite in one job → insert segment → atomic
+    swap) against a freshly copied two-segment orders store each time,
+    so drift in the CDC path itself is a measured number per round. The
+    store copy itself happens in _merge_cdc_prepare OUTSIDE the timed
+    window (r16 rebaseline)."""
+    from pyspark.sql import functions as F
+
+    from carbondata_spark.catalog import load_table
+    from carbondata_spark.store import CarbonStore
+
+    orders = load_table(spark, sf_dir, "orders")
+    if not _CDC_FRESH:  # warmup / standalone call: stage a copy inline
+        _merge_cdc_prepare(spark, sf_dir)
+    store = CarbonStore(spark, _CDC_FRESH.pop())
     hits = orders.filter(F.col("o_orderkey") % 10 == 3)
     bumped = hits.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
     source = bumped.unionByName(
@@ -203,10 +227,15 @@ def main() -> None:
     # engine throughput (three passes after r4 showed a single burst can
     # still straddle both measurements of an early query: minhash 1.5s
     # engine floor recorded as 3.1s).
+    # per-iteration setup hooks run BEFORE the timer (store copies and
+    # other harness plumbing are not engine throughput)
+    setup = {"q_store_merge_cdc": _merge_cdc_prepare}
     timings: dict[str, float] = {n: float("inf") for n in names}
     for _ in range(3):
         for name in names:
             spark.catalog.clearCache()
+            if name in setup:
+                setup[name](spark, sf_dir)
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).collect()
             timings[name] = min(timings[name], time.perf_counter() - t0)

@@ -233,3 +233,126 @@ def decode_wav(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=WAV_DECODED_SCHEMA)
+
+
+BMP_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, bits int, "
+    "pixel_sum long, top_row_sum long"
+)
+
+
+def synth_bmp(docs: DataFrame) -> DataFrame:
+    """Deterministic 24-bit uncompressed BMP (BITMAPINFOHEADER / BI_RGB)
+    fixture encoder: width = 3 + doc_id % 5, height = 2 + doc_id % 3,
+    pixel byte i (BGR, IMAGE row-major from the top-left) =
+    (doc_id*11 + i) % 256 — stored bottom-up with rows padded to 4-byte
+    boundaries, as the format requires. A 2-byte gap is left between the
+    headers and the pixel array so the decoder must honor the pixel-data
+    OFFSET field rather than assume 54."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def enc(doc_id: int) -> bytes:
+            w, h = 3 + doc_id % 5, 2 + doc_id % 3
+            stride = (3 * w + 3) & ~3
+            gap = b"\x00\x00"  # exercises the offset field
+            offset = 14 + 40 + len(gap)
+            size = offset + stride * h
+            file_hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, offset)
+            info_hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+            )
+            rows = []
+            for y in range(h - 1, -1, -1):  # bottom-up storage order
+                base = 3 * w * y
+                row = bytes((doc_id * 11 + base + x) % 256 for x in range(3 * w))
+                rows.append(row + b"\x00" * (stride - 3 * w))
+            return file_hdr + info_hdr + gap + b"".join(rows)
+
+        for pdf in it:
+            content = [enc(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": "image",
+                    "content": content,
+                    "meta": [
+                        {"codec": "image/bmp", "n_bytes": len(c)}
+                        for c in content
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_bmp(media: DataFrame) -> DataFrame:
+    """REAL image decode kernel — no external codec: 24-bit BI_RGB BMP is
+    two fixed headers plus raw padded BGR rows stored bottom-up. Parses
+    the file header (honoring the pixel-array offset field) and
+    BITMAPINFOHEADER, rejects anything but uncompressed 24-bit single-
+    plane payloads, and reads the pixel array row-by-row with the 4-byte
+    stride — the ``top_row_sum`` statistic (first IMAGE row = LAST stored
+    row) fails if stride or bottom-up order is mishandled, which a plain
+    whole-buffer sum would mask. Negative height (top-down storage) is
+    honored; malformed or truncated payloads raise."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse(buf: bytes) -> tuple[int, int, int, int, int]:
+            if buf[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            if len(buf) < 54:
+                raise ValueError("truncated BMP header")
+            (offset,) = struct.unpack("<I", buf[10:14])
+            hdr_size, w, h_raw, planes, bits, compression = struct.unpack(
+                "<IiiHHI", buf[14:34]
+            )
+            if hdr_size < 40:
+                raise ValueError(f"unsupported BMP header size {hdr_size}")
+            if planes != 1 or bits != 24 or compression != 0:
+                raise ValueError(
+                    f"only uncompressed 24-bit BMP supported "
+                    f"(planes={planes}, bits={bits}, compression={compression})"
+                )
+            top_down = h_raw < 0
+            h = -h_raw if top_down else h_raw
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+            stride = (3 * w + 3) & ~3
+            if len(buf) < offset + stride * h:
+                raise ValueError(
+                    f"truncated BMP pixel array: {len(buf) - offset} of "
+                    f"{stride * h} bytes"
+                )
+            arr = np.frombuffer(
+                buf, dtype=np.uint8, count=stride * h, offset=offset
+            ).reshape(h, stride)[:, : 3 * w]
+            if not top_down:
+                arr = arr[::-1]  # restore image (top-first) row order
+            return (
+                w,
+                h,
+                bits,
+                int(arr.sum(dtype=np.int64)),
+                int(arr[0].sum(dtype=np.int64)),
+            )
+
+        for pdf in it:
+            parsed = [parse(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [p[0] for p in parsed],
+                    "height": [p[1] for p in parsed],
+                    "bits": [p[2] for p in parsed],
+                    "pixel_sum": [p[3] for p in parsed],
+                    "top_row_sum": [p[4] for p in parsed],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=BMP_DECODED_SCHEMA)

@@ -87,3 +87,36 @@ def p_media_wav(spark: SparkSession, sf_dir: str):
     from carbondata_spark.operators.media_codecs import decode_wav, synth_wav
 
     return decode_wav(synth_wav(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "p_media_bmp",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS w,
+             2 + doc_id % 3 AS h,
+             unnest(range(0, 3 * (3 + doc_id % 5) * (2 + doc_id % 3))) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(24 AS INT) AS bits,
+           CAST(sum((doc_id * 11 + i) % 256) AS BIGINT) AS pixel_sum,
+           CAST(sum(CASE WHEN i < 3 * w THEN (doc_id * 11 + i) % 256 END)
+                AS BIGINT) AS top_row_sum
+    FROM px GROUP BY doc_id, w, h
+    """,
+    doc="REAL image decode #2 (r16, codec-free): one 24-bit uncompressed "
+    "BMP per document — bottom-up padded rows and a non-default "
+    "pixel-array offset synthesized by synth_bmp — parsed by decode_bmp "
+    "inside mapInPandas. top_row_sum is position-sensitive: it breaks if "
+    "the 4-byte row stride or the bottom-up row order is mishandled, "
+    "which a whole-buffer sum would mask. The oracle recomputes both "
+    "statistics from the generator's closed form.",
+)
+def p_media_bmp(spark: SparkSession, sf_dir: str):
+    from carbondata_spark.operators.media_codecs import decode_bmp, synth_bmp
+
+    return decode_bmp(synth_bmp(t(spark, sf_dir, "documents")))
