@@ -360,3 +360,124 @@ def test_bmp_honors_pixel_offset_field(spark):
     a = decode_bmp(_media_df(spark, buf)).collect()[0]
     b = decode_bmp(_media_df(spark, stripped)).collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_merge_crash_during_insert_write_recovers(spark, tmp_path):
+    """MERGE writes its rewrites (staged+promoted) BEFORE the insert
+    segment; a crash during the insert write leaves promoted rewrite
+    dirs, a partial insert dir, and reserved In Progress entries — but
+    the all-or-nothing swap never ran, so reads stay pre-merge and
+    clean_files GCs everything (reserved entries AND their dirs)."""
+    from pyspark.sql import Row
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    store = _build_store(spark, tmp_path, n_segs=3)
+    before_rows = {tuple(r) for r in store.table("t").collect()}
+    src = spark.createDataFrame(
+        # k=0/60 update segments 0-1; k=900/901 are inserts
+        [Row(k=0, v=-1), Row(k=60, v=-1), Row(k=900, v=-2), Row(k=901, v=-2)]
+    )
+
+    real_parquet = DataFrameWriter.parquet
+    state = {"staged": 0}
+
+    def crashing_parquet(self, path, **kw):
+        if ".rewrite_staging_" in path:
+            state["staged"] += 1
+        elif "Segment_" in path and state["staged"]:
+            # the insert segment write, AFTER the rewrites landed
+            raise OSError(28, "injected crash during merge insert write")
+        return real_parquet(self, path, **kw)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(DataFrameWriter, "parquet", crashing_parquet)
+        with pytest.raises(OSError, match="injected crash"):
+            store.merge_rows("t", src, keys="k")
+    assert state["staged"] == 1, "rewrite staging must have been written"
+
+    # pre-merge reads; reserved entries (2 rewrites + 1 insert) remain
+    assert {tuple(r) for r in store.table("t").collect()} == before_rows
+    in_prog = [
+        s for s in store.show_segments("t") if s["status"] == "Load In Progress"
+    ]
+    assert len(in_prog) == 3
+    reserved_dirs = [
+        store._segment_dir("t", s["segment_id"]) for s in in_prog
+    ]
+    promoted = [d for d in reserved_dirs if os.path.isdir(d)]
+    assert len(promoted) == 2, "both rewrite dirs were promoted pre-crash"
+
+    time.sleep(0.1)
+    removed = store.clean_files("t", stale_in_progress_s=0.05)
+    assert {s["segment_id"] for s in in_prog} <= set(removed)
+    assert not any(os.path.isdir(d) for d in reserved_dirs)
+    assert {tuple(r) for r in store.table("t").collect()} == before_rows
+
+    # the same merge now succeeds end-to-end
+    res = store.merge_rows("t", src, keys="k")
+    assert res == {"updated": 2, "inserted": 2}
+    assert store.table("t").filter("v = -1").count() == 2
+    assert store.table("t").filter("v = -2").count() == 2
+
+
+# hypothesis property pin: decode_bmp vs an INDEPENDENT in-test encoder
+# (same style as test_ivf_adc_properties.py — Spark compared against a
+# pure-Python replay of the format spec, not against synth_bmp)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+bmp_case = st.tuples(
+    st.integers(min_value=1, max_value=7),   # width
+    st.integers(min_value=1, max_value=5),   # height
+    st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+    st.booleans(),                            # top-down storage
+    st.integers(min_value=0, max_value=9),    # gap before pixel array
+)
+
+
+def _encode_bmp(w, h, seed, top_down, gap):
+    """Independent reference encoder (struct-by-hand, no synth_bmp)."""
+    import struct
+
+    px = [(seed + i) % 256 for i in range(3 * w * h)]  # image row-major
+    stride = (3 * w + 3) & ~3
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    body = b"".join(
+        bytes(px[3 * w * y : 3 * w * (y + 1)]) + b"\x00" * (stride - 3 * w)
+        for y in ys
+    )
+    offset = 54 + gap
+    return (
+        b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, -h if top_down else h, 1, 24, 0, len(body), 0, 0, 0, 0,
+        )
+        + b"\x00" * gap
+        + body
+    ), px
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(bmp_case, min_size=1, max_size=4))
+def test_bmp_decode_property_roundtrip(spark, cases):
+    from carbondata_spark.operators.media_codecs import decode_bmp
+
+    rows, expect = [], {}
+    for i, (w, h, seed, top_down, gap) in enumerate(cases):
+        buf, px = _encode_bmp(w, h, seed, top_down, gap)
+        rows.append((i, "image", bytearray(buf), ("image/bmp", len(buf))))
+        expect[i] = (w, h, sum(px), sum(px[: 3 * w]))
+    media = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, content binary, "
+        "meta struct<codec string, n_bytes long>",
+    )
+    got = {r["doc_id"]: r for r in decode_bmp(media).collect()}
+    assert set(got) == set(expect)
+    for i, (w, h, psum, tsum) in expect.items():
+        r = got[i]
+        assert (r["width"], r["height"], r["bits"]) == (w, h, 24)
+        assert (r["pixel_sum"], r["top_row_sum"]) == (psum, tsum)
