@@ -45,6 +45,130 @@ WAV_DECODED_SCHEMA = (
 )
 
 
+# Parser FACTORIES: each returns a self-contained parse closure (stdlib +
+# numpy only, imports bound inside the factory). Kernels call a factory
+# on the DRIVER and close over the returned function, so cloudpickle
+# serializes the parser BY VALUE — executor python workers never need
+# carbondata_spark on their sys.path (the driver may run from outside the
+# repo), only numpy. This also lets decode_media_dispatch reuse the exact
+# single-format parsers instead of duplicating them.
+
+
+def _make_ppm_parser():
+    import numpy as np
+
+    def parse(buf: bytes) -> tuple[int, int, int, int]:
+        if buf[:2] != b"P6":
+            raise ValueError("not a binary PPM (P6) payload")
+        fields: list[int] = []
+        pos = 2
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":
+                while pos < len(buf) and buf[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated PPM header")
+            fields.append(int(buf[start:pos]))
+        pos += 1  # exactly one whitespace byte after maxval
+        w, h, maxval = fields
+        if not (0 < maxval < 256):
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        n = 3 * w * h
+        px = np.frombuffer(buf, dtype=np.uint8, offset=pos)
+        if px.size < n:
+            raise ValueError(
+                f"truncated PPM payload: {px.size} of {n} pixel bytes"
+            )
+        px = px[:n]
+        return w, h, maxval, int(px.sum(dtype=np.int64))
+
+    return parse
+
+
+def _make_wav_parser():
+    import struct
+
+    import numpy as np
+
+    def parse(buf: bytes) -> tuple[int, int, int, int, int]:
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # odd chunks carry a pad byte
+        if fmt is None or data is None:
+            raise ValueError("WAVE missing fmt/data chunk")
+        audio_format, ch, rate, _brate, _align, bits = fmt
+        if audio_format != 1 or bits != 16:
+            raise ValueError(
+                f"only PCM16 supported (format={audio_format}, bits={bits})"
+            )
+        samples = np.frombuffer(data, dtype="<i2")
+        return ch, rate, bits, samples.size, int(samples.sum(dtype=np.int64))
+
+    return parse
+
+
+def _make_bmp_parser():
+    import struct
+
+    import numpy as np
+
+    def parse(buf: bytes) -> tuple[int, int, int, int, int]:
+        if buf[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        if len(buf) < 54:
+            raise ValueError("truncated BMP header")
+        (offset,) = struct.unpack("<I", buf[10:14])
+        hdr_size, w, h_raw, planes, bits, compression = struct.unpack(
+            "<IiiHHI", buf[14:34]
+        )
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        if planes != 1 or bits != 24 or compression != 0:
+            raise ValueError(
+                f"only uncompressed 24-bit BMP supported "
+                f"(planes={planes}, bits={bits}, compression={compression})"
+            )
+        top_down = h_raw < 0
+        h = -h_raw if top_down else h_raw
+        if w <= 0 or h <= 0:
+            raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+        stride = (3 * w + 3) & ~3
+        if len(buf) < offset + stride * h:
+            raise ValueError(
+                f"truncated BMP pixel array: {len(buf) - offset} of "
+                f"{stride * h} bytes"
+            )
+        arr = np.frombuffer(
+            buf, dtype=np.uint8, count=stride * h, offset=offset
+        ).reshape(h, stride)[:, : 3 * w]
+        if not top_down:
+            arr = arr[::-1]  # restore image (top-first) row order
+        return (
+            w,
+            h,
+            bits,
+            int(arr.sum(dtype=np.int64)),
+            int(arr[0].sum(dtype=np.int64)),
+        )
+
+    return parse
+
+
 def synth_ppm(docs: DataFrame) -> DataFrame:
     """Deterministic binary-PPM (P6) fixture encoder: one real image per
     doc_id in the media column model. width = 4 + doc_id % 5, height =
@@ -86,43 +210,9 @@ def decode_ppm(media: DataFrame) -> DataFrame:
     and pixel statistics; malformed or truncated payloads raise (bad
     media must fail loudly, not decode to garbage)."""
 
-    # closure stays self-contained (stdlib + numpy/pandas only): executor
-    # workers cannot import carbondata_spark when the driver runs from
-    # outside the repo
+    parse = _make_ppm_parser()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        def parse(buf: bytes) -> tuple[int, int, int, int]:
-            if buf[:2] != b"P6":
-                raise ValueError("not a binary PPM (P6) payload")
-            fields: list[int] = []
-            pos = 2
-            while len(fields) < 3:
-                while pos < len(buf) and buf[pos : pos + 1].isspace():
-                    pos += 1
-                if buf[pos : pos + 1] == b"#":
-                    while pos < len(buf) and buf[pos] != 0x0A:
-                        pos += 1
-                    continue
-                start = pos
-                while pos < len(buf) and not buf[pos : pos + 1].isspace():
-                    pos += 1
-                if start == pos:
-                    raise ValueError("truncated PPM header")
-                fields.append(int(buf[start:pos]))
-            pos += 1  # exactly one whitespace byte after maxval
-            w, h, maxval = fields
-            if not (0 < maxval < 256):
-                raise ValueError(f"unsupported PPM maxval {maxval}")
-            n = 3 * w * h
-            px = np.frombuffer(buf, dtype=np.uint8, offset=pos)
-            if px.size < n:
-                raise ValueError(
-                    f"truncated PPM payload: {px.size} of {n} pixel bytes"
-                )
-            px = px[:n]
-            return w, h, maxval, int(px.sum(dtype=np.int64))
-
         for pdf in it:
             parsed = [parse(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
@@ -191,34 +281,9 @@ def decode_wav(media: DataFrame) -> DataFrame:
     chunks, honoring the odd-size pad byte) to ``fmt `` and ``data``,
     then ``np.frombuffer('<i2')`` for the sample statistics."""
 
+    parse = _make_wav_parser()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        import numpy as np
-
-        def parse(buf: bytes) -> tuple[int, int, int, int, int]:
-            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-                raise ValueError("not a RIFF/WAVE payload")
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(buf):
-                cid = buf[pos : pos + 4]
-                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-                body = buf[pos + 8 : pos + 8 + size]
-                if cid == b"fmt ":
-                    fmt = struct.unpack("<HHIIHH", body[:16])
-                elif cid == b"data":
-                    data = body
-                pos += 8 + size + (size & 1)  # odd chunks carry a pad byte
-            if fmt is None or data is None:
-                raise ValueError("WAVE missing fmt/data chunk")
-            audio_format, ch, rate, _brate, _align, bits = fmt
-            if audio_format != 1 or bits != 16:
-                raise ValueError(
-                    f"only PCM16 supported (format={audio_format}, bits={bits})"
-                )
-            samples = np.frombuffer(data, dtype="<i2")
-            return ch, rate, bits, samples.size, int(samples.sum(dtype=np.int64))
-
         for pdf in it:
             parsed = [parse(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
@@ -298,50 +363,9 @@ def decode_bmp(media: DataFrame) -> DataFrame:
     whole-buffer sum would mask. Negative height (top-down storage) is
     honored; malformed or truncated payloads raise."""
 
+    parse = _make_bmp_parser()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        import numpy as np
-
-        def parse(buf: bytes) -> tuple[int, int, int, int, int]:
-            if buf[:2] != b"BM":
-                raise ValueError("not a BMP payload")
-            if len(buf) < 54:
-                raise ValueError("truncated BMP header")
-            (offset,) = struct.unpack("<I", buf[10:14])
-            hdr_size, w, h_raw, planes, bits, compression = struct.unpack(
-                "<IiiHHI", buf[14:34]
-            )
-            if hdr_size < 40:
-                raise ValueError(f"unsupported BMP header size {hdr_size}")
-            if planes != 1 or bits != 24 or compression != 0:
-                raise ValueError(
-                    f"only uncompressed 24-bit BMP supported "
-                    f"(planes={planes}, bits={bits}, compression={compression})"
-                )
-            top_down = h_raw < 0
-            h = -h_raw if top_down else h_raw
-            if w <= 0 or h <= 0:
-                raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
-            stride = (3 * w + 3) & ~3
-            if len(buf) < offset + stride * h:
-                raise ValueError(
-                    f"truncated BMP pixel array: {len(buf) - offset} of "
-                    f"{stride * h} bytes"
-                )
-            arr = np.frombuffer(
-                buf, dtype=np.uint8, count=stride * h, offset=offset
-            ).reshape(h, stride)[:, : 3 * w]
-            if not top_down:
-                arr = arr[::-1]  # restore image (top-first) row order
-            return (
-                w,
-                h,
-                bits,
-                int(arr.sum(dtype=np.int64)),
-                int(arr[0].sum(dtype=np.int64)),
-            )
-
         for pdf in it:
             parsed = [parse(bytes(c)) for c in pdf["content"]]
             yield pd.DataFrame(
@@ -356,3 +380,70 @@ def decode_bmp(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=BMP_DECODED_SCHEMA)
+
+
+MEDIA_DISPATCH_SCHEMA = (
+    "doc_id long, codec string, width int, height int, n_channels int, "
+    "sample_rate int, unit_count long, value_sum long"
+)
+
+
+def synth_media_mixed(docs: DataFrame) -> DataFrame:
+    """Heterogeneous media fixture: one payload per doc_id, format routed
+    by doc_id % 3 (0 → binary PPM, 1 → RIFF/WAVE PCM16, 2 → 24-bit BMP),
+    reusing the three single-format synthesizers unchanged — the real
+    multimodal table shape, where one binary column carries several
+    codecs and ``meta.codec`` types each row."""
+    from pyspark.sql import functions as F
+
+    m = F.col("doc_id") % 3
+    return (
+        synth_ppm(docs.filter(m == 0))
+        .unionByName(synth_wav(docs.filter(m == 1)))
+        .unionByName(synth_bmp(docs.filter(m == 2)))
+    )
+
+
+def decode_media_dispatch(media: DataFrame) -> DataFrame:
+    """Typed decode over a MIXED media column: ONE Arrow-batched
+    mapInPandas kernel dispatches each payload on its magic bytes
+    (``P6`` / ``RIFF`` / ``BM``) to the matching single-format parser —
+    the exact functions decode_ppm/decode_wav/decode_bmp use, via the
+    parser factories — and emits one unified row shape (image rows carry
+    NULL audio fields and vice versa; ``unit_count`` is pixel-bytes for
+    images, samples for audio). An unrecognized payload raises: silent
+    skips would turn a corrupt corpus into a short result. Per-row
+    dispatch on a format tag is how a 100 TB multimodal scan actually
+    runs — partition-parallel, no shuffle, one pass whatever the codec
+    mix — instead of N filtered single-format passes over the same
+    bytes."""
+    ppm, wav, bmp = _make_ppm_parser(), _make_wav_parser(), _make_bmp_parser()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(buf: bytes) -> tuple:
+            if buf[:2] == b"P6":
+                w, h, _maxval, psum = ppm(buf)
+                return ("ppm", w, h, 3, None, 3 * w * h, psum)
+            if buf[:4] == b"RIFF":
+                ch, rate, _bits, n, asum = wav(buf)
+                return ("wav", None, None, ch, rate, n, asum)
+            if buf[:2] == b"BM":
+                w, h, _bits, psum, _top = bmp(buf)
+                return ("bmp", w, h, 3, None, 3 * w * h, psum)
+            raise ValueError(
+                f"unrecognized media payload (magic {buf[:4]!r})"
+            )
+
+        cols = (
+            "codec", "width", "height", "n_channels",
+            "sample_rate", "unit_count", "value_sum",
+        )
+        for pdf in it:
+            parsed = [one(bytes(c)) for c in pdf["content"]]
+            out = {"doc_id": pdf["doc_id"].values}
+            out.update(
+                {c: [p[i] for p in parsed] for i, c in enumerate(cols)}
+            )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=MEDIA_DISPATCH_SCHEMA)

@@ -120,3 +120,63 @@ def p_media_bmp(spark: SparkSession, sf_dir: str):
     from carbondata_spark.operators.media_codecs import decode_bmp, synth_bmp
 
     return decode_bmp(synth_bmp(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "p_media_dispatch",
+    oracle="""
+    WITH ppm AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+             unnest(range(0, 3 * (4 + doc_id % 5) * (2 + doc_id % 3))) AS i
+      FROM documents WHERE doc_id % 3 = 0
+    ), wav AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS ch,
+             (16 + doc_id % 7) * (1 + doc_id % 2) AS n,
+             unnest(range(0, (16 + doc_id % 7) * (1 + doc_id % 2))) AS j
+      FROM documents WHERE doc_id % 3 = 1
+    ), bmp AS (
+      SELECT doc_id,
+             3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+             unnest(range(0, 3 * (3 + doc_id % 5) * (2 + doc_id % 3))) AS i
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, 'ppm' AS codec,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(3 * w * h AS BIGINT) AS unit_count,
+           CAST(sum((doc_id * 7 + i) % 256) AS BIGINT) AS value_sum
+    FROM ppm GROUP BY doc_id, w, h
+    UNION ALL
+    SELECT doc_id, 'wav' AS codec,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(ch AS INT) AS n_channels,
+           CAST(8000 + 1000 * (doc_id % 3) AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS unit_count,
+           CAST(sum((doc_id * 13 + j) % 4001 - 2000) AS BIGINT) AS value_sum
+    FROM wav GROUP BY doc_id, ch, n
+    UNION ALL
+    SELECT doc_id, 'bmp' AS codec,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+           CAST(3 * w * h AS BIGINT) AS unit_count,
+           CAST(sum((doc_id * 11 + i) % 256) AS BIGINT) AS value_sum
+    FROM bmp GROUP BY doc_id, w, h
+    """,
+    doc="Typed decode over a MIXED media column (r16): one payload per "
+    "document, format routed by doc_id % 3 across PPM/WAV/BMP "
+    "(synth_media_mixed), decoded by ONE mapInPandas kernel that "
+    "dispatches each row on its magic bytes to the matching real parser "
+    "and emits a unified row shape — the 100 TB multimodal scan pattern "
+    "(one partition-parallel pass over a heterogeneous corpus, not N "
+    "filtered single-format passes). The oracle recomputes every branch "
+    "from the generators' closed forms.",
+)
+def p_media_dispatch(spark: SparkSession, sf_dir: str):
+    from carbondata_spark.operators.media_codecs import (
+        decode_media_dispatch,
+        synth_media_mixed,
+    )
+
+    return decode_media_dispatch(synth_media_mixed(t(spark, sf_dir, "documents")))

@@ -481,3 +481,54 @@ def test_bmp_decode_property_roundtrip(spark, cases):
         r = got[i]
         assert (r["width"], r["height"], r["bits"]) == (w, h, 24)
         assert (r["pixel_sum"], r["top_row_sum"]) == (psum, tsum)
+
+
+# --------------------------------------------------------------------------
+# 6. mixed-media dispatch kernel
+# --------------------------------------------------------------------------
+
+
+def test_media_dispatch_routes_by_magic_and_matches_single_kernels(spark):
+    """decode_media_dispatch over a mixed PPM/WAV/BMP column must agree
+    exactly with the single-format kernels run on each homogeneous
+    slice — dispatch adds routing, never different arithmetic."""
+    from carbondata_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_media_dispatch,
+        decode_ppm,
+        decode_wav,
+        synth_media_mixed,
+    )
+
+    docs = _docs(spark, 9)
+    mixed = synth_media_mixed(docs)
+    got = {r["doc_id"]: r for r in decode_media_dispatch(mixed).collect()}
+    assert len(got) == 9
+    m = F.col("doc_id") % 3
+    for r in decode_ppm(mixed.filter(m == 0)).collect():
+        g = got[r["doc_id"]]
+        assert (g["codec"], g["width"], g["height"]) == ("ppm", r["width"], r["height"])
+        assert (g["unit_count"], g["value_sum"]) == (
+            3 * r["width"] * r["height"], r["pixel_sum"],
+        )
+        assert g["sample_rate"] is None
+    for r in decode_wav(mixed.filter(m == 1)).collect():
+        g = got[r["doc_id"]]
+        assert (g["codec"], g["n_channels"], g["sample_rate"]) == (
+            "wav", r["n_channels"], r["sample_rate"],
+        )
+        assert (g["unit_count"], g["value_sum"]) == (r["n_samples"], r["amp_sum"])
+        assert g["width"] is None and g["height"] is None
+    for r in decode_bmp(mixed.filter(m == 2)).collect():
+        g = got[r["doc_id"]]
+        assert (g["codec"], g["width"], g["height"]) == ("bmp", r["width"], r["height"])
+        assert (g["unit_count"], g["value_sum"]) == (
+            3 * r["width"] * r["height"], r["pixel_sum"],
+        )
+
+
+def test_media_dispatch_unrecognized_payload_raises(spark):
+    from carbondata_spark.operators.media_codecs import decode_media_dispatch
+
+    with pytest.raises(Exception, match="unrecognized media payload"):
+        decode_media_dispatch(_media_df(spark, b"GIF89a....")).collect()
