@@ -145,16 +145,18 @@ def main() -> None:
               diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
     print(f"snapshot diff vs takedown batch: {counts}")
 
-    # -- 10. multimodal: REAL codec-free decode (r15) ---------------------
-    from carbondata_spark.operators.media_codecs import decode_ppm, synth_ppm
+    # -- 10. multimodal: REAL codec-free decode over a MIXED column -------
+    from carbondata_spark.operators.media_codecs import (
+        decode_media_dispatch,
+        synth_media_mixed,
+    )
 
-    media = synth_ppm(docs.limit(200))
-    decoded = decode_ppm(media)
-    m = decoded.agg(
-        F.count("*").alias("n"), F.sum("pixel_sum").alias("px")
-    ).collect()[0]
-    print(f"media decode (binary PPM, pure-NumPy kernel in mapInPandas): "
-          f"{m['n']} images, {m['px']} total pixel value")
+    media = synth_media_mixed(docs.limit(200))
+    decoded = decode_media_dispatch(media)  # PPM/WAV/BMP in ONE pass
+    mix = {r["codec"]: r["n"] for r in
+           decoded.groupBy("codec").agg(F.count("*").alias("n")).collect()}
+    print(f"mixed media decode (magic-byte dispatch in one mapInPandas "
+          f"pass): {mix}")
 
     print("\ndone — every step above is shuffle-bounded and UDF-free "
           "(media decode is Arrow-batched mapInPandas, the one sanctioned "
