@@ -532,3 +532,24 @@ def test_media_dispatch_unrecognized_payload_raises(spark):
 
     with pytest.raises(Exception, match="unrecognized media payload"):
         decode_media_dispatch(_media_df(spark, b"GIF89a....")).collect()
+
+
+def test_broad_delete_32_segments_constant_jobs(spark, tmp_path):
+    """Completes the r16 scale matrix (UPDATE and MERGE above): a broad
+    row-DELETE touching every segment — partial deletes, so every
+    segment gets a rewrite — runs the same job count at 8 and 32
+    affected segments."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    counts = {}
+    try:
+        for n_segs in (8, 32):
+            store = _build_store(spark, tmp_path / f"d{n_segs}", n_segs)
+            before = _jobs(spark)
+            assert store.delete_rows("t", "v % 120 = 0") == n_segs
+            counts[n_segs] = _jobs(spark) - before
+            assert store.table("t").count() == 60 * n_segs - n_segs
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert counts[8] == counts[32], (
+        f"delete job count grew with affected-segment count: {counts}"
+    )
