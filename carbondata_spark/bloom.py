@@ -183,17 +183,23 @@ def compute_segment_blooms_grouped(
     rows = union.groupBy("_tag", "col").agg(
         F.collect_set("pos").alias("ps")
     ).collect()
-    for r in rows:
-        t, c = int(r["_tag"]), r["col"]
-        m = m_by[t][c]
-        ba = bytearray(m // 8)
-        for p in r["ps"]:
-            ba[p >> 3] |= 1 << (p & 7)
-        out[t][c] = {
-            "m": m,
-            "k": K_HASHES,
-            "bits": base64.b64encode(bytes(ba)).decode("ascii"),
-        }
+    positions = {(int(r["_tag"]), r["col"]): r["ps"] for r in rows}
+    # iterate m_by, not the collected rows: a (segment, column) whose
+    # surviving rows are all NULL (e.g. after UPDATE ... SET c = NULL)
+    # contributes no position rows but must still store the all-zero
+    # bitset — bit-identical to the single-segment path's
+    # positions.get(c, []) default — so point probes on that column keep
+    # pruning the segment instead of always reading it
+    for t, ms in m_by.items():
+        for c, m in ms.items():
+            ba = bytearray(m // 8)
+            for p in positions.get((t, c), []):
+                ba[p >> 3] |= 1 << (p & 7)
+            out[t][c] = {
+                "m": m,
+                "k": K_HASHES,
+                "bits": base64.b64encode(bytes(ba)).decode("ascii"),
+            }
     return out
 
 

@@ -43,6 +43,7 @@ Supported statements (case-insensitive keywords):
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 from datetime import datetime, timezone
@@ -166,13 +167,42 @@ _LOAD_OPTION_KEYS = frozenset(
 )
 
 
-def _local_load_path(path: str) -> str | None:
-    """Resolve a LOAD DATA input to a local filesystem path, or None for
-    a non-local URI (hdfs://, s3a://, ...) where the per-file header
-    validation's raw readline is impossible and the documented
-    uniform-header assumption applies."""
+# compressed members keep the documented uniform-header assumption:
+# Spark decompresses transparently on read, so a raw readline here would
+# see gzip bytes and spuriously mismatch
+_COMPRESSED_SUFFIXES = (
+    ".gz", ".bz2", ".zst", ".lz4", ".deflate", ".snappy", ".xz", ".br",
+)
+
+
+def _local_load_members(path: str) -> list[str] | None:
+    """The local plain-file members of a LOAD DATA input, for the
+    per-file header validation — or None for a non-local URI (hdfs://,
+    s3a://, ...) where a raw readline is impossible and the documented
+    uniform-header assumption applies.
+
+    Non-local is decided by URI SCHEME, not os.path.exists: a local path
+    containing a Spark-supported glob ('/data/part-*.csv') fails
+    exists() but is still local — expand it with glob.glob so glob
+    loads get validated too, instead of a misleading 'non-local path'
+    warning (r16 driver advice)."""
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path) and not path.startswith(
+        "file:"
+    ):
+        return None
     local = re.sub(r"^file:(//)?", "", path)
-    return local if os.path.exists(local) else None
+    candidates = (
+        glob.glob(os.path.join(local, "*"))
+        if os.path.isdir(local)
+        else glob.glob(local)  # plain file -> [file]; glob -> matches
+    )
+    return sorted(
+        f
+        for f in candidates
+        if os.path.isfile(f)
+        and not os.path.basename(f).startswith((".", "_"))
+        and not f.lower().endswith(_COMPRESSED_SUFFIXES)
+    )
 
 
 class CarbonSession:
@@ -1079,8 +1109,8 @@ class CarbonSession:
                 # a management-path load, and the check is a header-line
                 # read per file, not a data scan); non-local URIs keep
                 # the documented uniform-header assumption.
-                local = _local_load_path(path)
-                if local is None:
+                members = _local_load_members(path)
+                if members is None:
                     # non-local URI (hdfs://, s3a://, ...): the per-file
                     # validation below needs a local readline; keep the
                     # documented uniform-header assumption but say so —
@@ -1095,24 +1125,7 @@ class CarbonSession:
                         "peeked header (pass FILEHEADER to be explicit)",
                         stacklevel=2,
                     )
-                if local is not None and os.path.isdir(local):
-                    import glob as _glob
-
-                    # compressed members (Spark decompresses transparently
-                    # on read; a raw readline here would see gzip bytes
-                    # and spuriously mismatch) keep the documented
-                    # uniform-header assumption, like non-local URIs
-                    _compressed = (
-                        ".gz", ".bz2", ".zst", ".lz4", ".deflate",
-                        ".snappy", ".xz", ".br",
-                    )
-                    members = sorted(
-                        f
-                        for f in _glob.glob(os.path.join(local, "*"))
-                        if os.path.isfile(f)
-                        and not os.path.basename(f).startswith((".", "_"))
-                        and not f.lower().endswith(_compressed)
-                    )
+                else:
                     # check every member (the peeked file compares equal
                     # to itself); cap keeps this a bounded check
                     for m in members[:64]:

@@ -20,10 +20,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from carbondata_spark.store import CarbonStore, _sql_prunable_conjuncts
-
-
-def _jobs(spark) -> int:
-    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+from tests._jobcount import count_jobs
 
 
 @pytest.fixture()
@@ -79,9 +76,9 @@ def test_prune_candidates_zone_map(four_segment_store):
 
 def test_delete_outside_all_ranges_runs_zero_jobs(four_segment_store, spark):
     store = four_segment_store
-    before = _jobs(spark)
-    assert store.delete_rows("t", "k = 99999") == 0
-    assert _jobs(spark) == before, "fully-pruned DELETE must run no Spark job"
+    with count_jobs(spark) as c:
+        assert store.delete_rows("t", "k = 99999") == 0
+    assert c.n == 0, "fully-pruned DELETE must run no Spark job"
     assert store.table("t").count() == 400
 
 
@@ -109,9 +106,9 @@ def test_targeted_delete_job_count_constant_in_segment_count(spark, tmp_path):
     counts = {}
     for n_segs in (2, 6):
         store = build(n_segs, f"s{n_segs}")
-        before = _jobs(spark)
-        assert store.delete_rows("t", "v = 100") == 1  # k=50: segment 0
-        counts[n_segs] = _jobs(spark) - before
+        with count_jobs(spark) as c:
+            assert store.delete_rows("t", "v = 100") == 1  # k=50: segment 0
+        counts[n_segs] = c.n
     assert counts[2] == counts[6], (
         f"delete job count grew with segment count: {counts}"
     )
@@ -257,11 +254,11 @@ def test_multi_segment_update_one_rewrite_write_job(spark, tmp_path, monkeypatch
         for n_segs in (2, 6):
             store = build(n_segs, f"u{n_segs}")
             writes.clear()
-            before = _jobs(spark)
-            # v % 120 == 0 hits every segment (k ≡ 0 mod 60) and is
-            # unprunable (modulo conjunct): all segments affected
-            assert store.update_rows("t", "v % 120 = 0", {"v": "-1"}) == n_segs
-            counts[n_segs] = _jobs(spark) - before
+            with count_jobs(spark) as c:
+                # v % 120 == 0 hits every segment (k ≡ 0 mod 60) and is
+                # unprunable (modulo conjunct): all segments affected
+                assert store.update_rows("t", "v % 120 = 0", {"v": "-1"}) == n_segs
+            counts[n_segs] = c.n
             # every affected segment got its own rewrite (per-segment
             # locality), all written by the one job
             rewrites = sorted(
@@ -315,9 +312,11 @@ def test_multi_segment_merge_per_source_rewrites_constant_jobs(spark, tmp_path, 
             src = spark.createDataFrame(
                 [Row(k=i * 60, v=-1.0) for i in range(n_segs)]
             )
-            before = _jobs(spark)
-            res = store.merge_rows("m", src, keys="k", update_cols=["v"], insert=False)
-            counts[n_segs] = _jobs(spark) - before
+            with count_jobs(spark) as c:
+                res = store.merge_rows(
+                    "m", src, keys="k", update_cols=["v"], insert=False
+                )
+            counts[n_segs] = c.n
             assert res == {"updated": n_segs, "inserted": 0}
             rewrites = sorted(
                 s["origin"]["rewrite_of"]
@@ -374,9 +373,9 @@ def test_bloom_table_multi_segment_update_constant_jobs(spark, tmp_path, monkeyp
         for n_segs in (2, 5):
             store = build(n_segs, f"b{n_segs}")
             writes.clear()
-            before = _jobs(spark)
-            assert store.update_rows("b", "v % 120 = 0", {"v": "-1"}) == n_segs
-            counts[n_segs] = _jobs(spark) - before
+            with count_jobs(spark) as c:
+                assert store.update_rows("b", "v % 120 = 0", {"v": "-1"}) == n_segs
+            counts[n_segs] = c.n
             # rewritten segments carry fresh blooms and still point-prune
             segs = store.valid_segments("b")
             assert all(e.blooms.get("k") for e in segs)

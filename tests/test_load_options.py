@@ -402,6 +402,48 @@ def test_file_uri_conflicting_headers_rejected(cs):
         cs.sql(f"LOAD DATA INPATH 'file://{d}' INTO TABLE t_conflict")
 
 
+def test_glob_load_is_local_and_header_validated(cs):
+    """r17 (r16 driver advice): a LOAD path containing a Spark glob
+    ('/dir/part-*.csv') fails os.path.exists but IS local — it must be
+    expanded and per-file header-validated, not misclassified as a
+    non-local URI that silently skips validation."""
+    d = mkdtemp(prefix="loadopts_glob_")
+    with open(os.path.join(d, "part-a.csv"), "w") as f:
+        f.write("id,city,amt\n1,bonn,2.5\n")
+    with open(os.path.join(d, "part-b.csv"), "w") as f:
+        f.write("amt,city,id\n3.5,kiel,2\n")  # conflicting header order
+    with open(os.path.join(d, "other.txt"), "w") as f:
+        f.write("not,part,of\n9,the,load\n")
+    _mk(cs, "t_glob")
+    with pytest.raises(ValueError, match="different from the peeked"):
+        cs.sql(f"LOAD DATA INPATH '{d}/part-*.csv' INTO TABLE t_glob")
+    # matching headers through the same glob load fine (other.txt ignored)
+    with open(os.path.join(d, "part-b.csv"), "w") as f:
+        f.write("id,city,amt\n2,kiel,3.5\n")
+    cs.sql(f"LOAD DATA INPATH '{d}/part-*.csv' INTO TABLE t_glob")
+    assert _rows(cs, "t_glob") == {(1, "bonn", 2.5), (2, "kiel", 3.5)}
+
+
+def test_local_load_members_scheme_classification():
+    """Non-local is decided by URI scheme, not existence: hdfs/s3a URIs
+    -> None; file: URIs and bare paths (even nonexistent globs) stay
+    local."""
+    from carbondata_spark.sql import _local_load_members
+
+    assert _local_load_members("hdfs://nn/data/x.csv") is None
+    assert _local_load_members("s3a://bucket/k/part-*.csv") is None
+    assert _local_load_members("/nonexistent/part-*.csv") == []
+    d = mkdtemp(prefix="loadopts_members_")
+    for name in ("a.csv", "b.csv.gz", "_meta", ".hidden"):
+        with open(os.path.join(d, name), "w") as f:
+            f.write("x\n")
+    want = [os.path.join(d, "a.csv")]
+    assert _local_load_members(d) == want  # dir: compressed/hidden skipped
+    assert _local_load_members(f"file://{d}") == want
+    assert _local_load_members(os.path.join(d, "*.csv")) == want  # glob
+    assert _local_load_members(want[0]) == want  # plain file
+
+
 def test_nonlocal_header_carried_load_warns(cs, monkeypatch):
     """r16: a non-local URI (hdfs://, s3a://, ...) with a file-carried
     header cannot be per-file validated driver-side — the load proceeds
@@ -412,7 +454,7 @@ def test_nonlocal_header_carried_load_warns(cs, monkeypatch):
     import carbondata_spark.sql as sql_mod
 
     p = _write(["id,city,amt", "1,bonn,2.5"])
-    monkeypatch.setattr(sql_mod, "_local_load_path", lambda path: None)
+    monkeypatch.setattr(sql_mod, "_local_load_members", lambda path: None)
     _mk(cs, "t_nonlocal")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")

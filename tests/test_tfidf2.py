@@ -69,12 +69,12 @@ def test_v2_is_one_lazy_job_no_eager_count(spark):
     """Constructing the v2 frame must run NO Spark job (the former
     n_docs = df.count() was an eager extra pass; it is now a broadcast
     one-row aggregate inside the single job)."""
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    docs = spark.createDataFrame(
-        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
-    )
-    out = tfidf_top_terms_v2(docs)
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after == before, "building the v2 frame triggered a Spark job"
+    from tests._jobcount import count_jobs
+
+    with count_jobs(spark) as c:
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+        )
+        out = tfidf_top_terms_v2(docs)
+    assert c.n == 0, "building the v2 frame triggered a Spark job"
     assert out.count() > 0
