@@ -208,17 +208,7 @@ def train_centroids(
         data.orderBy("vid")
         .limit(n_centroids)
         .select(F.monotonically_increasing_id().alias("cid"), F.col("v").alias("cv"))
-        .select(
-            # literal partition key (idiom of bm25.py): the frame is the
-            # ≤ n_centroids post-limit rows, so one partition is the
-            # point — but an unpartitioned Window would trip the
-            # repo-wide "WindowExec warnings always mean a real problem"
-            # convention
-            F.row_number()
-            .over(W.partitionBy(F.lit(1)).orderBy("cid"))
-            .alias("cid"),
-            "cv",
-        )
+        .select(F.row_number().over(W.orderBy("cid")).alias("cid"), "cv")
     )
     for _ in range(iters):
         assigned = _assign(data, cents)

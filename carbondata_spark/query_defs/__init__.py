@@ -33,4 +33,6 @@ import carbondata_spark.query_defs.store_q  # noqa: F401
 import carbondata_spark.query_defs.olap100  # noqa: F401
 import carbondata_spark.query_defs.refsuites_q  # noqa: F401
 
+# AFTER pipeline: media_q re-registers p_media_decode (last-write-wins)
+# over the r1 stub row — see media_q's module docstring.
 import carbondata_spark.query_defs.media_q  # noqa: E402,F401
