@@ -588,41 +588,73 @@ class CarbonStore:
                 refresh_aggregate_table(AggregateTable(self, table, name))
         return seg_id
 
-    def _segment_rows_from_footers(self, seg_dir: str) -> int:
+    def _segment_rows_from_footers(
+        self, seg_dir: str, metas: dict[str, Any] | None = None
+    ) -> int:
         """Exact row count of a just-written segment from parquet footers
         — metadata only, no Spark job. Replaces the post-write
         ``spark.read.parquet(dir).count()`` read-back in compact() and the
         IUD rewrite (one fewer job per rewritten segment; at 100 TB the
         footer walk is the same bounded metadata pass the zone-map
-        collection already does)."""
-        return sum(
-            md.num_rows for md in self._footer_metadata(seg_dir).values()
-        )
+        collection already does). Pass ``metas`` (a ``_footer_metadata``
+        result) to reuse footers already read — promotion and compact need
+        rows AND stats from the same segment, and reading every footer
+        twice doubled the driver's metadata I/O."""
+        if metas is None:
+            metas = self._footer_metadata(seg_dir)
+        return sum(md.num_rows for md in metas.values())
 
     @staticmethod
     def _footer_metadata(seg_dir: str) -> dict[str, Any]:
         """{file -> parquet FileMetaData} for every parquet file under a
-        segment dir, read through a bounded thread pool: footer reads are
-        tiny I/O-bound requests (pyarrow releases the GIL), and a broad
-        mutation promoting MANY rewrite segments would otherwise serialize
-        hundreds of them on the driver — noticeable on object stores."""
+        segment dir (see ``_footer_metadata_many`` for the pooling)."""
+        return CarbonStore._footer_metadata_many({0: seg_dir})[0]
+
+    @staticmethod
+    def _footer_metadata_many(
+        seg_dirs: dict[int, str]
+    ) -> dict[int, dict[str, Any]]:
+        """{segment id -> {file -> parquet FileMetaData}} for MANY segment
+        dirs through ONE flat thread pool. Footer reads are tiny I/O-bound
+        requests (pyarrow releases the GIL); the r16 scaling matrix showed
+        a super-linear 16→32-segment step in broad-UPDATE wall time partly
+        because the promotion loop walked each new segment's footers
+        SERIALLY (one pool per segment — useless when a segment holds 1-2
+        files), so the driver metadata pass grew O(#affected × footer
+        latency). Flattening every (segment, file) pair into one pool
+        bounded by the host core count makes it O(total files / pool
+        width) — the shape that holds when a 100-TB MERGE promotes
+        hundreds of rewrite segments against an object store."""
         import glob as _glob
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
-        files = sorted(
-            _glob.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True)
-        )
-        if not files:
-            return {}
-        if len(files) == 1:
-            return {files[0]: pq.ParquetFile(files[0]).metadata}
-        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-            metas = list(ex.map(lambda f: pq.ParquetFile(f).metadata, files))
-        return dict(zip(files, metas))
+        pairs = [
+            (sid, f)
+            for sid, d in seg_dirs.items()
+            for f in sorted(
+                _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            )
+        ]
+        out: dict[int, dict[str, Any]] = {sid: {} for sid in seg_dirs}
+        if not pairs:
+            return out
+        if len(pairs) == 1:
+            sid, f = pairs[0]
+            out[sid][f] = pq.ParquetFile(f).metadata
+            return out
+        workers = min(os.cpu_count() or 16, len(pairs), 64)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for (sid, f), md in zip(
+                pairs, ex.map(lambda p: pq.ParquetFile(p[1]).metadata, pairs)
+            ):
+                out[sid][f] = md
+        return out
 
-    def _collect_segment_stats(self, seg_dir: str, cols: list[str]) -> dict[str, list]:
+    def _collect_segment_stats(
+        self, seg_dir: str, cols: list[str], metas: dict[str, Any] | None = None
+    ) -> dict[str, list]:
         """Per-segment [min, max] for the sort columns, from parquet row-
         group footers (metadata only, no data read) — the manifest zone map
         that lets ``scan`` prune whole segments the way the reference's
@@ -648,7 +680,9 @@ class CarbonStore:
 
         acc: dict[str, list] = {}
         unknown: set[str] = set()
-        for md in self._footer_metadata(seg_dir).values():
+        if metas is None:
+            metas = self._footer_metadata(seg_dir)
+        for md in metas.values():
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             for c in cols:
                 if c not in idx or c in unknown:
@@ -1213,7 +1247,7 @@ class CarbonStore:
             writer.write.mode("overwrite").partitionBy(
                 rw_col, *part_cols
             ).parquet(staging)
-            results: dict[int, tuple[int, dict, dict]] = {}
+            seg_dirs: dict[int, str] = {}
             for new_id in sorted(new_ids):
                 src = os.path.join(staging, f"{rw_col}={new_id}")
                 if not os.path.isdir(src):
@@ -1230,11 +1264,22 @@ class CarbonStore:
                     shutil.rmtree(seg_dir)
                 os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
                 os.rename(src, seg_dir)
-                results[new_id] = (
-                    self._segment_rows_from_footers(seg_dir),
-                    self._collect_segment_stats(seg_dir, sort_cols),
+                seg_dirs[new_id] = seg_dir
+            # rows + zone maps for ALL promoted segments from ONE flat
+            # footer pool (each footer read once, segments in parallel) —
+            # the serial per-segment walk here was the O(N) driver
+            # metadata term behind the r16 16→32 wall-time step
+            metas_by_seg = self._footer_metadata_many(seg_dirs)
+            results: dict[int, tuple[int, dict, dict]] = {
+                new_id: (
+                    self._segment_rows_from_footers(d, metas_by_seg[new_id]),
+                    self._collect_segment_stats(
+                        d, sort_cols, metas_by_seg[new_id]
+                    ),
                     {},
                 )
+                for new_id, d in seg_dirs.items()
+            }
             # blooms (opt-in tables) for ALL new segments in TWO jobs,
             # not two per segment: one tagged union of the promoted
             # segment dirs through the grouped collector
@@ -1314,11 +1359,12 @@ class CarbonStore:
         sort_cols = [c for c in sort_cols if c not in part_cols]
         n_parts = partitions or max(1, sum(e.rows for e in segs) // 4_000_000)
         self._write_clustered(merged, meta, seg_dir, n_parts)
-        rows = self._segment_rows_from_footers(seg_dir)
+        footer_metas = self._footer_metadata(seg_dir)
+        rows = self._segment_rows_from_footers(seg_dir, footer_metas)
         # The merged segment is freshly range-sorted: recompute its zone
         # map and blooms so compaction IMPROVES prunability instead of
         # silently losing it (a statless segment is kept by every scan).
-        merged_stats = self._collect_segment_stats(seg_dir, sort_cols)
+        merged_stats = self._collect_segment_stats(seg_dir, sort_cols, footer_metas)
         merged_blooms = self._collect_segment_blooms(seg_dir, meta)
         old_ids = {e.segment_id for e in segs}
         with file_lock(self._status_path(table)):
@@ -1957,11 +2003,12 @@ class CarbonStore:
             seg_dir = self._segment_dir(table, insert_id)
             n_parts = max(1, int(stat["_n"]) // 4_000_000)
             self._write_clustered(ins_df, meta, seg_dir, n_parts)
-            inserted = self._segment_rows_from_footers(seg_dir)
+            ins_metas = self._footer_metadata(seg_dir)
+            inserted = self._segment_rows_from_footers(seg_dir, ins_metas)
             if inserted:
                 by_new[insert_id] = (
                     inserted,
-                    self._collect_segment_stats(seg_dir, sort_cols),
+                    self._collect_segment_stats(seg_dir, sort_cols, ins_metas),
                     self._collect_segment_blooms(seg_dir, meta),
                 )
 
