@@ -74,6 +74,34 @@ def _crash_mid_promotion(spark, store, monkey_target_mod):
     return promoted
 
 
+def test_footer_metadata_many_parity_with_per_segment(spark, tmp_path):
+    """The flat cross-segment footer pool (r17, _footer_metadata_many)
+    must return byte-identical metadata to the per-segment path for
+    every (segment, file): row counts, zone-map stats, and the empty-dir
+    edge all agree — the promotion loop's manifest entries depend on
+    it."""
+    store = _build_store(spark, tmp_path, n_segs=3)
+    seg_dirs = {
+        e.segment_id: store._segment_dir("t", e.segment_id)
+        for e in store.valid_segments("t")
+    }
+    seg_dirs[99] = str(tmp_path / "empty_dir")  # no parquet files
+    os.makedirs(seg_dirs[99], exist_ok=True)
+    many = CarbonStore._footer_metadata_many(seg_dirs)
+    assert many[99] == {}
+    for sid, d in seg_dirs.items():
+        single = store._footer_metadata(d)
+        assert sorted(many[sid]) == sorted(single)
+        for f in single:
+            assert many[sid][f].num_rows == single[f].num_rows
+        assert store._segment_rows_from_footers(d, many[sid]) == (
+            store._segment_rows_from_footers(d)
+        )
+        assert store._collect_segment_stats(d, ["k"], many[sid]) == (
+            store._collect_segment_stats(d, ["k"])
+        )
+
+
 def test_time_travel_view_survives_crashed_then_gcd_rewrite(spark, tmp_path):
     """A time-travel view taken before a rewrite that crashes mid-
     promotion — held open as a live DataFrame AND re-resolved fresh after
