@@ -145,6 +145,37 @@ def test_malformed_payloads_raise(label, buf):
         parse(buf)
 
 
+def test_random_images_decode_via_independent_encoder():
+    """Round-trip random images through a THIRD encoding policy (pure
+    count=1 pairs, no absolute/run/delta packets) so the decoder is
+    checked against payloads neither the synth encoder nor the
+    hand-crafted cases produce. Any valid RLE8 encoding of an image
+    must decode to the same statistics."""
+    import numpy as np
+
+    parse = _make_bmp_rle8_parser()
+    rng = np.random.RandomState(17)
+    for _ in range(25):
+        w, h = int(rng.randint(1, 12)), int(rng.randint(1, 8))
+        img = rng.randint(0, 256, size=(h, w))  # image space, top-first
+        pal = rng.randint(0, 256, size=(256, 3))
+        stream = bytearray()
+        for y in range(h - 1, -1, -1):  # stored bottom-up
+            for x in range(w):
+                stream += bytes((1, int(img[y, x])))
+            if y > 0:
+                stream += b"\x00\x00"
+        stream += b"\x00\x01"
+        buf = _payload(
+            w, h, bytes(stream),
+            pal_fn=lambda j, pal=pal: tuple(int(v) for v in pal[j]),
+        )
+        got = parse(buf)
+        vals = pal[img].sum(axis=2)
+        want = (w, h, 8, int(vals.sum()), int(vals[0].sum()))
+        assert got == want, (got, want)
+
+
 def test_registered_form_matches_oracle_fresh_process(sf_dir):
     """Run the STAGED row's exact registered form — media_rle_q.p_media_rle
     plus its DuckDB oracle — in a fresh interpreter (the staging module
