@@ -199,9 +199,10 @@ sys.exit(0 if res.ok and res.spark_rows > 0 else 1)
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_DRIVER_MEM="4g", SPARK_GRAFT_CPUS="4")
     proc = subprocess.run(
         [sys.executable, "-c", script.format(repo=repo, sf_dir="/root/testdata/sf0.001")],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert proc.returncode == 0, f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
     assert "RESULT True" in proc.stdout

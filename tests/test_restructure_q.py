@@ -54,9 +54,10 @@ assert by.get(True) == by.get(False), by
 print("RESTRUCTURE STAGE OK")
 """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_DRIVER_MEM="4g", SPARK_GRAFT_CPUS="4")
     proc = subprocess.run(
         [sys.executable, "-c", script.replace("__REPO__", repr(repo))],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert proc.returncode == 0, f"stdout={proc.stdout[-2000:]}\nstderr={proc.stderr[-2000:]}"
     assert "RESTRUCTURE STAGE OK" in proc.stdout
