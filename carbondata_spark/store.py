@@ -1202,6 +1202,7 @@ class CarbonStore:
         new_ids: list[int],
         meta: dict,
         total_rows: int,
+        optional_ids: set[int] | None = None,
     ) -> dict[int, tuple[int, dict, dict]]:
         """Write EVERY rewrite segment of a row-level mutation in ONE
         distributed Spark job (the reference's restructure/merge paths are
@@ -1220,6 +1221,10 @@ class CarbonStore:
         output-committer move). Row counts/zone maps come from parquet
         footers — no read-back jobs. Bloom collection (opt-in tables only)
         remains per-segment: two bounded jobs per new segment.
+
+        ``optional_ids``: targets ALLOWED to come out empty (e.g. a MERGE
+        insert segment when every source row matched) — they are skipped
+        instead of treated as lost data, and omitted from the result.
         """
         part_cols = meta.get("partition_columns", [])
         sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
@@ -1251,6 +1256,8 @@ class CarbonStore:
             for new_id in sorted(new_ids):
                 src = os.path.join(staging, f"{rw_col}={new_id}")
                 if not os.path.isdir(src):
+                    if optional_ids and new_id in optional_ids:
+                        continue  # declared-optional target, legally empty
                     # a rewrite target with zero surviving rows is
                     # impossible by construction (full deletes never
                     # reserve a target; updates/merges preserve rows) —
@@ -1884,10 +1891,11 @@ class CarbonStore:
 
         updated_total = 0
         affected: list[SegmentEntry] = []
+        tag = "_cd_seg"
+        while tag in tcols:
+            tag = f"_{tag}"
+        tagged = None
         if candidates and not insert_only:
-            tag = "_cd_seg"
-            while tag in tcols:
-                tag = f"_{tag}"
             tagged = self.table(
                 table, segment_ids=[e.segment_id for e in candidates], _tag_col=tag
             )
@@ -1950,11 +1958,21 @@ class CarbonStore:
         sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
         by_new: dict[int, tuple[int, dict, dict]] = {}
         aff_ids = [e.segment_id for e in affected]
+        inserted = 0
         if affected:
             rw = "_cd_rw"
             while rw in tcols or rw == tag:
                 rw = f"_{rw}"
-            t = self.table(table, segment_ids=aff_ids, _tag_col=tag).alias("t")
+            # Reuse the detection job's tagged frame when the affected set
+            # IS the candidate set (the common case): the manifest ->
+            # segment-paths -> parquet-relation resolution in table() is
+            # pure driver time, and re-running it per phase was ~15% of a
+            # small MERGE's wall clock (r18 profile).
+            if aff_ids == [e.segment_id for e in candidates]:
+                t_frame = tagged
+            else:
+                t_frame = self.table(table, segment_ids=aff_ids, _tag_col=tag)
+            t = t_frame.alias("t")
             s = src.withColumn("_cd_m", F.lit(True)).alias("s")
             cond = F.lit(True)
             for k in keys:
@@ -1980,21 +1998,43 @@ class CarbonStore:
                 .withColumn(rw, F.element_at(id_map, F.col(tag)).cast("int"))
                 .drop(tag)
             )
+            write_ids = list(rewrite_ids.values())
+            total_for_parts = sum(e.rows for e in affected)
+            if insert:
+                # Fuse the insert segment into the SAME distributed write:
+                # the unmatched source rows (anti-join against the affected
+                # segments' keys — sound because pruning + detection proved
+                # no other segment holds any source key) ride the ranged
+                # write under rw = insert_id. This removes the separate
+                # insert write job AND its extra key scan of the affected
+                # segments, without disturbing the broadcast shape of
+                # either join (a full-outer fusion would have forced a
+                # key-shuffle of the target payload).
+                ins_rows = (
+                    src.join(t_frame.select(*keys), keys, "left_anti")
+                    .select(*tcols)
+                    .withColumn(rw, F.lit(insert_id).cast("int"))
+                )
+                out = out.unionByName(ins_rows)
+                write_ids.append(insert_id)
+                total_for_parts += int(stat["_n"])
             by_new.update(
                 self._write_rewrites(
                     table,
                     out,
                     rw,
-                    list(rewrite_ids.values()),
+                    write_ids,
                     meta,
-                    total_rows=sum(e.rows for e in affected),
+                    total_rows=total_for_parts,
+                    optional_ids={insert_id} if insert else None,
                 )
             )
-        inserted = 0
-        if insert:
-            anti_ids = (
-                [e.segment_id for e in candidates] if insert_only else aff_ids
-            )
+            if insert and insert_id in by_new:
+                inserted = by_new[insert_id][0]
+        elif insert:
+            # No rewrite job to fuse with (insert-only merge, or no source
+            # key matched anywhere): standalone clustered insert write.
+            anti_ids = [e.segment_id for e in candidates] if insert_only else []
             if anti_ids:
                 aff_keys = self.table(table, segment_ids=anti_ids).select(*keys)
                 ins_df = src.join(aff_keys, keys, "left_anti")
