@@ -152,20 +152,28 @@ def _topk_over_buckets(
     if probe_join not in ("broadcast", "shuffle"):
         raise ValueError(f"probe_join must be 'broadcast' or 'shuffle', got {probe_join!r}")
 
+    from carbondata_spark.operators.similarity import _as_double, _dot, _norm
+
+    # norms hoisted per side (one interpreted HOF pass per query / per
+    # assigned row instead of per scored pair — bit-identical doubles,
+    # see similarity.cosine_topk); the extra projection on `assigned`
+    # passes the cid PartitionFilters through unchanged (DPP intact,
+    # plan-pinned in tests)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("qvec"),
-    )
+    ).withColumn("_nq", _norm(F.col("qvec")))
     qscored = q.join(F.broadcast(cents)).select(
-        "query_id", "qvec", "cid", cosine(F.col("qvec"), F.col("cv")).alias("ccos")
+        "query_id", "qvec", "_nq", "cid", cosine(F.col("qvec"), F.col("cv")).alias("ccos")
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = (
         qscored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "cid")
+        .select("query_id", "qvec", "_nq", "cid")
     )
-    sim = cosine(F.col("qvec"), F.col("v"))
+    assigned = _as_double(assigned, "v").withColumn("_nv", _norm(F.col("v")))
+    sim = _dot(F.col("qvec"), F.col("v")) / (F.col("_nq") * F.col("_nv"))
     if decimals is not None:
         from carbondata_spark.functions import dround
 

@@ -76,19 +76,29 @@ def adc_topk(
     million-query batch belongs on the IVF path
     (``search_ivf_index(probe_join="shuffle")``), not here.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = ensure_parallelism(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            dequantized_int8(F.col(vec_col)).alias("dvec"),
-        )
-    )
+    from carbondata_spark.operators.similarity import _as_double, _dot, _norm
+
+    # norms hoisted per side (one interpreted HOF pass per row instead of
+    # per pair — bit-identical doubles, see similarity.cosine_topk)
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+    ).withColumn("_qn", _norm(F.col("qvec")))
+    c = _as_double(
+        ensure_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                dequantized_int8(F.col(vec_col)).alias("dvec"),
+            )
+        ),
+        "dvec",
+    ).withColumn("_cn", _norm(F.col("dvec")))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        dround(cosine(F.col("qvec"), F.col("dvec")), 6).alias("cos"),
+        dround(
+            _dot(F.col("qvec"), F.col("dvec")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

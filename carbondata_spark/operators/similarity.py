@@ -44,6 +44,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _as_double(df: DataFrame, col: str) -> DataFrame:
+    """Cast an array column to array<double> ONCE (no-op already-double
+    frames skip even that) so downstream per-pair expressions never
+    re-run the interpreted element-wise cast."""
+    if dict(df.dtypes).get(col) == "array<double>":
+        return df
+    return df.withColumn(col, F.transform(col, lambda x: x.cast("double")))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -54,24 +63,37 @@ def cosine_topk(
     """Exact top-k neighbors per query vector (excluding self-matches).
 
     Plan: broadcast-nested-loop join (queries side broadcast — it is the
-    small side by construction), cosine as codegen'd array expressions,
-    TopK per query via row_number window. Ties broken by corpus id so
-    results are engine-independent.
+    small side by construction), cosine as JVM array expressions,
+    TopK per query via row_number window (Spark's WindowGroupLimit
+    pushes the per-partition top-k below the exchange). Ties broken by
+    corpus id so results are engine-independent.
+
+    Array higher-order functions are INTERPRETED, so the norms are
+    hoisted out of the pair expression: each side's norm is computed
+    once per ROW instead of once per PAIR (3 HOF passes per pair -> 1;
+    identical doubles — same expressions, same sequential accumulation,
+    same qn*cn multiply order as the inline cosine()).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    q = _as_double(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+    ).withColumn("_qn", _norm(F.col("qvec")))
     from carbondata_spark.functions import ensure_parallelism
 
-    c = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    )
+    c = _as_double(
+        ensure_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        ),
+        "cvec",
+    ).withColumn("_cn", _norm(F.col("cvec")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            dround(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            dround(
+                _dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")), 6
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -139,9 +161,14 @@ def cosine_pairs(
     )
     # ordered bucket pairs (both orientations present) ⇒ each vector pair
     # (id_a < id_b) is generated exactly once, via its own orientation.
-    left = assigned.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("cid").alias("ca"))
-    right = assigned.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("cid").alias("cb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    # Norms hoisted per side (per-row, not per-pair — see cosine_topk).
+    left = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("cid").alias("ca")
+    ).withColumn("_na", _norm(F.col("va")))
+    right = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("cid").alias("cb")
+    ).withColumn("_nb", _norm(F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         left.join(F.broadcast(admissible), "ca")
         .join(right, "cb")
@@ -208,7 +235,16 @@ def train_centroids(
         data.orderBy("vid")
         .limit(n_centroids)
         .select(F.monotonically_increasing_id().alias("cid"), F.col("v").alias("cv"))
-        .select(F.row_number().over(W.orderBy("cid")).alias("cid"), "cv")
+        # literal partition key over the ≤n_centroids post-limit rows:
+        # identical semantics (one partition either way), but keeps the
+        # repo's no-unpartitioned-WindowExec convention so sweep logs
+        # flagging that warning always mean a REAL unbounded window
+        .select(
+            F.row_number()
+            .over(W.partitionBy(F.lit(1)).orderBy("cid"))
+            .alias("cid"),
+            "cv",
+        )
     )
     for _ in range(iters):
         assigned = _assign(data, cents)
@@ -245,14 +281,30 @@ def _assign(data: DataFrame, cents: DataFrame) -> DataFrame:
     """
     from carbondata_spark.functions import ensure_parallelism
 
-    data = ensure_parallelism(data)
+    data = _as_double(ensure_parallelism(data), "v")
+    cents = _as_double(cents, "cv")
     # constant-key broadcast hash join == broadcast cross with the (tiny)
     # centroid set, but keeps the plan free of CartesianProduct/BNLJ nodes
-    # (asserted by plan-shape tests)
+    # (asserted by plan-shape tests). Norms are hoisted per SIDE (one
+    # interpreted HOF pass per vector / per centroid instead of per
+    # scored pair — bit-identical doubles, see cosine_topk).
     scored = (
         data.withColumn("_one", F.lit(1))
-        .join(F.broadcast(cents.withColumn("_one", F.lit(1))), "_one")
-        .select("vid", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("cos"))
+        .withColumn("_nv", _norm(F.col("v")))
+        .join(
+            F.broadcast(
+                cents.withColumn("_one", F.lit(1)).withColumn(
+                    "_nc", _norm(F.col("cv"))
+                )
+            ),
+            "_one",
+        )
+        .select(
+            "vid",
+            "v",
+            "cid",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("_nv") * F.col("_nc"))).alias("cos"),
+        )
     )
     best = F.max_by(
         F.struct(F.col("cid"), F.col("cos"), F.col("v")),
@@ -285,19 +337,21 @@ def ivf_topk(
     data = corpus.select(
         F.col(id_col).alias("vid"), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )
-    assigned = _assign(data, centroids)
+    # Norms hoisted per side (per-row, not per-probed-pair): identical
+    # doubles, one interpreted HOF pass per vector — see cosine_topk.
+    assigned = _assign(data, centroids).withColumn("_nv", _norm(F.col("v")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.transform(vec_col, lambda x: x.cast("double")).alias("qvec")
-    )
+    ).withColumn("_nq", _norm(F.col("qvec")))
     qscored = (
         q.withColumn("_one", F.lit(1))
         .join(F.broadcast(centroids.withColumn("_one", F.lit(1))), "_one")
-        .select("query_id", "qvec", "cid", cosine(F.col("qvec"), F.col("cv")).alias("ccos"))
+        .select("query_id", "qvec", "_nq", "cid", cosine(F.col("qvec"), F.col("cv")).alias("ccos"))
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
     probes = qscored.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select(
-        "query_id", "qvec", "cid"
+        "query_id", "qvec", "_nq", "cid"
     )
 
     scored = (
@@ -306,7 +360,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            dround(cosine(F.col("qvec"), F.col("v")), 6).alias("cos"),
+            dround(
+                _dot(F.col("qvec"), F.col("v")) / (F.col("_nq") * F.col("_nv")), 6
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
