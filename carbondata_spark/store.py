@@ -274,6 +274,19 @@ def _sql_prunable_conjuncts(sql: str) -> list[tuple[str, str, list]]:
     return out
 
 
+# (store_path, table) -> (session, (schema stamp, status stamp), frame):
+# the full-table resolution cache of CarbonStore.table() — see its
+# docstring. One entry per table (latest stamp wins), plan-only.
+_RESOLVED_TABLES: dict[
+    tuple[str, str], tuple[SparkSession, tuple, DataFrame]
+] = {}
+
+
+def _file_stamp(path: str) -> tuple[int, int, int]:
+    st = os.stat(path)
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+
 def _atomic_write_json(path: str, payload: Any) -> None:
     tmp = f"{path}.tmp.{os.getpid()}.{time.monotonic_ns()}"
     with open(tmp, "w") as f:
@@ -985,7 +998,44 @@ class CarbonStore:
         segment id, derived from ``_metadata.file_path`` — so a MULTI-
         segment read stays ONE scan per column-group while remaining
         per-segment attributable (the IUD detection job's shape).
+
+        The default full-table read (no segment subset, no as-of, no
+        tag) caches its manifest -> segment-paths -> parquet-relation
+        resolution per (store, table): spark.read.parquet re-lists and
+        re-infers footer schemas on every call (~70 ms driver time per
+        segment group, measured), pure overhead on repeated reads.
+        Every manifest commit atomically replaces tablestatus.json (and
+        ALTER replaces schema.json), so the (inode, mtime_ns, size)
+        stamps of both files identify the resolution exactly — any
+        load/compact/IUD/ALTER from this or another process yields a
+        new stamp and the next call re-resolves. Results always
+        recompute from the parquet bytes; only plan metadata is cached.
         """
+        if segment_ids is None and as_of_ts is None and _tag_col is None:
+            try:
+                stamp = (
+                    _file_stamp(self._schema_path(table)),
+                    _file_stamp(self._status_path(table)),
+                )
+            except OSError:
+                stamp = None
+            if stamp is not None:
+                key = (self.store_path, table)
+                hit = _RESOLVED_TABLES.get(key)
+                if hit is not None and hit[0] is self.spark and hit[1] == stamp:
+                    return hit[2]
+                out = self._resolve_table(table)
+                _RESOLVED_TABLES[key] = (self.spark, stamp, out)
+                return out
+        return self._resolve_table(table, segment_ids, as_of_ts, _tag_col)
+
+    def _resolve_table(
+        self,
+        table: str,
+        segment_ids: list[int] | None = None,
+        as_of_ts: float | None = None,
+        _tag_col: str | None = None,
+    ) -> DataFrame:
         meta = self._read_schema(table)
         target = T.StructType.fromJson(meta["schema"])
         defaults: dict[str, Any] = {}
