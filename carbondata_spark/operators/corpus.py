@@ -185,7 +185,12 @@ def remove_common_spans(
                 ).otherwise(
                     F.transform(
                         F.sequence(F.lit(0), F.size(w) - n),
-                        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+                        # n element_at + concat_ws: no per-span array
+                        # allocation (see dedup.shingles_df), identical
+                        # span strings
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(w, i + 1 + off) for off in range(n)]
+                        ),
                     )
                 ),
             )

@@ -244,7 +244,11 @@ def with_repetition(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
             let_once(
                 F.transform(
                     F.sequence(F.lit(1), F.greatest(F.size(wv) - (n - 1), F.lit(1))),
-                    lambda i: F.array_join(F.slice(wv, i, n), " "),
+                    # n element_at + concat_ws: no per-gram array
+                    # allocation (see dedup.shingles_df), identical grams
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(wv, i + j) for j in range(n)]
+                    ),
                 ),
                 lambda grams: (F.size(grams) - F.size(F.array_distinct(grams)))
                 / F.size(grams),

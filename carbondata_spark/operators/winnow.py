@@ -71,9 +71,18 @@ def _fingerprint_sets(
     def hashes_of(w: Column) -> Column:
         m = F.size(w) - F.lit(k - 1)  # number of k-grams
         gram_hash = (
-            # j -> 32-bit hash of the j-th k-gram (1-based slice)
+            # j -> 32-bit hash of the j-th k-gram (1-based): k element_at
+            # + concat_ws instead of slice+array_join — no per-gram array
+            # allocation, byte-identical gram strings (split yields no
+            # NULLs, see dedup.shingles_df)
             lambda j: F.conv(
-                F.substring(F.md5(F.array_join(F.slice(w, j, k), " ")), 1, 8), 16, 10
+                F.substring(
+                    F.md5(F.concat_ws(" ", *[F.element_at(w, j + off) for off in range(k)])),
+                    1,
+                    8,
+                ),
+                16,
+                10,
             ).cast("long")
         )
         return F.when(
