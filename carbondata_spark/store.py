@@ -277,9 +277,14 @@ def _sql_prunable_conjuncts(sql: str) -> list[tuple[str, str, list]]:
 # (store_path, table) -> (session, (schema stamp, status stamp), frame):
 # the full-table resolution cache of CarbonStore.table() — see its
 # docstring. One entry per table (latest stamp wins), plan-only.
+# Bounded: each entry pins a JVM-side logical plan, and a long-lived
+# process touching many throwaway stores (the test suite) would
+# otherwise accumulate dead entries — evict insertion-oldest past the
+# cap (dicts preserve insertion order; re-inserting on refresh is fine).
 _RESOLVED_TABLES: dict[
     tuple[str, str], tuple[SparkSession, tuple, DataFrame]
 ] = {}
+_RESOLVED_TABLES_CAP = 256
 
 
 def _file_stamp(path: str) -> tuple[int, int, int]:
@@ -1025,6 +1030,9 @@ class CarbonStore:
                 if hit is not None and hit[0] is self.spark and hit[1] == stamp:
                     return hit[2]
                 out = self._resolve_table(table)
+                _RESOLVED_TABLES.pop(key, None)
+                while len(_RESOLVED_TABLES) >= _RESOLVED_TABLES_CAP:
+                    _RESOLVED_TABLES.pop(next(iter(_RESOLVED_TABLES)))
                 _RESOLVED_TABLES[key] = (self.spark, stamp, out)
                 return out
         return self._resolve_table(table, segment_ids, as_of_ts, _tag_col)

