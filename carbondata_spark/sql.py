@@ -1125,6 +1125,25 @@ class CarbonSession:
                         "peeked header (pass FILEHEADER to be explicit)",
                         stacklevel=2,
                     )
+                elif not members:
+                    # LOCAL path but zero plain-file members: a mistyped
+                    # path, a Spark-only glob Python's glob can't expand
+                    # (e.g. '{a,b}.csv'), or a glob matching only
+                    # directories — the per-file validation has nothing
+                    # to check, which must be said, not silently skipped
+                    # (r17 driver advice: this branch used to fall
+                    # through with neither an error nor the non-local
+                    # warning).
+                    import warnings
+
+                    warnings.warn(
+                        f"LOAD DATA: local path {path!r} matched no plain "
+                        "files for per-file header validation (mistyped "
+                        "path, unsupported glob syntax, or directory-only "
+                        "matches?); validation skipped — all files are "
+                        "assumed to share the peeked header",
+                        stacklevel=2,
+                    )
                 else:
                     # check every member (the peeked file compares equal
                     # to itself); cap keeps this a bounded check

@@ -87,19 +87,28 @@ def _mutations(spark):
     return [("update", upd), ("merge", mrg), ("compact", cmp_)]
 
 
+def _is_commit_call(root, src, dst) -> bool:
+    """ONE predicate for both site enumeration and crash injection —
+    if they ever diverged (e.g. a replace whose src is under the root
+    but dst is not), the injected crash index would silently shift
+    against the enumerated site list and the sweep would test the
+    wrong sites (r17 driver advice)."""
+    return str(root) in str(src) or str(root) in str(dst)
+
+
 def _count_sites(root, store, fn):
-    """Enumerate driver-side commit calls (rename/replace under the
+    """Enumerate driver-side commit calls (rename/replace touching the
     table root) during one clean mutation run."""
     sites: list[tuple[str, str]] = []
     real_rename, real_replace = os.rename, os.replace
 
     def rename(src, dst, *a, **kw):
-        if str(root) in str(src) or str(root) in str(dst):
+        if _is_commit_call(root, src, dst):
             sites.append(("rename", str(dst)))
         return real_rename(src, dst, *a, **kw)
 
     def replace(src, dst, *a, **kw):
-        if str(root) in str(dst):
+        if _is_commit_call(root, src, dst):
             sites.append(("replace", str(dst)))
         return real_replace(src, dst, *a, **kw)
 
@@ -118,7 +127,7 @@ def _crash_at(root, store, fn, n):
     real_rmtree = store_mod.shutil.rmtree
 
     def tick(kind, src, dst):
-        if str(root) in str(src) or str(root) in str(dst):
+        if _is_commit_call(root, src, dst):  # SAME predicate as _count_sites
             calls["n"] += 1
             if calls["n"] == n:
                 raise OSError(28, f"injected crash at commit call {n}")

@@ -461,3 +461,27 @@ def test_nonlocal_header_carried_load_warns(cs, monkeypatch):
         cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE t_nonlocal")
     assert any("per-file header validation is skipped" in str(x.message) for x in w)
     assert _rows(cs, "t_nonlocal") == {(1, "bonn", 2.5)}
+
+
+def test_empty_local_member_set_warns(cs, monkeypatch):
+    """r18 (r17 driver advice): a LOCAL path whose member expansion is
+    EMPTY (mistyped path, a Spark-only glob Python cannot expand like
+    '{a,b}.csv', or directory-only matches) used to skip per-file header
+    validation with neither an error nor the non-local warning. It must
+    warn, so a load that validated nothing is diagnosable."""
+    import warnings
+
+    import carbondata_spark.sql as sql_mod
+
+    p = _write(["id,city,amt", "1,bonn,2.5"])
+    # Simulate the silent class: the path is local (members is a list)
+    # but expansion found no plain files.
+    monkeypatch.setattr(sql_mod, "_local_load_members", lambda path: [])
+    _mk(cs, "t_emptymembers")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cs.sql(f"LOAD DATA INPATH '{p}' INTO TABLE t_emptymembers")
+    assert any(
+        "matched no plain files" in str(x.message) for x in w
+    ), [str(x.message) for x in w]
+    assert _rows(cs, "t_emptymembers") == {(1, "bonn", 2.5)}
