@@ -1291,14 +1291,23 @@ class CarbonStore:
         # RangePartitioner's bounds sampler executes the child plan once
         # and the shuffle map tasks execute it AGAIN — for a rewrite the
         # child is the full target-join transform, so the join ran twice
-        # per mutation. localCheckpoint stores the output once
-        # (memory+disk) and both passes read it back; measured -0.2s on
-        # the sf0.1 MERGE cycle, and at scale it replaces a second full
-        # scan+join of the affected segments with a local read. (Lost-
-        # executor recompute of a checkpoint is impossible, but a failed
-        # write job only aborts the mutation pre-commit — the staging
-        # protocol already handles that.)
-        writer = out.localCheckpoint(eager=False)
+        # per mutation. persist(MEMORY_AND_DISK) stores the output once
+        # and both passes read it back; measured -0.2s on the sf0.1 MERGE
+        # cycle, and at scale it replaces a second full scan+join of the
+        # affected segments with a local read. persist (r19; was
+        # localCheckpoint) because (a) the blocks are released
+        # deterministically in the finally below instead of lingering
+        # until the driver GCs the RDD reference, and (b) it is a cache
+        # boundary the MERGE path's observe() detection metrics can fire
+        # under exactly once (a checkpointed plan swallows CollectMetrics
+        # entirely — the write's plan is just the LogicalRDD). A block
+        # lost to executor death recomputes its partition (pre-r18
+        # semantics; sources are deterministic) instead of failing the
+        # job; either way nothing commits until the swap.
+        from pyspark import StorageLevel
+
+        cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+        writer = cached
         if sort_cols and self._is_zorder(meta):
             from carbondata_spark.zorder import ZVAL_COL, with_zvalue
 
@@ -1386,6 +1395,7 @@ class CarbonStore:
                 }
             return results
         finally:
+            cached.unpersist()
             shutil.rmtree(staging, ignore_errors=True)
 
     def compact(
@@ -1814,6 +1824,81 @@ class CarbonStore:
 
     # -- MERGE INTO (upsert) -----------------------------------------------
 
+    def _zone_hit_conditions(
+        self, segs: list[SegmentEntry], keys: list[str], target: T.StructType
+    ) -> dict[int, Any] | None:
+        """Per-segment row-granular zone-map predicates over a MERGE
+        source: segment ``sid`` maps to a boolean Column that is true for
+        a source row iff EVERY key column falls inside the segment's
+        manifest [min, max] — a necessary condition for that row to match
+        any row of the segment, so ``count(when(cond, 1)) == 0`` proves
+        the segment holds no source key (strictly tighter than comparing
+        the source's global [min, max]: a segment sitting in a gap of the
+        source key distribution is pruned too).
+
+        Comparisons mirror ``_collect_segment_stats``'s normalization
+        exactly: numeric bounds compare natively (integral/float columns
+        only — decimals are statless in the manifest), string bounds
+        compare binary-lexicographically, timestamp/date bounds compare
+        via ``date_format`` in the same second-truncated string space the
+        footers were normalized into. A key whose bounds or type cannot
+        be compared faithfully contributes no condition (never prunes);
+        a segment with no usable key maps to None (unconditional
+        candidate). Returns None when there are no segments or more than
+        256 (bounding the stats-aggregate expression count — callers fall
+        back to the coarse overlap prune).
+        """
+        if not segs or len(segs) > 256:
+            return None
+        by_name = {f.name: f.dataType for f in target.fields}
+        out: dict[int, Any] = {}
+        for e in segs:
+            conds = []
+            for k in keys:
+                rng = (e.stats or {}).get(k)
+                if not isinstance(rng, (list, tuple)) or len(rng) != 2:
+                    continue
+                mn, mx = rng
+                if mn is None or mx is None:
+                    continue
+                dt = by_name.get(k)
+                c = F.col(k)
+                num = (int, float)
+                if (
+                    isinstance(mn, num)
+                    and isinstance(mx, num)
+                    and not isinstance(mn, bool)
+                    and not isinstance(mx, bool)
+                    and isinstance(
+                        dt,
+                        (
+                            T.ByteType,
+                            T.ShortType,
+                            T.IntegerType,
+                            T.LongType,
+                            T.FloatType,
+                            T.DoubleType,
+                        ),
+                    )
+                ):
+                    conds.append((c >= F.lit(mn)) & (c <= F.lit(mx)))
+                elif isinstance(mn, str) and isinstance(mx, str):
+                    if isinstance(dt, T.StringType):
+                        conds.append((c >= F.lit(mn)) & (c <= F.lit(mx)))
+                    elif isinstance(
+                        dt, (T.TimestampType, T.TimestampNTZType, T.DateType)
+                    ):
+                        s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+                        conds.append((s >= F.lit(mn)) & (s <= F.lit(mx)))
+            if not conds:
+                out[e.segment_id] = None
+            else:
+                cond = conds[0]
+                for extra in conds[1:]:
+                    cond = cond & extra
+                out[e.segment_id] = cond
+        return out
+
     def merge_rows(
         self,
         table: str,
@@ -1837,27 +1922,28 @@ class CarbonStore:
         dedup-survivor upserts). Scale shape, reusing the r13 IUD
         machinery end-to-end:
 
-        1. ONE bounded job computes the source's per-key [min,max] (+ a
-           key-uniqueness guard: duplicate source keys are an ambiguous
-           update and raise);
-        2. candidate segments are pre-pruned with the manifest zone maps
-           — a segment whose range is disjoint from the source's on ANY
-           key column provably holds no match;
-        3. ONE detection job (segment-id-tagged union, left-semi join on
-           the keys) finds the affected segments and the matched-row
-           count;
-        4. the affected segments are rewritten in ONE distributed job,
+        1. ONE bounded job over the source computes totals, the
+           key-uniqueness guard (duplicate source keys are an ambiguous
+           update and raise), per-key [min,max], and per-segment
+           row-granular zone-map hit counts — a segment no source row's
+           keys fall inside provably holds no match and is pruned;
+        2. the candidate segments are rewritten in ONE distributed job,
            joined against the source a single time, into ONE rewrite
-           segment PER affected source (``_write_rewrites``: the target
-           id leads the range key, so each rewrite stays internally
-           sorted with fresh zone maps/blooms and per-segment locality —
-           a merge touching N segments never degenerates into one
-           global sort over their union); unmatched source rows are
-           written as a separate insert segment (anti-join against the
-           AFFECTED segments' keys only — sound because pruning +
-           detection proved no other segment holds any source key);
-        5. ONE all-or-nothing manifest swap commits both segments and
-           retires the affected sources at a single timestamp.
+           segment PER candidate (``_write_rewrites``: the target id
+           leads the range key, so each rewrite stays internally sorted
+           with fresh zone maps/blooms and per-segment locality — a
+           merge touching N segments never degenerates into one global
+           sort over their union); match detection rides the same job as
+           ``observe()`` metrics (matched-row count + the set of
+           segments holding >=1 match), and unmatched source rows ride
+           the same write as the insert segment (anti-join against the
+           CANDIDATE segments' keys only — sound because pruning proved
+           no other segment holds any source key);
+        3. ONE all-or-nothing manifest swap commits the rewrites of the
+           segments the metrics proved matched (a candidate without
+           matches keeps its original; its no-op rewrite never goes
+           live) plus the insert segment, and retires the affected
+           sources at a single timestamp.
 
         Feed semantics (operators/segment_feed.py): the merged rewrite
         carries ``origin["rewrite_of"]`` so an append-feed skips it; the
@@ -1908,7 +1994,18 @@ class CarbonStore:
                 *[F.col(c).cast(target[c].dataType).alias(c) for c in needed]
             )
 
-        # ONE bounded job: totals, key uniqueness, per-key [min,max]
+        # ONE bounded job: totals, key uniqueness, per-key [min,max], and
+        # per-segment row-granular zone-map hit counts ("does ANY source
+        # row fall inside this segment's key ranges") — the candidate
+        # prune, riding the same single pass over the source. Match
+        # detection itself no longer runs as its own job: it rides the
+        # rewrite write via observe() below (r19; guide §2.4 — one action
+        # fewer per MERGE, and the candidates' key columns are no longer
+        # scanned separately). The trade: a candidate whose zone maps
+        # overlap the source but which holds no actual match is now
+        # rewritten and discarded at the swap instead of being filtered
+        # by a key-column detection scan; the row-granular prune (vs the
+        # r18 whole-source-range overlap) is what keeps that set small.
         key_notnull = F.lit(True)
         for k in keys:
             key_notnull = key_notnull & F.col(k).isNotNull()
@@ -1919,6 +2016,15 @@ class CarbonStore:
         ]
         for k in keys:
             aggs += [F.min(k).alias(f"_mn_{k}"), F.max(k).alias(f"_mx_{k}")]
+        # 0-row segments hold no matches and no keys: never candidates
+        # (a 0-row rewrite target would also trip _write_rewrites'
+        # lost-data guard, since the left join emits nothing for it)
+        segs = [e for e in self.valid_segments(table) if e.rows > 0]
+        hit_conds = self._zone_hit_conditions(segs, keys, target)
+        if hit_conds is not None:
+            for sid, cond in hit_conds.items():
+                if cond is not None:
+                    aggs.append(F.count(F.when(cond, 1)).alias(f"_hit_{sid}"))
         stat = src.agg(*aggs).collect()[0]
         if stat["_n"] == 0:
             return {"updated": 0, "inserted": 0}
@@ -1929,69 +2035,75 @@ class CarbonStore:
                 "ambiguous update — dedup the source first"
             )
 
-        def norm_bound(v):
-            import datetime
+        if hit_conds is not None:
+            candidates = [
+                e
+                for e in segs
+                if hit_conds[e.segment_id] is None
+                or int(stat[f"_hit_{e.segment_id}"]) > 0
+            ]
+        else:
+            # >256 segments: coarse whole-source-range overlap prune
+            # (bounds from the same stats job; expression count in the
+            # aggregate stays constant)
+            def norm_bound(v):
+                import datetime
 
-            if isinstance(v, (datetime.datetime, datetime.date)):
-                return v.strftime("%Y-%m-%d %H:%M:%S")
-            return v
+                if isinstance(v, (datetime.datetime, datetime.date)):
+                    return v.strftime("%Y-%m-%d %H:%M:%S")
+                return v
 
-        segs = self.valid_segments(table)
-        candidates = []
-        for e in segs:
-            keep = True
-            for k in keys:
-                rng = e.stats.get(k)
-                if rng is None:
-                    continue
-                smn, smx = norm_bound(stat[f"_mn_{k}"]), norm_bound(stat[f"_mx_{k}"])
-                if smn is None:
-                    continue  # all-null source key: no match possible here
-                try:
-                    if smx < rng[0] or smn > rng[1]:
-                        keep = False  # disjoint on this key: no match
-                        break
-                except TypeError:
-                    continue
-                except IndexError:
-                    continue
-            if keep:
-                candidates.append(e)
+            candidates = []
+            for e in segs:
+                keep = True
+                for k in keys:
+                    rng = e.stats.get(k)
+                    if rng is None:
+                        continue
+                    smn, smx = norm_bound(stat[f"_mn_{k}"]), norm_bound(
+                        stat[f"_mx_{k}"]
+                    )
+                    if smn is None:
+                        continue  # all-null source key: no match possible here
+                    try:
+                        if smx < rng[0] or smn > rng[1]:
+                            keep = False  # disjoint on this key: no match
+                            break
+                    except TypeError:
+                        continue
+                    except IndexError:
+                        continue
+                if keep:
+                    candidates.append(e)
 
         updated_total = 0
         affected: list[SegmentEntry] = []
+        rewrite_targets = [] if insert_only else candidates
         tag = "_cd_seg"
         while tag in tcols:
             tag = f"_{tag}"
         tagged = None
-        if candidates and not insert_only:
+        if rewrite_targets:
             tagged = self.table(
                 table, segment_ids=[e.segment_id for e in candidates], _tag_col=tag
             )
-            counts = {
-                r[0]: int(r[1])
-                for r in tagged.join(src.select(*keys), keys, "left_semi")
-                .groupBy(tag)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            by_id = {e.segment_id: e for e in candidates}
-            affected = [by_id[sid] for sid in sorted(counts) if counts[sid] > 0]
-            updated_total = sum(counts.values())
-        if not affected and not insert:
+        if not candidates and not insert:
             return {"updated": 0, "inserted": 0}
 
         # reserve ALL provisional segments in one manifest round-trip:
-        # one rewrite target PER affected source segment (per-segment
+        # one rewrite target PER candidate source segment (per-segment
         # zone-map locality — a merge touching N segments must not
-        # collapse into one global sort over their union) + the insert
+        # collapse into one global sort over their union) + the insert.
+        # A candidate the write's observe() metrics prove unmatched never
+        # goes live: its reserved entry is marked deleted at the swap and
+        # its original segment stays.
         start = time.time()
         rewrite_ids: dict[int, int] = {}
         insert_id: int | None = None
         with file_lock(self._status_path(table)):
             entries = self._read_status(table)
             next_id = max((x.segment_id for x in entries), default=-1) + 1
-            for e in affected:
+            for e in rewrite_targets:
                 rewrite_ids[e.segment_id] = next_id
                 entries.append(
                     SegmentEntry(
@@ -2026,21 +2138,12 @@ class CarbonStore:
         part_cols = meta.get("partition_columns", [])
         sort_cols = [c for c in meta["sort_columns"] if c not in part_cols]
         by_new: dict[int, tuple[int, dict, dict]] = {}
-        aff_ids = [e.segment_id for e in affected]
         inserted = 0
-        if affected:
+        if rewrite_targets:
             rw = "_cd_rw"
             while rw in tcols or rw == tag:
                 rw = f"_{rw}"
-            # Reuse the detection job's tagged frame when the affected set
-            # IS the candidate set (the common case): the manifest ->
-            # segment-paths -> parquet-relation resolution in table() is
-            # pure driver time, and re-running it per phase was ~15% of a
-            # small MERGE's wall clock (r18 profile).
-            if aff_ids == [e.segment_id for e in candidates]:
-                t_frame = tagged
-            else:
-                t_frame = self.table(table, segment_ids=aff_ids, _tag_col=tag)
+            t_frame = tagged
             t = t_frame.alias("t")
             s = src.withColumn("_cd_m", F.lit(True)).alias("s")
             cond = F.lit(True)
@@ -2061,14 +2164,35 @@ class CarbonStore:
             id_map = F.create_map(
                 *[F.lit(v) for kv in rewrite_ids.items() for v in kv]
             )
+            # Match detection rides the write (r19): observe() collects
+            # the matched-row count and the set of segments holding >=1
+            # match while the rewrite frame is materialized into
+            # _write_rewrites' cache — the r18 detection job (a key-column
+            # semi-join scan of the candidates + its own action) is gone.
+            # The metrics fire exactly once: the persist boundary sits
+            # ABOVE the CollectMetrics node, so the range-bounds sampler
+            # materializes it once and the shuffle map tasks read blocks.
+            from pyspark.sql import Observation
+
+            mt = "_cd_mt"
+            while mt in tcols or mt in (tag, rw):
+                mt = f"_{mt}"
+            obs = Observation()
             out = (
                 t.join(s, cond, "left")
-                .select(*sel, F.col(f"t.{tag}").alias(tag))
+                .select(*sel, F.col(f"t.{tag}").alias(tag), matched.alias(mt))
+                .observe(
+                    obs,
+                    F.count(F.when(F.col(mt), 1)).alias("_updated"),
+                    F.collect_set(F.when(F.col(mt), F.col(tag))).alias(
+                        "_affected"
+                    ),
+                )
                 .withColumn(rw, F.element_at(id_map, F.col(tag)).cast("int"))
-                .drop(tag)
+                .drop(tag, mt)
             )
             write_ids = list(rewrite_ids.values())
-            total_for_parts = sum(e.rows for e in affected)
+            total_for_parts = sum(e.rows for e in rewrite_targets)
             if insert:
                 # Fuse the insert segment into the SAME distributed write:
                 # the unmatched source rows (anti-join against the affected
@@ -2100,6 +2224,12 @@ class CarbonStore:
             )
             if insert and insert_id in by_new:
                 inserted = by_new[insert_id][0]
+            # detection metrics fired during the write's cache
+            # materialization; get() is non-blocking here
+            m = obs.get
+            updated_total = int(m["_updated"] or 0)
+            hit_ids = {int(x) for x in (m["_affected"] or [])}
+            affected = [e for e in rewrite_targets if e.segment_id in hit_ids]
         elif insert:
             # No rewrite job to fuse with (insert-only merge, or no source
             # key matched anywhere): standalone clustered insert write.
@@ -2121,8 +2251,15 @@ class CarbonStore:
                     self._collect_segment_blooms(seg_dir, meta),
                 )
 
-        # ONE all-or-nothing swap (compact()'s discipline)
-        old_ids = set(aff_ids)
+        # ONE all-or-nothing swap (compact()'s discipline). Only segments
+        # the detection metrics proved matched are retired; a candidate
+        # without matches keeps its original segment and its no-op
+        # rewrite is marked deleted (clean_files prey), so the committed
+        # state is row-identical to the r18 detect-then-rewrite shape.
+        old_ids = {e.segment_id for e in affected}
+        committed = {rewrite_ids[e.segment_id] for e in affected}
+        if insert_id is not None:
+            committed.add(insert_id)
         new_ids = set(rewrite_ids.values()) | (
             {insert_id} if insert_id is not None else set()
         )
@@ -2146,7 +2283,7 @@ class CarbonStore:
                     x.status = SEGMENT_COMPACTED
                     x.invalidated_ts = commit_ts
                 if x.segment_id in new_ids:
-                    if x.segment_id in by_new:
+                    if x.segment_id in committed and x.segment_id in by_new:
                         rows, stats, blooms = by_new[x.segment_id]
                         x.status = SEGMENT_SUCCESS
                         x.rows = rows
@@ -2154,8 +2291,10 @@ class CarbonStore:
                         x.stats = stats
                         x.blooms = blooms
                     else:
-                        # empty insert (every source row matched): the
-                        # reserved entry never goes live
+                        # empty insert (every source row matched) or a
+                        # candidate's no-op rewrite (zone maps overlapped
+                        # but no row matched): the reserved entry never
+                        # goes live
                         x.status = SEGMENT_DELETED
                         x.invalidated_ts = commit_ts
             self._write_status(table, entries)
