@@ -272,6 +272,17 @@ def minhash_lsh_pairs(
     order as carrying the text), so it holds at 100 TB, and it removes
     two full-index shuffles, a pair-count hash aggregate, and the
     persist/recompute of the index that the join formulation needed.
+
+    The carried set holds 8-byte ``xxhash64(shingle)`` keys, not the gram
+    strings (r19, guide §2.3 payload slimming): the signature aggregate's
+    shuffle and the verify join move fixed-width longs instead of ~20+
+    byte strings (~2x fewer shuffled bytes, cheaper sort/intersect), and
+    the hash is computed map-side next to the minhash md5s. Set
+    intersections over the hashes equal the gram-set intersections
+    unless two distinct grams of a compared pair collide in 64 bits
+    (P ~ u^2/2^65 for u distinct grams/pair — vanishing at any real u);
+    the md5 banding itself is untouched, so candidate generation stays
+    bit-reproducible in the oracle.
     """
     from carbondata_spark.functions import repersist
 
@@ -279,17 +290,19 @@ def minhash_lsh_pairs(
     # shingle set dedups inside collect_set, so the (doc, shingle)
     # distinct would be a second full shuffle of the exploded token
     # stream for nothing — the signature aggregate is the ONLY shuffle.
-    sh = shingles_df(df, id_col, text_col, n, distinct=False)
+    sh = shingles_df(df, id_col, text_col, n, distinct=False).withColumn(
+        "hs", F.xxhash64("s")
+    )
     # sig feeds band explosion AND both sides of the verification join —
-    # persist the compact per-doc row (8 hex minima + shingle array) so
-    # the explode/aggregate over the corpus runs exactly once. At 100 TB,
-    # materialize it as a store table instead (same lifecycle as the IVF
-    # assignment table).
+    # persist the compact per-doc row (8 hex minima + hashed-shingle
+    # array) so the explode/aggregate over the corpus runs exactly once.
+    # At 100 TB, materialize it as a store table instead (same lifecycle
+    # as the IVF assignment table).
     sig = repersist(
         f"minhash_sig:{hash_fn}",
         _minhash_from_shingles(
             sh,
-            extra_aggs=[F.sort_array(F.collect_set("s")).alias("ss")],
+            extra_aggs=[F.sort_array(F.collect_set("hs")).alias("ss")],
             hash_fn=hash_fn,
         ).withColumn("c", F.size("ss")),
     )

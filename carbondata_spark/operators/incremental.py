@@ -50,15 +50,20 @@ def cross_corpus_near_dups(
 
     Candidates: band agreement (4 bands × 2 minhashes) strictly across
     the boundary — new bands join reference bands, never new×new or
-    ref×ref. Verification: exact shingle-set Jaccard in-row
-    (array_intersect on the signature's carried shingle set). Election:
-    one max_by aggregate per new doc (map-side combining), no window.
+    ref×ref. Verification: shingle-set Jaccard in-row (array_intersect
+    on the signature's carried set of 8-byte xxhash64 shingle keys —
+    the same guide-§2.3 payload slimming as ``minhash_lsh_pairs``; equal
+    to the gram-set Jaccard absent a 64-bit collision inside a compared
+    pair). Election: one max_by aggregate per new doc (map-side
+    combining), no window.
     """
-    sh = shingles_df(df, id_col, text_col, n, distinct=False)
+    sh = shingles_df(df, id_col, text_col, n, distinct=False).withColumn(
+        "hs", F.xxhash64("s")
+    )
     sig = repersist(
         "xcorpus_sig",
         _minhash_from_shingles(
-            sh, extra_aggs=[F.sort_array(F.collect_set("s")).alias("ss")]
+            sh, extra_aggs=[F.sort_array(F.collect_set("hs")).alias("ss")]
         )
         .withColumn("c", F.size("ss"))
         .join(
