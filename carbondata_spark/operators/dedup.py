@@ -147,6 +147,16 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").count()
         if log_dropped:
+            # ONE aggregation of the shingle index instead of two (r19):
+            # freq is persisted, the stop-shingle count materializes the
+            # cache, and the candidate join below reads the same blocks —
+            # previously the count() action re-ran the full explode +
+            # distinct + aggregate of the exploded index a second time.
+            # MEMORY_AND_DISK: |distinct shingles| (s, count) rows, far
+            # smaller than the exploded stream it replaces recomputing.
+            from carbondata_spark.functions import repersist
+
+            freq = repersist("ngram_freq", freq)
             n_dropped = freq.filter(F.col("count") > max_shingle_freq).count()
             if n_dropped:
                 import logging
@@ -383,13 +393,19 @@ def near_dup_groups(
     Scale notes: iterations are groupBy-shuffles keyed on doc_id; the
     edge set is the LSH output (orders of magnitude smaller than the
     corpus), and each iteration halves the longest chain (min-label
-    gossip), so convergence is ~log(diameter) rounds. The per-iteration
-    convergence check is one count() on the changed-label frame. Each
-    iteration ``localCheckpoint``s the label frame: lineage is truncated
-    (no exponential plan growth over rounds) and the previous iteration's
+    gossip), so convergence is ~log(diameter) rounds. Each iteration
+    ``localCheckpoint``s the label frame: lineage is truncated (no
+    exponential plan growth over rounds) and the previous iteration's
     blocks are released, so memory stays O(|labels|) however many rounds
-    run.
+    run. The per-iteration convergence check rides the checkpoint as an
+    ``observe()`` metric (r19): the changed-label count fires while the
+    eager checkpoint materializes, so each round is ONE action instead
+    of two (checkpoint + a separate count()), and the checkpoint itself
+    carries only (v, label) — the old-label column is consumed by the
+    metric below the projection.
     """
+    from pyspark.sql import Observation
+
     nodes = docs.select(F.col(id_col).alias("v")).distinct()
     edges = (
         pairs.select(F.col("id_a").alias("v"), F.col("id_b").alias("u"))
@@ -410,7 +426,10 @@ def near_dup_groups(
         # localCheckpoint (eager): materializes this round's labels,
         # truncates the lineage so round N's plan does not embed rounds
         # 1..N-1, and lets the previous round's shuffle blocks be dropped.
-        new_labels = (
+        # The changed-label count fires as an observe() metric during the
+        # materialization — no second action per round.
+        obs = Observation()
+        labels = (
             labels.join(neighbor_min, labels.v == F.col("nv"), "left")
             .select(
                 "v",
@@ -419,9 +438,15 @@ def near_dup_groups(
                 ),
                 F.col("label").alias("old_label"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("new_label") != F.col("old_label"), 1)
+                ).alias("changed"),
+            )
+            .select("v", F.col("new_label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("new_label") != F.col("old_label")).count()
-        labels = new_labels.select("v", F.col("new_label").alias("label"))
+        changed = int(obs.get["changed"])
         if changed == 0:
             break
     if changed != 0:
