@@ -55,13 +55,37 @@ def ensure_session_confs(spark: SparkSession) -> None:
 # action still recomputes results from the parquet bytes. Confs are
 # still re-pinned on every call (ensure_session_confs) — the cache
 # holds a lazy plan, and timezone-sensitive evaluation happens at
-# execution time under the re-pinned session confs.
-_LOADED: dict[tuple[str, str], tuple[SparkSession, tuple[int, int, int], DataFrame]] = {}
+# execution time under the re-pinned session confs. Bounded at 256
+# entries, insertion-oldest evicted (same discipline as the store's
+# _RESOLVED_TABLES cache).
+_LOADED: dict[tuple[str, str], tuple[SparkSession, tuple, DataFrame]] = {}
+_LOADED_MAX = 256
 
 
-def _stat_stamp(path: str) -> tuple[int, int, int]:
-    st = os.stat(path)
-    return (st.st_ino, st.st_mtime_ns, st.st_size)
+def _stat_stamp(path: str) -> tuple:
+    """Invalidation stamp for a table source. For a directory source the
+    direct children's (count, newest mtime_ns, total size) are folded in:
+    rewriting a member file IN PLACE leaves the directory's own
+    inode/mtime/size untouched, and the r18 dir-only stamp would have
+    served a stale file listing/schema for it (ADVICE r18)."""
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no such table source: {path!r} — expected a parquet file or "
+            "directory (is the sf_dir right and the table materialized?)"
+        ) from None
+    stamp = (st.st_ino, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        n, newest, total = 0, 0, 0
+        with os.scandir(path) as it:
+            for entry in it:
+                cst = entry.stat()
+                n += 1
+                newest = max(newest, cst.st_mtime_ns)
+                total += cst.st_size
+        stamp += (n, newest, total)
+    return stamp
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -81,6 +105,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    while len(_LOADED) >= _LOADED_MAX:
+        _LOADED.pop(next(iter(_LOADED)))
     _LOADED[key] = (spark, stamp, df)
     return df
 

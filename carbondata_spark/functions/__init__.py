@@ -39,7 +39,11 @@ def salted_join(
 # A hash collision can only toggle the repartition decision — never the
 # result: every operator calling this is partition-count-independent by
 # construction (the driver re-checks results at multiple core counts).
+# Bounded at 256 entries, insertion-oldest evicted — a long-lived
+# session generating ever-fresh plan shapes must not grow it forever
+# (same discipline as the store's _RESOLVED_TABLES cache).
 _NPART_MEMO: dict[tuple[str, int], int] = {}
+_NPART_MEMO_MAX = 256
 
 
 def ensure_parallelism(df, min_partitions: int | None = None):
@@ -67,6 +71,8 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     if n is None:
         n = df.rdd.getNumPartitions()
         if key is not None:
+            while len(_NPART_MEMO) >= _NPART_MEMO_MAX:
+                _NPART_MEMO.pop(next(iter(_NPART_MEMO)))
             _NPART_MEMO[key] = n
     if n < min_partitions:
         return df.repartition(min_partitions)

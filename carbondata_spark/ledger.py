@@ -202,6 +202,58 @@ def load_pins() -> set[str]:
         return set()
 
 
+MODE_PATH = os.path.join(REPO_ROOT, "driver_round_mode.json")
+
+
+def latest_completed_round(repo_root: str | None = None) -> int:
+    """Highest N among the committed BENCH_rN.json driver artifacts —
+    the last round the driver finished. The ACTIVE round is this + 1
+    (robust to ledger folding lag, unlike the ledger head)."""
+    import re
+
+    best = 0
+    for f in os.listdir(repo_root or REPO_ROOT):
+        m = re.match(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def round_mode_status(
+    mode_path: str | None = None, active_round: int | None = None
+) -> tuple[str, dict | None, int]:
+    """Self-expiring optimization-round declaration (r18 ADVICE): returns
+    (state, declaration, active_round) where state is
+
+    - ``"absent"``    — no declaration (or not an optimization one):
+                        build-round gates apply;
+    - ``"suspended"`` — the declaration names the ACTIVE round: the
+                        driver verifies the full registry, prefix-budget
+                        gates legitimately stand down;
+    - ``"expired"``   — the declaration names some OTHER round: a stale
+                        file left behind. Consumers must HARD-FAIL, not
+                        skip — a forgotten declaration must never become
+                        a permanent bypass of the budget gate.
+    """
+    if active_round is None:
+        active_round = latest_completed_round() + 1
+    path = mode_path or MODE_PATH
+    try:
+        with open(path) as f:
+            mode = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return ("absent", None, active_round)
+    if not isinstance(mode, dict) or mode.get("mode") != "optimization":
+        return ("absent", mode if isinstance(mode, dict) else None, active_round)
+    try:
+        declared = int(mode.get("round", -1))
+    except (TypeError, ValueError):
+        declared = -1
+    if declared != active_round:
+        return ("expired", mode, active_round)
+    return ("suspended", mode, active_round)
+
+
 def load_debt() -> dict | None:
     """The committed carried-dirt declaration (see DEBT_PATH), or None.
 

@@ -417,28 +417,26 @@ def test_live_tree_within_driver_budget():
     ~every fresh closure at once and trips this immediately — the
     overrun becomes a red test at commit time, not a verdict finding.
 
-    Suspended (loud skip) while driver_round_mode.json declares an
-    OPTIMIZATION round: there the driver re-verifies EVERY declared
-    query rather than a 50-row prefix, so prefix-budget accounting does
-    not model the round's verification and shared-module performance
-    edits legitimately dirty all closures. The next build round deletes
-    the mode file and this pin re-arms."""
-    import json
-    import os
-
-    mode_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "driver_round_mode.json",
+    Suspended (loud skip) while driver_round_mode.json declares the
+    ACTIVE round an OPTIMIZATION round: there the driver re-verifies
+    EVERY declared query rather than a 50-row prefix, so prefix-budget
+    accounting does not model the round's verification and
+    shared-module performance edits legitimately dirty all closures.
+    The declaration is SELF-EXPIRING (r18 ADVICE): one naming any other
+    round is a stale leftover and FAILS this test outright — a
+    forgotten file must never become a permanent bypass."""
+    state, mode, active = L.round_mode_status()
+    if state == "suspended":
+        pytest.skip(
+            f"round {active} declared an optimization round: driver "
+            "verifies the full registry; prefix-budget pin suspended "
+            "(driver_round_mode.json; self-expires next round)"
+        )
+    assert state != "expired", (
+        f"STALE driver_round_mode.json: declares round "
+        f"{(mode or {}).get('round')!r} but the active round is {active} "
+        "(latest committed BENCH artifact + 1) — delete or update the file"
     )
-    if os.path.exists(mode_path):
-        with open(mode_path) as f:
-            mode = json.load(f)
-        if mode.get("mode") == "optimization":
-            pytest.skip(
-                f"round {mode.get('round')} declared an optimization round: "
-                "driver verifies the full registry; prefix-budget pin "
-                "suspended (driver_round_mode.json)"
-            )
     from carbondata_spark.queries import registry
 
     reg = registry()

@@ -26,21 +26,28 @@ def main() -> int:
     from carbondata_spark.ledger import budget_report
     from carbondata_spark.queries import registry
 
-    mode_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "driver_round_mode.json",
-    )
-    if os.path.exists(mode_path):
-        with open(mode_path) as f:
-            mode = json.load(f)
-        if mode.get("mode") == "optimization":
-            print(
-                f"round {mode.get('round')}: optimization round declared "
-                "(driver_round_mode.json) — the driver re-verifies the FULL "
-                "registry, so the prefix-budget gate is suspended this "
-                "round; delete the file in the next build round to re-arm"
-            )
-            return 0
+    from carbondata_spark.ledger import round_mode_status
+
+    state, mode, active = round_mode_status()
+    if state == "suspended":
+        print(
+            f"round {active}: optimization round declared "
+            "(driver_round_mode.json) — the driver re-verifies the FULL "
+            "registry, so the prefix-budget gate is suspended this "
+            "round; the declaration self-expires when BENCH_r"
+            f"{active}.json lands (delete the file in the next build "
+            "round, or this gate hard-fails)"
+        )
+        return 0
+    if state == "expired":
+        print(
+            f"STALE driver_round_mode.json: declares round "
+            f"{mode.get('round')!r} but the active round is {active} "
+            "(latest committed BENCH artifact + 1). A forgotten "
+            "optimization declaration must not silently bypass the "
+            "budget gate — delete or update the file."
+        )
+        return 1
 
     reg = registry()
     rep = budget_report(
