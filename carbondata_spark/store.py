@@ -2234,14 +2234,28 @@ class CarbonStore:
             # No rewrite job to fuse with (insert-only merge, or no source
             # key matched anywhere): standalone clustered insert write.
             anti_ids = [e.segment_id for e in candidates] if insert_only else []
+            cached_ins = None
             if anti_ids:
                 aff_keys = self.table(table, segment_ids=anti_ids).select(*keys)
-                ins_df = src.join(aff_keys, keys, "left_anti")
+                # persist the anti-join before the ranged write: the
+                # range-bounds sampler and the shuffle map tasks would
+                # otherwise compute it twice (the same double-execution
+                # _write_rewrites' persist removes for rewrites)
+                from pyspark import StorageLevel
+
+                cached_ins = src.join(aff_keys, keys, "left_anti").persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                ins_df = cached_ins
             else:
                 ins_df = src
             seg_dir = self._segment_dir(table, insert_id)
             n_parts = max(1, int(stat["_n"]) // 4_000_000)
-            self._write_clustered(ins_df, meta, seg_dir, n_parts)
+            try:
+                self._write_clustered(ins_df, meta, seg_dir, n_parts)
+            finally:
+                if cached_ins is not None:
+                    cached_ins.unpersist()
             ins_metas = self._footer_metadata(seg_dir)
             inserted = self._segment_rows_from_footers(seg_dir, ins_metas)
             if inserted:
